@@ -1,0 +1,38 @@
+"""Named-query registry: the engine's user-facing query surface.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable plus (when
+SQL-expressible) an ANSI-SQL oracle string that DuckDB can run over
+the same parquet tables.  The driver's correctness gate compares the
+two at sf=0.01 (row-count + schema + order-insensitive value hash),
+so every computed column is aliased identically on both sides, and
+float aggregation goes through exact decimal partial sums before a
+final cast to double (deterministic across engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and optionally its oracle SQL)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# Import for side effects: each module registers its queries.
+from data_engineering_user_session_analysis_spark.queries import session_queries  # noqa: E402,F401
+from data_engineering_user_session_analysis_spark.queries import tpch_queries  # noqa: E402,F401
+from data_engineering_user_session_analysis_spark.queries import text_queries  # noqa: E402,F401
+from data_engineering_user_session_analysis_spark.queries import similarity_queries  # noqa: E402,F401

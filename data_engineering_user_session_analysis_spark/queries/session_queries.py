@@ -1,0 +1,276 @@
+"""Session-analytics queries — the reference's batch surface
+(``spark_jobs/spark_batch_job.py``) re-expressed over the driver's
+``events`` table (event_id, ts, user_id, event_type, value, props).
+
+The testdata events carry no pre-assigned session key, so sessions
+are gap-derived (30-minute inactivity, the reference's streaming
+session-state semantics — SURVEY.md §2.9 ST4) and then rolled up to
+the session/user level exactly like the reference's Q1/Q2/Q3/Q6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.operators.sessionize import session_rollup, sessionize
+from data_engineering_user_session_analysis_spark.queries import register
+from data_engineering_user_session_analysis_spark.sources.events import load_events
+
+GAP_SECONDS = 1800
+
+# Shared oracle CTE: gap-sessionization, the lag/cumsum construction.
+# date_diff('second', ...) counts second boundaries == Spark's
+# cast-to-long truncation delta, so the gap predicate is identical.
+_SESSIONIZED_CTE = f"""
+WITH ordered AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *,
+    CASE WHEN prev_ts IS NULL
+           OR date_diff('second', prev_ts, ts) > {GAP_SECONDS}
+         THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessionized AS (
+  SELECT *,
+    CAST(user_id AS VARCHAR) || '-' || CAST(
+      SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id
+  FROM flagged
+)
+"""
+
+
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_events(spark, sf_dir), order_cols=("event_id",))
+
+
+@register(
+    "session_rollup",
+    _SESSIONIZED_CTE
+    + """
+, firsts AS (
+  SELECT *,
+    first_value(event_type) OVER w AS first_event_type,
+    last_value(event_type)  OVER w AS last_event_type
+  FROM sessionized
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT
+  user_id,
+  session_id,
+  min(ts) AS session_start_time,
+  max(ts) AS session_end_time,
+  date_diff('second', min(ts), max(ts)) AS session_duration_seconds,
+  CAST(count(*) AS BIGINT) AS number_of_events,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_event_types,
+  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS is_purchase,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+  any_value(first_event_type) AS first_event_type,
+  any_value(last_event_type) AS last_event_type
+FROM firsts
+GROUP BY user_id, session_id
+""",
+)
+def session_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: gap-sessionize + full session-level rollup
+    (reference Q1 + the `user_session` serving DDL columns,
+    ``spark_jobs/spark_stream.py:116-131``)."""
+    df = session_rollup(_sessionized(spark, sf_dir))
+    return df.withColumns(
+        {
+            "is_purchase": F.col("is_purchase").cast("int"),
+            "session_value": F.col("session_value").cast("double"),
+        }
+    )
+
+
+@register(
+    "user_level",
+    _SESSIONIZED_CTE
+    + """
+, maxd AS (SELECT max(CAST(ts AS DATE)) AS global_max_date FROM sessionized),
+agg AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS total_purchases,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_spent,
+    max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase_ts,
+    CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM sessionized GROUP BY user_id
+)
+SELECT user_id, total_purchases, total_spent, n_sessions, n_events,
+  CAST(coalesce(date_diff('day', CAST(last_purchase_ts AS DATE), global_max_date), -1) AS INT)
+    AS days_since_last_purchase
+FROM agg CROSS JOIN maxd
+""",
+)
+def user_level_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q2+Q4+Q6 (``spark_jobs/spark_batch_job.py:44-85``):
+    per-user purchase totals and recency vs the dataset's max date.
+
+    The reference collects the global max date to the driver (A10);
+    here the 1-row aggregate stays in-plan via a (broadcast) cross
+    join — no driver round-trip, scale-safe."""
+    s = _sessionized(spark, sf_dir)
+    purchase = F.col("event_type") == "purchase"
+    agg = s.groupBy("user_id").agg(
+        F.sum(F.when(purchase, 1).otherwise(0)).alias("total_purchases"),
+        F.sum(F.when(purchase, F.col("value").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("total_spent"),
+        F.max(F.when(purchase, F.col("ts"))).alias("last_purchase_ts"),
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+    maxd = s.agg(F.max(F.to_date("ts")).alias("global_max_date"))
+    return (
+        agg.crossJoin(F.broadcast(maxd))
+        .withColumn(
+            "days_since_last_purchase",
+            F.coalesce(
+                F.datediff(F.col("global_max_date"), F.to_date("last_purchase_ts")),
+                F.lit(-1),
+            ).cast("int"),
+        )
+        .select(
+            "user_id",
+            "total_purchases",
+            "total_spent",
+            "n_sessions",
+            "n_events",
+            "days_since_last_purchase",
+        )
+    )
+
+
+@register(
+    "favorite_event_type",
+    """
+WITH counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS interaction_count
+  FROM events GROUP BY user_id, event_type
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY interaction_count DESC, event_type ASC) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS favorite_event_type, interaction_count
+FROM ranked WHERE rn = 1
+""",
+)
+def favorite_event_type_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q3 favorite-category (A9 + W1 + P8,
+    ``spark_jobs/spark_batch_job.py:54-63``): top-1-per-group via
+    ranking window, deterministic tie-break on event_type."""
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("interaction_count")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("interaction_count").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("favorite_event_type"),
+            "interaction_count",
+        )
+    )
+
+
+@register(
+    "daily_activity",
+    _SESSIONIZED_CTE
+    + """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS date,
+  CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sessionized GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+""",
+)
+def daily_activity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resurrected commented-out report (reference A14,
+    ``spark_jobs/spark_batch_job.py:88-99``): sessions/events per
+    user per day.
+
+    Date keys are emitted as 'yyyy-MM-dd' strings on both engines —
+    date-typed columns round-trip differently through pandas."""
+    s = _sessionized(spark, sf_dir)
+    return s.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("date")).agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "funnel",
+    """
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resurrected funnel report (reference A13,
+    ``spark_jobs/spark_batch_job.py:110-118``): distinct users per
+    funnel step."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "hourly_traffic",
+    """
+SELECT dayname(ts) AS date_of_week,
+  CAST(hour(ts) AS INT) AS hour_of_day,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY dayname(ts), hour(ts)
+""",
+)
+def hourly_traffic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic by weekday/hour — exercises the reference's F3/F4
+    time derivations (``spark_jobs/spark_stream.py:68-69``)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_format("ts", "EEEE").alias("date_of_week"),
+        F.hour("ts").alias("hour_of_day"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "props_extract",
+    """
+SELECT event_type,
+  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(count(CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 1 END) AS BIGINT) AS n_high_k
+FROM events GROUP BY event_type
+""",
+)
+def props_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload decode (reference F7 `from_json`,
+    ``spark_jobs/spark_stream.py:57``): parse the props JSON with an
+    explicit schema — no inference on the hot path — and aggregate a
+    nested field."""
+    from data_engineering_user_session_analysis_spark.sources.events import PROPS_SCHEMA
+
+    ev = load_events(spark, sf_dir)
+    k = F.from_json("props", PROPS_SCHEMA).getField("k")
+    return ev.withColumn("k", k).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.count(F.when(F.col("k") > 50, 1)).alias("n_high_k"),
+    )

@@ -1,0 +1,98 @@
+"""Similarity-search queries over the `embeddings` table
+(array<float> vectors).
+
+Float determinism: dot products fold left-to-right with a DOUBLE
+accumulator in BOTH engines (Spark `aggregate` / DuckDB `list_sum`
+over an element-wise transform), and float->double widening is exact,
+so scores are bit-identical and rankings agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.queries import register
+from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+
+def dot_double(a, b):
+    """Sequential-fold dot product with a double accumulator."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "embedding_norms",
+    """
+SELECT label,
+  CAST(count(*) AS BIGINT) AS n_vectors,
+  CAST(min(len(embedding)) AS INT) AS min_dim,
+  CAST(max(len(embedding)) AS INT) AS max_dim
+FROM embeddings GROUP BY label
+""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table profile: vectors and dims per label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min(F.size("embedding")).cast("int").alias("min_dim"),
+        F.max(F.size("embedding")).cast("int").alias("max_dim"),
+    )
+
+
+@register(
+    "knn_brute_force",
+    """
+WITH anchors AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT q_id, vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q_emb, embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot
+  FROM anchors, embeddings
+  WHERE vec_id <> q_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 nearest neighbors (dot product) for a 1/50
+    sample of anchor vectors — the exact baseline ANN variants are
+    judged against.
+
+    Plan shape: the anchor set is tiny → broadcast nested-loop join
+    against the full table (no shuffle of the big side), then a
+    per-anchor top-k window.  At 100 TB the same plan holds: anchors
+    broadcast, score+rank map-side, one small shuffle for the window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(anchors)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot_double(F.col("q_emb"), F.col("embedding")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )

@@ -1,0 +1,224 @@
+"""Relational analytics over the TPC-H-ish star schema.
+
+These queries exercise the operator families from SURVEY.md §2 that
+the events surface doesn't: multi-aggregate scans (A1-A8), equi-joins
+incl. semi/anti (J1 + the free variants), broadcast dimension joins,
+and deterministic top-k (§2.6).
+
+Float policy for oracle parity: every double aggregate goes through
+an exact DECIMAL partial sum (associative, order-independent) and is
+cast to DOUBLE only at the end; averages are exact-sum / count with a
+single IEEE division.  This keeps Spark and DuckDB bit-identical
+regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.queries import register
+from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+_DEC = "decimal(18,4)"
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(12,2)))
+           * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan + filter pushdown +
+    8-aggregate hash aggregation (map-side partial + final).
+
+    Inputs (2-decimal money/rates stored as double) are cast to
+    decimal BEFORE any arithmetic: decimal × decimal is exact in both
+    engines, whereas casting a computed double product rounds
+    differently (shortest-string vs binary-scaled)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("1998-09-02")
+    )
+    dec = "decimal(12,2)"
+    price = F.col("l_extendedprice").cast(dec)
+    disc = price * (F.lit(1) - F.col("l_discount").cast(dec))
+    charge = disc * (F.lit(1) + F.col("l_tax").cast(dec))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast(dec)).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "top_customers",
+    """
+SELECT c_custkey, c_name,
+  CAST(count(*) AS BIGINT) AS order_count,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey ASC
+LIMIT 10
+""",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim equi-join + aggregate + deterministic top-k.
+
+    The dimension (customer) is broadcast — no shuffle of the fact
+    side for the join; the top-k is a TakeOrderedAndProject, not a
+    global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_spent"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "nation_revenue",
+    """
+SELECT n_name AS nation, r_name AS region,
+  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+""",
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join (fact → 3 dims): all dims broadcast, so the
+    whole join tree is map-side; one shuffle for the final agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+    ).agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "late_shipment_orders",
+    """
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+""",
+)
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-SEMI join (EXISTS): orders with any lineitem shipped >60
+    days after the order date, counted by priority (TPC-H Q4 shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > F.date_add(orders.o_orderdate, 60)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "customers_no_orders",
+    """
+SELECT c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+)
+def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-ANTI join (NOT EXISTS): customers that never ordered."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "supplier_part_share",
+    """
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+              ORDER BY qty DESC, l_partkey ASC) AS rn
+  FROM sp
+)
+SELECT s_name, l_partkey AS top_partkey, qty AS top_part_qty
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+""",
+)
+def supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group window over a 2-key aggregate, then a
+    broadcast dim join — the reference's W1 favorite-category idiom
+    at fact scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("qty")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("qty").desc(), F.col("l_partkey").asc()
+    )
+    top = sp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return top.join(
+        F.broadcast(supplier), top.l_suppkey == supplier.s_suppkey
+    ).select(
+        "s_name",
+        F.col("l_partkey").alias("top_partkey"),
+        F.col("qty").alias("top_part_qty"),
+    )
