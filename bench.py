@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall-clock seconds.
+
+Each query is forced with the `noop` sink — full computation, no
+driver-side collection cost in the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "session_rollup",
+    "user_level",
+    "favorite_event_type",
+    "daily_activity",
+    "q1_pricing_summary",
+    "top_customers",
+    "nation_revenue",
+    "late_shipment_orders",
+    "supplier_part_share",
+    "doc_token_stats",
+    "dedup_exact",
+    "knn_brute_force",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from data_engineering_user_session_analysis_spark import get_spark
+    from data_engineering_user_session_analysis_spark.queries import QUERIES
+
+    spark = get_spark("bench")
+    # JVM/codegen warmup on the smallest SF so per-query numbers
+    # measure the plan, not first-call JIT.
+    QUERIES["funnel"](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
