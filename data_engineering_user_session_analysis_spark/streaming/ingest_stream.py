@@ -1,0 +1,133 @@
+"""Streaming ingest: message bus → JSON decode → enrichment →
+partitioned parquet lake.
+
+Re-expresses the reference streaming job (``spark_jobs/spark_stream.py``):
+Kafka source (S1), ``CAST(value AS STRING)`` + ``from_json`` decode
+(S2/F7), time derivations (P4/F1-F4), append-mode partitioned parquet
+sink with checkpoint (S4/ST1/ST2/ST6/ST7).
+
+The transform stages are plain ``DataFrame -> DataFrame`` functions:
+they compose identically over a Kafka stream, a file stream (tests),
+or a batch frame — same logical plan, so batch tests pin streaming
+semantics.  The whole ingest path is map-only (no shuffle): at 100 TB
+it scales linearly with executors and the parquet sink's
+``partitionBy`` keeps the lake partition-pruned for the batch jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+# Boundary schema for JSON event messages (explicit — no inference on
+# the hot path; reference declares its 9-field StructType the same way
+# at spark_jobs/spark_stream.py:44-54, with the price-as-String bug
+# corrected per SURVEY.md §2.4 A6).
+EVENT_MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "user-event",
+    max_offsets_per_trigger: int = 100_000,
+) -> DataFrame:
+    """Kafka streaming source (reference S1): earliest offsets,
+    tolerate data loss, backpressure cap.  Requires the Kafka
+    connector jars on the classpath (not present in the test
+    container — exercised via the file-source twin in tests)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("failOnDataLoss", "false")
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        .load()
+    )
+
+
+def decode_json_messages(raw: DataFrame) -> DataFrame:
+    """Message value bytes → typed event columns (reference S2/P2/P3):
+    CAST(value AS STRING) → from_json(explicit schema) → flatten."""
+    return (
+        raw.selectExpr("CAST(value AS STRING) AS json_value")
+        .select(F.from_json("json_value", EVENT_MESSAGE_SCHEMA).alias("data"))
+        .select("data.*")
+    )
+
+
+def enrich_events(events: DataFrame) -> DataFrame:
+    """Reference enrichment block (P4/F1-F4,
+    ``spark_jobs/spark_stream.py:66-71``) as one projection."""
+    return events.withColumns(
+        {
+            "extracted_date": F.current_date(),
+            "date": F.to_date("ts"),
+            "date_of_week": F.date_format("ts", "EEEE"),
+            "hour_of_day": F.hour("ts"),
+        }
+    )
+
+
+def write_lake_stream(
+    enriched: DataFrame,
+    lake_path: str,
+    checkpoint_path: str,
+    partition_col: str = "extracted_date",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Partitioned append-mode parquet sink with checkpoint
+    (reference S4/ST2/ST6/ST7): exactly-once file sink."""
+    writer = (
+        enriched.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", lake_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy(partition_col)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source twin of the Kafka source for tests/backfill: same
+    downstream plan, parquet directory in, stream out."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import os
+
+    if os.path.isfile(path):
+        # FileStreamSource wants a directory or glob; bracket-glob the
+        # last char so exactly this one file matches.
+        path = f"{path[:-1]}[{path[-1]}]"
+    reader = spark.readStream.format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.schema(
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), True),
+                T.StructField("ts", T.LongType(), True),  # nanos-as-long
+                T.StructField("user_id", T.LongType(), True),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+                T.StructField("props", T.StringType(), True),
+            ]
+        )
+    ).load(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,142 @@
+"""Streaming semantics tests (SURVEY.md §5.3): ingest-to-lake
+pipeline, streaming/batch sessionization equivalence, and the
+10-minute watermark late-drop behavior the reference checkpoint
+evidences."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.operators.sessionize import session_rollup, sessionize
+from data_engineering_user_session_analysis_spark.sources.events import load_events
+from data_engineering_user_session_analysis_spark.streaming.ingest_stream import (
+    enrich_events,
+    read_file_stream,
+    write_lake_stream,
+)
+from data_engineering_user_session_analysis_spark.streaming.session_stream import (
+    session_window_rollup,
+    write_memory_sink,
+)
+
+
+def test_ingest_stream_to_partitioned_lake(spark, sf_small, tmp_path):
+    """File stream → enrich → partitioned parquet lake with
+    checkpoint (reference S4/ST2/ST7)."""
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_file_stream(spark, os.path.join(sf_small, "events.parquet"))
+    q = write_lake_stream(
+        enrich_events(stream), lake, ckpt, partition_col="date", trigger_available_now=True
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(lake)
+    src_count = load_events(spark, sf_small).count()
+    assert out.count() == src_count
+    # Hive-style partition dirs by event date
+    assert any(d.startswith("date=") for d in os.listdir(lake))
+    # restart on same checkpoint: no duplication (exactly-once sink)
+    q2 = write_lake_stream(
+        enrich_events(read_file_stream(spark, os.path.join(sf_small, "events.parquet"))),
+        lake,
+        ckpt,
+        partition_col="date",
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(lake).count() == src_count
+
+
+def test_session_window_equals_batch_gap_sessionization(spark, sf_small):
+    """The streaming operator's gap semantics == the batch lag/cumsum
+    construction, per-session aggregate for aggregate."""
+    ev = load_events(spark, sf_small)
+    batch = session_rollup(sessionize(ev, order_cols=("event_id",))).select(
+        "user_id",
+        "session_start_time",
+        "session_duration_seconds",
+        "number_of_events",
+        "first_event_type",
+        "last_event_type",
+    )
+    sw = session_window_rollup(ev).select(
+        "user_id",
+        "session_start_time",
+        "session_duration_seconds",
+        "number_of_events",
+        "first_event_type",
+        "last_event_type",
+    )
+    assert batch.exceptAll(sw).count() == 0
+    assert sw.exceptAll(batch).count() == 0
+
+
+def test_streaming_rollup_equals_batch(spark, sf_small):
+    stream = read_file_stream(spark, os.path.join(sf_small, "events.parquet"))
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = write_memory_sink(
+        session_window_rollup(stream, watermark="3650 days"), name, output_mode="complete"
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.table(name)
+    batch = session_window_rollup(load_events(spark, sf_small))
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Reference ST3/ST5: a 10-minute watermark drops events that
+    arrive (in a later batch) with event time older than
+    max_seen - 10 min."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 12:00:00")
+
+    def mk(path, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1]).value for r in rows],  # nanos-as-long
+                "user_id": [r[2] for r in rows],
+                "event_type": ["view"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(path)
+
+    # batch 1: user 1 events up to 12:00 → watermark will be 11:50
+    mk(src / "a.parquet", [(1, base - pd.Timedelta("2h"), 1), (2, base, 1)])
+
+    stream = read_file_stream(spark, str(src), max_files_per_trigger=1)
+    rollup = session_window_rollup(stream, watermark="10 minutes")
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        rollup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one event far older than the watermark → dropped;
+        # one fresh event → kept
+        mk(
+            src / "b.parquet",
+            [(3, base - pd.Timedelta("3h"), 2), (4, base + pd.Timedelta("1m"), 3)],
+        )
+        q.processAllAvailable()
+        # batch 3: advance watermark far so all live sessions close/emit
+        mk(src / "c.parquet", [(5, base + pd.Timedelta("2h"), 4)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    users = {r.user_id for r in spark.table(name).collect()}
+    assert 1 in users and 3 in users, f"on-time sessions missing: {users}"
+    assert 2 not in users, "late event beyond watermark was not dropped"
