@@ -22,9 +22,11 @@ def split_category(
 ) -> DataFrame:
     """main/sub category from a dotted code, null-filled with `fill`."""
     parts: Column = F.split(F.col(col), "\\.")
+    # F.get (not getItem): NULL on out-of-bounds under ANSI mode
+    # (codes without a sub-part), then null-fill like the reference.
     return df.withColumns(
         {
-            main_col: F.coalesce(parts.getItem(0), F.lit(fill)),
-            sub_col: F.coalesce(parts.getItem(1), F.lit(fill)),
+            main_col: F.coalesce(F.get(parts, 0), F.lit(fill)),
+            sub_col: F.coalesce(F.get(parts, 1), F.lit(fill)),
         }
     )

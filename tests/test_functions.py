@@ -1,0 +1,80 @@
+"""Unit pins for the scalar-function helpers, including the reference
+bug fixes (SURVEY.md §2.7 F6, §2.4 A8) and sessionization invariants
+(SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.functions import split_category, time_derivations
+from data_engineering_user_session_analysis_spark.operators.rollup_full import session_rollup_full
+from data_engineering_user_session_analysis_spark.operators.sessionize import sessionize
+from data_engineering_user_session_analysis_spark.sources.events import load_events
+
+
+def test_split_category_literal_dot(spark):
+    """Reference bug pin: split on literal '.', not regex any-char
+    (the reference's pattern '.' yields empty strings)."""
+    df = spark.createDataFrame(
+        [("electronics.smartphone",), ("apparel",), (None,)], ["category_code"]
+    )
+    out = {
+        r.category_code: (r.main_category, r.sub_category)
+        for r in split_category(df).collect()
+    }
+    assert out["electronics.smartphone"] == ("electronics", "smartphone")
+    assert out["apparel"] == ("apparel", "unknown")
+    assert out[None] == ("unknown", "unknown")
+
+
+def test_time_derivations(spark):
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 13, 45, 0),)], ["ts"]
+    )
+    row = time_derivations(df).collect()[0]
+    assert row.date == datetime.date(2024, 1, 1)
+    assert row.date_of_week == "Monday"
+    assert row.hour_of_day == 13
+    assert row.extracted_date == datetime.date.today()
+
+
+def test_sessionize_invariants(spark, sf_small):
+    """Sessions partition each user's events; intra-session gaps
+    <= 30 min; inter-session gaps > 30 min."""
+    ev = load_events(spark, sf_small)
+    s = sessionize(ev, order_cols=("event_id",))
+    assert s.count() == ev.count()  # no events lost or duplicated
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = s.withColumns(
+        {
+            "prev_ts": F.lag("ts").over(w),
+            "prev_session": F.lag("session_id").over(w),
+        }
+    ).filter(F.col("prev_ts").isNotNull())
+    gap = F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+    same = flagged.filter(F.col("session_id") == F.col("prev_session"))
+    diff = flagged.filter(F.col("session_id") != F.col("prev_session"))
+    assert same.filter(gap > 1800).count() == 0
+    assert diff.filter(gap <= 1800).count() == 0
+
+
+def test_events_json_roundtrip(spark, sf_small):
+    """events_json is valid JSON, time-ordered, and consistent with
+    number_of_events (property from SURVEY.md §5.4)."""
+    s = sessionize(load_events(spark, sf_small), order_cols=("event_id",))
+    full = session_rollup_full(s)
+    rows = full.limit(50).collect()
+    assert rows
+    for r in rows:
+        events = json.loads(r.events_json)
+        assert len(events) == r.number_of_events
+        ts_list = [e["ts"] for e in events]
+        assert ts_list == sorted(ts_list)
+        assert events[0]["event_id"] == r.first_event_id
+        assert events[-1]["event_id"] == r.last_event_id
