@@ -1,0 +1,224 @@
+"""Deduplication operators for large-corpus pipelines.
+
+Three tiers, ordered by cost/scale trade-off:
+
+* **exact** — hash-groupBy on content digest (`queries/text_queries.py
+  :dedup_exact`): one shuffle on a 16-byte key; the baseline.
+* **n-gram Jaccard (exact near-dup)** — shingle → inverted-index
+  self-join → pair intersection counts.  Exact but quadratic in
+  per-shingle document frequency; the ground truth the approximate
+  tiers are validated against.
+* **MinHash + LSH (approximate near-dup)** — the 100 TB path:
+  signature = min of k hash families over shingles, banded into
+  buckets; only bucket-mates become candidate pairs, then candidates
+  are verified with exact Jaccard.  Cost is linear in corpus size +
+  candidate count, and every stage is a plain shuffle/groupBy —
+  no driver-side state.
+
+SimHash (bit-fingerprint near-dup) lives here too: 32-bit md5-derived
+fingerprints, Hamming-distance pairing — cheap to compare (XOR +
+popcount), cross-engine reproducible (md5, not murmur).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 32
+
+
+def shingle_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (doc, shingle).
+
+    Docs with fewer than n tokens produce no shingles (dropped from
+    near-dup consideration, matching the oracle's `range` semantics).
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def _pair_jaccard(shingles: DataFrame, candidates: DataFrame | None, id_col: str) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing >=1 shingle (optionally
+    restricted to `candidates(doc_a, doc_b)`)."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = shingles.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
+    b = shingles.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    pairs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    if candidates is not None:
+        pairs = pairs.join(F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("intersection"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("na") + F.col("nb") - F.col("intersection")).cast("double"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact near-duplicate pairs with n-gram Jaccard >= threshold."""
+    sh = shingle_docs(docs, text_col, id_col, n)
+    return (
+        _pair_jaccard(sh, None, id_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection", "jaccard")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    num_hashes: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k-minhash signature per doc: one aggregation, k murmur3 hash
+    families (seed mixed in as a hashed literal)."""
+    return shingles.groupBy(id_col).agg(
+        *[
+            F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Approximate near-dup pairs: MinHash signatures → LSH band
+    buckets → candidate pairs → exact-Jaccard verification.
+
+    With 16 bands x 4 rows, a pair at Jaccard 0.9 is caught with
+    probability ~1 - (1 - 0.9^4)^16 ≈ 1 - 4e-8; at 0.5 ≈ 0.65 —
+    tune bands/rows to the target threshold.  The verification step
+    makes the *output* exact for every emitted pair (precision 1.0;
+    recall is the LSH catch probability).
+    """
+    sh = shingle_docs(docs, text_col, id_col, n)
+    sig = minhash_signatures(sh, bands * rows_per_band, id_col)
+    bucket_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.explode(bucket_entries).alias("e")
+    ).select(id_col, "e.band", "e.bucket")
+    left = buckets.select(
+        F.col(id_col).alias("doc_a"), "band", "bucket"
+    )
+    right = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        _pair_jaccard(sh, candidates, id_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection", "jaccard")
+    )
+
+
+def _md5_token_hash(col) -> F.Column:
+    """First 32 bits of md5(token) as a non-negative long —
+    reproducible in any engine (unlike murmur/xxhash)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """32-bit SimHash, term-frequency weighted: bit j of the
+    fingerprint = sign of sum over token *occurrences* of (+1 if bit
+    j of md5-hash(token) else -1).  TF weighting (vs distinct tokens)
+    is what discriminates on small-vocabulary corpora where every doc
+    contains nearly every word."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", _md5_token_hash(F.col("tok")))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fingerprint = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)),
+        range(1, SIMHASH_BITS),
+        F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return bit_sums.select(
+        F.col(id_col), fingerprint.cast("long").alias("fingerprint")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    All-pairs XOR+popcount here (fine to ~10^4 docs); the scale path
+    blocks on fingerprint bytes (4 rotations of 8-bit blocks) so only
+    block-equal pairs are compared — same output, linear candidates.
+    """
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    a = fp.select(F.col(id_col).alias("doc_a"), F.col("fingerprint").alias("fa"))
+    b = fp.select(F.col(id_col).alias("doc_b"), F.col("fingerprint").alias("fb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )

@@ -96,3 +96,53 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "embedding_neardup",
+    """
+WITH n AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (a.nrm * b.nrm) >= 0.4
+""",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4 — the
+    synthetic embeddings have no planted dups; max pair cosine ~0.51,
+    so this emits the extreme tail).
+
+    All-pairs here; the scale path is LSH bucketing (random
+    hyperplane signs) or IVF partitioning, both reducing candidates
+    before this same exact scoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
+    n = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", "cosine")
+    )
