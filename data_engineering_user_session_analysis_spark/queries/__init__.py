@@ -41,3 +41,4 @@ from data_engineering_user_session_analysis_spark.queries import enrichment_quer
 from data_engineering_user_session_analysis_spark.queries import dedup_queries  # noqa: E402,F401
 from data_engineering_user_session_analysis_spark.queries import text_extended_queries  # noqa: E402,F401
 from data_engineering_user_session_analysis_spark.queries import multimodal_queries  # noqa: E402,F401
+from data_engineering_user_session_analysis_spark.queries import relational_queries  # noqa: E402,F401

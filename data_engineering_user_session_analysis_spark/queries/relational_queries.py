@@ -1,0 +1,222 @@
+"""Relational-surface widening: the operator families a user of a
+full analytics engine expects beyond the reference's literal code —
+set operations, pivot, cube/grouping sets, exact percentiles,
+lag/lead analytics, as-of joins, and window frame specs.  Each is a
+Spark built-in composition with an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.queries import register
+from data_engineering_user_session_analysis_spark.sources.events import load_events
+from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "user_segments",
+    """
+(SELECT user_id, strftime(ts, '%Y-%m-%d') AS date
+ FROM events WHERE event_type = 'purchase'
+ INTERSECT
+ SELECT user_id, strftime(ts, '%Y-%m-%d')
+ FROM events WHERE event_type = 'error')
+EXCEPT
+SELECT user_id, strftime(ts, '%Y-%m-%d')
+FROM events WHERE event_type = 'signup'
+""",
+)
+def user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY.md §2.6) at (user, day) grain:
+    user-days with both a purchase and an error but no signup —
+    INTERSECT then EXCEPT (distinct semantics)."""
+    ev = load_events(spark, sf_dir)
+
+    def days(event_type: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == event_type).select(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("date")
+        )
+
+    return days("purchase").intersect(days("error")).exceptAll(
+        days("signup").distinct()
+    )
+
+
+@register(
+    "event_type_pivot",
+    """
+SELECT user_id,
+  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
+""",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts as one column per event type
+    (explicit value list → no extra distinct-discovery job)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+@register(
+    "docs_cube",
+    """
+SELECT lang, source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+  CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS grouping_level
+FROM documents
+GROUP BY CUBE (lang, source)
+""",
+)
+def docs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with grouping id — all four (lang, source)
+    grouping sets in one pass (Spark expands to a single shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.grouping_id().cast("int").alias("grouping_level"),
+    )
+
+
+@register(
+    "value_percentiles",
+    """
+SELECT event_type,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.9) AS p90,
+  quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group.  (The 100 TB variant
+    is approx_percentile — single-pass sketch; exact needs a sort and
+    is the correctness baseline here.)"""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+@register(
+    "event_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT prev_type, event_type,
+  CAST(count(*) AS BIGINT) AS n_transitions,
+  CAST(count(CASE WHEN next_type = 'purchase' THEN 1 END) AS BIGINT)
+    AS n_followed_by_purchase
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics (the primitives gap-sessionization builds
+    on): event-type transition matrix + purchase follow-through."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumns(
+        {
+            "prev_type": F.lag("event_type").over(w),
+            "next_type": F.lead("event_type").over(w),
+        }
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_transitions"),
+        F.count(F.when(F.col("next_type") == "purchase", 1)).alias(
+            "n_followed_by_purchase"
+        ),
+    )
+
+
+@register(
+    "purchase_asof_view",
+    """
+WITH tagged AS (
+  SELECT *,
+    max(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+  FROM events
+)
+SELECT event_id, user_id, ts, last_view_ts,
+  CAST(date_diff('second', last_view_ts, ts) AS BIGINT) AS seconds_since_view
+FROM tagged WHERE event_type = 'purchase'
+""",
+)
+def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a running conditional max (Spark has
+    no native as-of; this windowed form is exact, single-shuffle, and
+    skew-safe — the per-key alternative `pd.merge_asof` via
+    applyInPandas is only worth it for two distinct tables)."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "last_view_ts",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_view_ts",
+        (F.col("ts").cast("long") - F.col("last_view_ts").cast("long")).alias(
+            "seconds_since_view"
+        ),
+    )
+
+
+@register(
+    "customer_running_total",
+    """
+SELECT o_custkey, o_orderkey,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+  CAST(row_number()
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT)
+    AS order_seq
+FROM orders
+""",
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frame (rowsBetween): per-customer running
+    spend — decimal accumulation so partial order never changes the
+    result."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(run)
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )
