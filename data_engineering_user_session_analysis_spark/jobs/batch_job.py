@@ -1,0 +1,105 @@
+"""Daily batch job — the reference's ``spark_batch_job.py`` contract
+(CLI arg = execution date, reference ``dags/kafka_stream.py:92`` →
+``sys.argv[1]``), re-expressed Spark-first:
+
+* **Partition pruning, not path construction**: the reference builds
+  the partition directory string by hand
+  (``spark_jobs/spark_batch_job.py:17``); here the job reads the lake
+  base path and filters ``date = <ds>`` — Catalyst prunes to the same
+  files, with schema stability across days (SURVEY.md §4 row 1).
+* **Cache at the fan-out root**: the reference rescans the day's data
+  for every one of its 5 actions (no ``.cache()``,
+  ``spark_jobs/spark_batch_job.py:27-164``); here the day's events are
+  cached once and all downstream aggregates share the scan.
+* **Serving sink**: parquet directories stand in for the reference's
+  Postgres tables (same ``overwrite`` semantics); `jdbc_url` switches
+  to real JDBC when a database is reachable.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.operators.rollup_full import session_rollup_full
+from data_engineering_user_session_analysis_spark.operators.sessionize import session_rollup, sessionize
+from data_engineering_user_session_analysis_spark.sources.events import load_events
+
+
+def build_lake(spark: SparkSession, sf_dir: str, lake_path: str) -> None:
+    """Materialize the events lake, Hive-partitioned by event date
+    (the streaming job's sink layout, reference S4/ST7 — batch twin
+    for tests/backfill)."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("date").parquet(lake_path)
+
+
+def run_daily_job(
+    spark: SparkSession,
+    lake_path: str,
+    ds: str,
+    out_dir: str,
+    jdbc_url: str | None = None,
+    jdbc_properties: dict[str, str] | None = None,
+) -> dict[str, DataFrame]:
+    """Compute and persist the day's serving tables.
+
+    Returns the result DataFrames keyed by table name (also written
+    to ``out_dir`` as parquet, or to JDBC when ``jdbc_url`` given).
+    """
+    day = (
+        spark.read.parquet(lake_path)
+        .filter(F.col("date") == ds)  # -> PartitionFilters, file pruning
+        .cache()
+    )
+
+    sessionized = sessionize(day, order_cols=("event_id",))
+    session_level = session_rollup(sessionized)
+    session_full = session_rollup_full(sessionized)
+
+    purchase = F.col("event_type") == "purchase"
+    user_level = day.groupBy("user_id").agg(
+        F.sum(F.when(purchase, 1).otherwise(0)).alias("total_purchases"),
+        F.sum(F.when(purchase, F.col("value").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("total_spent"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )
+
+    results = {
+        "session_level": session_level,
+        "session_full": session_full,
+        "user_level": user_level,
+    }
+    for name, df in results.items():
+        if jdbc_url is not None:
+            df.write.jdbc(
+                url=jdbc_url,
+                table=name,
+                mode="overwrite",
+                properties=jdbc_properties or {},
+            )
+        else:
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+    day.unpersist()
+    return results
+
+
+def main(argv: list[str]) -> None:
+    """CLI contract of the reference batch job: ``job <ds>``."""
+    from data_engineering_user_session_analysis_spark import get_spark
+
+    ds = argv[1]
+    lake = argv[2] if len(argv) > 2 else os.environ.get("LAKE_PATH", "/tmp/events_lake")
+    out = argv[3] if len(argv) > 3 else os.environ.get("SERVING_PATH", "/tmp/serving")
+    run_daily_job(get_spark("daily_batch_job"), lake, ds, out)
+
+
+if __name__ == "__main__":
+    main(sys.argv)

@@ -63,7 +63,15 @@ def decode_json_messages(raw: DataFrame) -> DataFrame:
     CAST(value AS STRING) → from_json(explicit schema) → flatten."""
     return (
         raw.selectExpr("CAST(value AS STRING) AS json_value")
-        .select(F.from_json("json_value", EVENT_MESSAGE_SCHEMA).alias("data"))
+        .select(
+            F.from_json(
+                "json_value",
+                EVENT_MESSAGE_SCHEMA,
+                # mirror the producer's microsecond timestampFormat
+                # (reference pins a parse hazard here — SURVEY.md §1.2a)
+                {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+            ).alias("data")
+        )
         .select("data.*")
     )
 

@@ -1,0 +1,59 @@
+"""End-to-end daily batch job: lake build → partition-pruned day read
+→ cached fan-out → serving outputs (SURVEY.md §3.2 lifecycle)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.jobs.batch_job import build_lake, run_daily_job
+from data_engineering_user_session_analysis_spark.sources.events import load_events
+
+
+def test_daily_job_end_to_end(spark, sf_small, tmp_path):
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "serving")
+    build_lake(spark, sf_small, lake)
+
+    # pick a mid-range day with data
+    ds = (
+        load_events(spark, sf_small)
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .groupBy("d")
+        .count()
+        .orderBy(F.col("count").desc())
+        .first()
+        .d
+    )
+    results = run_daily_job(spark, lake, ds, out)
+
+    # outputs exist and are non-empty
+    for name in ("session_level", "session_full", "user_level"):
+        written = spark.read.parquet(os.path.join(out, name))
+        assert written.count() > 0, name
+
+    # user_level totals agree with a direct computation on that day
+    direct = (
+        load_events(spark, sf_small)
+        .filter(F.date_format("ts", "yyyy-MM-dd") == ds)
+        .groupBy("user_id")
+        .count()
+    )
+    job_counts = results["user_level"].select("user_id", "n_events")
+    joined = direct.join(job_counts, "user_id")
+    assert joined.filter(F.col("count") != F.col("n_events")).count() == 0
+    assert direct.count() == job_counts.count()
+
+
+def test_day_read_prunes_partitions(spark, sf_small, tmp_path):
+    """The date filter must reach the scan as a partition filter —
+    at 100 TB this is the difference between reading one day and the
+    whole lake."""
+    lake = str(tmp_path / "lake")
+    build_lake(spark, sf_small, lake)
+    ds = "2024-01-05"
+    day = spark.read.parquet(lake).filter(F.col("date") == ds)
+    plan = day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert ds in plan
