@@ -85,7 +85,9 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact near-duplicate pairs with n-gram Jaccard >= threshold."""
-    sh = shingle_docs(docs, text_col, id_col, n)
+    # shingles feed the pair join twice (both sides) + the size agg:
+    # cache once instead of re-shingling per branch.
+    sh = shingle_docs(docs, text_col, id_col, n).cache()
     return (
         _pair_jaccard(sh, None, id_col)
         .filter(F.col("jaccard") >= threshold)
@@ -126,7 +128,8 @@ def minhash_lsh_pairs(
     makes the *output* exact for every emitted pair (precision 1.0;
     recall is the LSH catch probability).
     """
-    sh = shingle_docs(docs, text_col, id_col, n)
+    # shingles feed signatures + both verify-join sides + sizes.
+    sh = shingle_docs(docs, text_col, id_col, n).cache()
     sig = minhash_signatures(sh, bands * rows_per_band, id_col)
     bucket_entries = F.array(
         *[

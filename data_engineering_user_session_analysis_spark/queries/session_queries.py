@@ -124,8 +124,16 @@ def user_level_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(purchase, F.col("ts"))).alias("last_purchase_ts"),
         F.countDistinct("session_id").alias("n_sessions"),
         F.count("*").alias("n_events"),
+        F.max("ts").alias("last_event_ts"),
     )
-    maxd = s.agg(F.max(F.to_date("ts")).alias("global_max_date"))
+    # Global max date derived from the per-user aggregate (rows =
+    # n_users), NOT a second scan of the events table: max over users
+    # of max-per-user == global max.  agg feeds two branches (the
+    # 1-row reduce and the probe side), so cache it — the reference's
+    # missing-cache fan-out bug, fixed (SURVEY.md §4 caching row).
+    agg = agg.cache()
+    maxd = agg.agg(F.max(F.to_date("last_event_ts")).alias("global_max_date"))
+    agg = agg.drop("last_event_ts")
     return (
         agg.crossJoin(F.broadcast(maxd))
         .withColumn(
