@@ -146,3 +146,123 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.4)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+@register(
+    "ann_ivf_topk",
+    """
+WITH seeds AS (
+  SELECT vec_id AS sid, embedding AS se FROM embeddings WHERE vec_id % 101 = 0
+), assign_scored AS (
+  SELECT e.vec_id, s.sid,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY list_sum(list_transform(list_zip(e.embedding, s.se),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) DESC,
+               s.sid ASC) AS rn
+  FROM embeddings e, seeds s
+), cells AS (
+  SELECT vec_id, sid AS cell FROM assign_scored WHERE rn = 1
+), anchors AS (
+  SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell
+  FROM embeddings e JOIN cells c ON e.vec_id = c.vec_id
+  WHERE e.vec_id % 50 = 0
+), scored AS (
+  SELECT a.q_id, e.vec_id AS neighbor_id,
+    row_number() OVER (
+      PARTITION BY a.q_id
+      ORDER BY list_sum(list_transform(list_zip(a.q_emb, e.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) DESC,
+               e.vec_id ASC) AS rank
+  FROM anchors a
+  JOIN cells c ON c.cell = a.cell
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  WHERE e.vec_id <> a.q_id
+)
+SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 3
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate nearest neighbors — the scale path
+    for similarity search.
+
+    Deterministic construction (so the oracle can replay it): coarse
+    centroids = every 101st vector; every vector is assigned to its
+    max-dot centroid (tie-break by centroid id); each anchor searches
+    only its own cell, exact top-3 by dot.
+
+    Scale shape: centroids broadcast (K vectors), assignment is one
+    map-side pass + a top-1 window per vector; the search join is
+    cell-equi (shuffle on cell id, cells ~N/K vectors) instead of a
+    full cross join — candidates drop from N to N/K per query.
+    Recall vs brute force is the probe tradeoff; nprobe>1 extends
+    the same plan with the top-p cells per anchor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
+    )
+    scored_assign = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "sid",
+            dot_double(F.col("embedding"), F.col("se")).alias("dot"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("sid").asc()
+    )
+    cells = (
+        scored_assign.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("sid").alias("cell"))
+    )
+    anchors = (
+        emb.join(cells, "vec_id")
+        .filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            "cell",
+        )
+    )
+    members = emb.join(cells, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        "cell",
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(anchors)
+        .join(members, "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            dot_double(F.col("q_emb"), F.col("n_emb")).alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register("approx_event_stats")  # no oracle: sketch outputs are engine-specific
+def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based statistics — the 100 TB variants of countDistinct
+    and percentile (single-pass, mergeable, bounded memory).  HLL++ /
+    KLL outputs are implementation-specific, so the driver records a
+    rows-only check; exactness is covered by the exact twins
+    (funnel, value_percentiles)."""
+    from data_engineering_user_session_analysis_spark.sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+        F.percentile_approx("value", 0.99).alias("approx_p99"),
+        F.count("*").alias("n_events"),
+    )
