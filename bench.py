@@ -29,6 +29,12 @@ HEADLINE = [
     "doc_token_stats",
     "dedup_exact",
     "knn_brute_force",
+    "ann_ivf_topk",
+    "dedup_minhash_lsh",
+    "simhash_near_pairs",
+    "media_features",
+    "lang_id",
+    "streaming_session_rollup",
 ]
 
 

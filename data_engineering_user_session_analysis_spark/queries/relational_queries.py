@@ -220,3 +220,32 @@ def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("running_total"),
         F.row_number().over(w).cast("int").alias("order_seq"),
     )
+
+
+@register(
+    "salted_user_totals",
+    """
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-user totals via salted two-phase aggregation
+    (operators/skew.py) — the hot-key fallback for Zipf-skewed users.
+    The oracle is the direct GROUP BY: salting must be invisible in
+    the result."""
+    from data_engineering_user_session_analysis_spark.operators.skew import salted_agg
+
+    ev = load_events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n_events": ("count", "event_id"),
+            "total_value": ("sum", F.col("value").cast("decimal(18,2)")),
+        },
+        buckets=16,
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
