@@ -47,6 +47,16 @@ def read_kafka_stream(
     tolerate data loss, backpressure cap.  Requires the Kafka
     connector jars on the classpath (not present in the test
     container — exercised via the file-source twin in tests)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception as exc:
+        raise RuntimeError(
+            "Kafka connector (spark-sql-kafka-0-10) not on the classpath; "
+            "add the package via spark.jars.packages or use "
+            "read_file_stream as the source twin"
+        ) from exc
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -1,0 +1,29 @@
+"""DDL side channel: schema-derived serving DDL (reference S9)."""
+
+from __future__ import annotations
+
+from data_engineering_user_session_analysis_spark.operators.rollup_full import session_rollup_full
+from data_engineering_user_session_analysis_spark.operators.sessionize import sessionize
+from data_engineering_user_session_analysis_spark.sources.events import load_events
+from data_engineering_user_session_analysis_spark.sources.serving_ddl import apply_ddl, ddl_for_schema
+
+
+def test_ddl_from_session_rollup_schema(spark, sf_small):
+    full = session_rollup_full(
+        sessionize(load_events(spark, sf_small), order_cols=("event_id",))
+    )
+    ddl = ddl_for_schema(
+        "user_session", full.schema, primary_key="session_id", drop_first=True
+    )
+    assert "DROP TABLE IF EXISTS user_session;" in ddl
+    assert "session_id TEXT NOT NULL PRIMARY KEY" in ddl
+    assert "session_start_time TIMESTAMPTZ" in ddl
+    assert "session_duration_seconds BIGINT" in ddl
+    assert "session_duration_minutes DOUBLE PRECISION" in ddl
+    assert "number_of_events BIGINT" in ddl
+    assert "events_json TEXT" in ddl
+
+
+def test_apply_ddl_gated_without_driver():
+    # psycopg2 absent in this container: must return False, not raise
+    assert apply_ddl("dbname=x", "SELECT 1") is False
