@@ -42,3 +42,4 @@ from data_engineering_user_session_analysis_spark.queries import dedup_queries  
 from data_engineering_user_session_analysis_spark.queries import text_extended_queries  # noqa: E402,F401
 from data_engineering_user_session_analysis_spark.queries import multimodal_queries  # noqa: E402,F401
 from data_engineering_user_session_analysis_spark.queries import relational_queries  # noqa: E402,F401
+from data_engineering_user_session_analysis_spark.queries import function_queries  # noqa: E402,F401
