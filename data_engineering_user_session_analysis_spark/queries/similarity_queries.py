@@ -266,3 +266,32 @@ def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.99).alias("approx_p99"),
         F.count("*").alias("n_events"),
     )
+
+
+@register("label_centroids")  # rows-only: float mean is summation-order-dependent
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors: posexplode -> per-(label, dim)
+    mean -> re-assemble ordered array.  Registered without an oracle:
+    a distributed float mean has no summation-order guarantee, so no
+    cross-engine hash can be exact (counts/dims are checked by the
+    rows-only gate; the math is pinned by test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("mean_x"), F.count("*").alias("n"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_x"))
+            ).alias("dims"),
+            F.max("n").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            F.transform(F.col("dims"), lambda s: s["mean_x"]).alias("centroid"),
+            "n_vectors",
+        )
+    )

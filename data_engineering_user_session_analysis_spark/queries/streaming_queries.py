@@ -68,3 +68,57 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value": F.col("session_value").cast("double"),
         }
     )
+
+
+@register(
+    "streaming_hourly_counts",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation (F.window, 1h) driven to
+    completion — the canonical watermarked windowed count.  Oracle:
+    the equivalent batch GROUP BY on the truncated hour."""
+    stream = read_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = (
+        stream.withWatermark("ts", "3650 days")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = write_memory_sink(agg, name, output_mode="complete")
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "distinct_user_event_pairs",
+    """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates — batch twin of streaming deduplication (the
+    streaming variant with watermark state is pinned in
+    tests/test_streaming.py)."""
+    from data_engineering_user_session_analysis_spark.sources.events import load_events
+
+    return load_events(spark, sf_dir).dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )

@@ -22,3 +22,24 @@ def test_ann_recall_vs_brute_force(spark, sf_small):
     # nprobe=1 over random (clusterless) embeddings: measured ~0.5
     # at sf0.01; the floor guards against the cell search degenerating.
     assert recall >= 0.3, f"ANN recall@3 collapsed: {recall:.3f}"
+
+
+def test_label_centroids_math(spark, sf_small):
+    """Centroid of each label == numpy mean of that label's vectors."""
+    import numpy as np
+
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype="float64"))
+    got = {
+        r.label: (np.array(r.centroid), r.n_vectors)
+        for r in QUERIES["label_centroids"](spark, sf_small).collect()
+    }
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        centroid, n = got[label]
+        assert n == len(vecs)
+        assert np.allclose(centroid, np.mean(vecs, axis=0), atol=1e-9)

@@ -140,3 +140,43 @@ def test_watermark_drops_late_events(spark, tmp_path):
     users = {r.user_id for r in spark.table(name).collect()}
     assert 1 in users and 3 in users, f"on-time sessions missing: {users}"
     assert 2 not in users, "late event beyond watermark was not dropped"
+
+
+def test_streaming_drop_duplicates(spark, tmp_path):
+    """Streaming deduplication: the same event_id arriving again in a
+    later micro-batch is suppressed (state-backed dropDuplicates)."""
+    import pandas as pd
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+
+    def mk(path, ids):
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": [pd.Timestamp("2024-01-01 12:00:00").value] * len(ids),
+                "user_id": [1] * len(ids),
+                "event_type": ["view"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        ).to_parquet(path)
+
+    mk(src / "a.parquet", [1, 2, 3])
+    stream = read_file_stream(spark, str(src), max_files_per_trigger=1)
+    deduped = stream.dropDuplicates(["event_id"])
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mk(src / "b.parquet", [2, 3, 4])  # 2,3 are replays
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r.event_id for r in spark.table(name).collect())
+    assert ids == [1, 2, 3, 4], ids
