@@ -1,0 +1,62 @@
+"""Plan-shape pins: the physical-plan properties that make these
+queries scale.  A regression here (lost pushdown, extra shuffle,
+missed broadcast) is a 100 TB incident even when results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_user_session_analysis_spark.queries import QUERIES
+
+
+def _plan(spark, sf, name: str) -> str:
+    return QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_small):
+    plan = _plan(spark, sf_small, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan" in plan
+    # column pruning: only the 7 needed columns in ReadSchema
+    assert "l_comment" not in plan
+
+
+def test_q1_partial_aggregation(spark, sf_small):
+    plan = _plan(spark, sf_small, "q1_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_session_rollup_single_shuffle(spark, sf_small):
+    """Window partitioning (user_id) must be reused by the rollup
+    groupBy (user_id, session_id) — one exchange total."""
+    plan = _plan(spark, sf_small, "session_rollup")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dim_joins_broadcast(spark, sf_small):
+    plan = _plan(spark, sf_small, "nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # all three dims
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_broadcasts_anchors(spark, sf_small):
+    plan = _plan(spark, sf_small, "knn_brute_force")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_top_k_uses_take_ordered(spark, sf_small):
+    plan = _plan(spark, sf_small, "top_customers")
+    assert "TakeOrderedAndProject" in plan  # not a global sort
+
+
+def test_top1_per_group_uses_window_group_limit(spark, sf_small):
+    plan = _plan(spark, sf_small, "supplier_part_share")
+    assert "WindowGroupLimit" in plan  # rank<=1 pushed into the sort
+
+
+@pytest.mark.parametrize(
+    "name", ["doc_quality_scores", "event_enrichment", "media_features"]
+)
+def test_projections_have_no_shuffle(spark, sf_small, name):
+    plan = _plan(spark, sf_small, name)
+    assert "Exchange hashpartitioning" not in plan, f"{name} shuffles"
