@@ -217,3 +217,31 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long") % 10
     return docs.filter(bucket == 0).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "regexp_functions",
+    """
+SELECT doc_id,
+  CAST(regexp_matches(text, 'spark\\s+\\w+') AS BOOLEAN) AS has_spark_bigram,
+  regexp_extract(text, 'spark\\s+(\\w+)', 1) AS word_after_spark,
+  length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_no_vowels,
+  CAST(len(regexp_extract_all(text, '\\bdata\\b')) AS INT) AS data_mentions
+FROM documents
+""",
+)
+def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family: match test, group extraction, global replace,
+    extract-all counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").rlike("spark\\s+\\w+").alias("has_spark_bigram"),
+        F.regexp_extract("text", "spark\\s+(\\w+)", 1).alias("word_after_spark"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("int").alias(
+            "len_no_vowels"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("\\bdata\\b"), 0))
+        .cast("int")
+        .alias("data_mentions"),
+    )

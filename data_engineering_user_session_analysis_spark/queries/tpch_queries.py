@@ -222,3 +222,111 @@ def supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("top_partkey"),
         F.col("qty").alias("top_part_qty"),
     )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+SELECT l_orderkey,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: the fact-fact join (lineitem ⋈ orders on
+    orderkey) the broadcast-dim queries don't exercise — at scale
+    this is the sort-merge/shuffle-hash join with AQE skew handling;
+    filters push into both scans before the join."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    disc = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+    )
+
+
+@register(
+    "order_fulfillment_full_outer",
+    """
+WITH order_days AS (
+  SELECT o_custkey AS custkey, strftime(o_orderdate, '%Y-%m') AS month,
+    CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey, strftime(o_orderdate, '%Y-%m')
+), ship_days AS (
+  SELECT o_custkey AS custkey, strftime(l_shipdate, '%Y-%m') AS month,
+    CAST(count(*) AS BIGINT) AS n_shipments
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, strftime(l_shipdate, '%Y-%m')
+)
+SELECT coalesce(o.custkey, s.custkey) AS custkey,
+  coalesce(o.month, s.month) AS month,
+  coalesce(o.n_orders, 0) AS n_orders,
+  coalesce(s.n_shipments, 0) AS n_shipments
+FROM order_days o
+FULL OUTER JOIN ship_days s ON o.custkey = s.custkey AND o.month = s.month
+""",
+)
+def order_fulfillment_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: months where a customer ordered, shipped,
+    or both — the join kind that cannot broadcast (both sides
+    preserved) and always shuffles both inputs on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    order_days = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(F.count("*").alias("n_orders"))
+    ship_days = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        )
+        .agg(F.count("*").alias("n_shipments"))
+    )
+    o, s = order_days.alias("o"), ship_days.alias("s")
+    return (
+        o.join(
+            s,
+            (F.col("o.custkey") == F.col("s.custkey"))
+            & (F.col("o.month") == F.col("s.month")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("o.custkey"), F.col("s.custkey")).alias("custkey"),
+            F.coalesce(F.col("o.month"), F.col("s.month")).alias("month"),
+            F.coalesce(F.col("o.n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("s.n_shipments"), F.lit(0)).alias("n_shipments"),
+        )
+    )

@@ -108,3 +108,25 @@ def foreach_batch_jdbc(
         .outputMode("update")
         .start()
     )
+
+
+def foreach_batch_upsert_parquet(out_dir: str, partition_col: str = "date"):
+    """Idempotent micro-batch sink without a database: dynamic
+    partition overwrite — each batch replaces exactly the partitions
+    it touches, so replaying a batch (checkpoint recovery, reference
+    S6 semantics done right) converges instead of duplicating.  This
+    is the parquet stand-in for a JDBC MERGE/upsert."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.sparkSession.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+        )
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(out_dir)
+        )
+
+    return _write

@@ -232,3 +232,25 @@ def test_apply_in_pandas_with_state(spark, tmp_path):
         [(r.n_events, r.total_value) for r in rows if r.user_id == 1]
     )
     assert user1 == [(2, 3.0), (3, 7.0)], user1
+
+
+def test_foreach_batch_upsert_idempotent(spark, sf_small, tmp_path):
+    """Replaying the same micro-batch through the upsert sink leaves
+    the output unchanged (dynamic partition overwrite == MERGE)."""
+    from data_engineering_user_session_analysis_spark.streaming.session_stream import (
+        foreach_batch_upsert_parquet,
+    )
+
+    out = str(tmp_path / "upsert")
+    batch = enrich_events(load_events(spark, sf_small)).withColumn(
+        "date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write = foreach_batch_upsert_parquet(out)
+    write(batch, 0)
+    first = spark.read.parquet(out).count()
+    write(batch, 0)  # replay of the same epoch
+    assert spark.read.parquet(out).count() == first
+    # a new batch touching one partition replaces only that partition
+    one_day = batch.filter(F.col("date") == batch.select("date").first().date)
+    write(one_day, 1)
+    assert spark.read.parquet(out).count() == first
