@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_engineering_user_session_analysis_spark.operators.sessionize import epoch_seconds
+
 
 def session_rollup_full(
     df: DataFrame,
@@ -40,7 +42,7 @@ def session_rollup_full(
     """
     order = F.struct(F.col(ts_col), F.col(id_col))
     start, end = F.min(ts_col), F.max(ts_col)
-    dur_sec = end.cast("long") - start.cast("long")
+    dur_sec = epoch_seconds(end) - epoch_seconds(start)
     sorted_events = F.array_sort(
         F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(event_type_col)))
     )

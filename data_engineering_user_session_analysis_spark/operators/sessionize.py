@@ -31,6 +31,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def epoch_seconds(col: Column | str) -> Column:
+    """Truncated epoch seconds for TIMESTAMP *and* TIMESTAMP_NTZ
+    inputs (NTZ cannot cast to BIGINT directly; casting through
+    TIMESTAMP is the identity under the engine's UTC session tz)."""
+    return F.col(col).cast("timestamp").cast("long") if isinstance(col, str) else col.cast("timestamp").cast("long")
+
+
 def sessionize(
     df: DataFrame,
     user_col: str = "user_id",
@@ -56,7 +63,7 @@ def sessionize(
     order = [F.col(ts_col).asc(), *(F.col(c).asc() for c in order_cols)]
     w = Window.partitionBy(user_col).orderBy(*order)
     prev_ts = F.lag(ts_col).over(w)
-    gap = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    gap = epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts)
     is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
     running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -102,7 +109,7 @@ def session_rollup(
     return df.groupBy(user_col, session_col).agg(
         start.alias("session_start_time"),
         end.alias("session_end_time"),
-        (end.cast("long") - start.cast("long")).alias("session_duration_seconds"),
+        (epoch_seconds(end) - epoch_seconds(start)).alias("session_duration_seconds"),
         F.count("*").alias("number_of_events"),
         F.countDistinct(event_type_col).alias("distinct_event_types"),
         F.max(F.when(F.col(event_type_col) == purchase_value, 1).otherwise(0)).alias(

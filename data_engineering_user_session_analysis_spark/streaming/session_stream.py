@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from data_engineering_user_session_analysis_spark.operators.sessionize import epoch_seconds
+
 
 def session_window_rollup(
     events: DataFrame,
@@ -45,7 +47,7 @@ def session_window_rollup(
     return df.groupBy(F.col(user_col), win).agg(
         F.min(ts_col).alias("session_start_time"),
         F.max(ts_col).alias("session_end_time"),
-        (F.max(ts_col).cast("long") - F.min(ts_col).cast("long")).alias(
+        (epoch_seconds(F.max(ts_col)) - epoch_seconds(F.min(ts_col))).alias(
             "session_duration_seconds"
         ),
         F.count("*").alias("number_of_events"),
