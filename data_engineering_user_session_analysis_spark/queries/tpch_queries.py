@@ -330,3 +330,114 @@ def order_fulfillment_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("s.n_shipments"), F.lit(0)).alias("n_shipments"),
         )
     )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+SELECT n_name AS nation,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a compound join condition
+    (customer and supplier in the same nation) — the deepest join
+    tree in the surface; dims broadcast, facts shuffle on orderkey."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1996-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    disc = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(disc).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.02 AND 0.06
+  AND l_quantity < 10
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — every
+    predicate pushes to the scan; no shuffle except the final 2-stage
+    reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(12,2)"
+    filtered = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").cast(dec).between(0.02, 0.06))
+        & (F.col("l_quantity") < 10)
+    )
+    return filtered.agg(
+        F.sum(F.col("l_extendedprice").cast(dec) * F.col("l_discount").cast(dec))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    """
+SELECT l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus
+""",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join with an inequality residual condition +
+    conditional count-if aggregation by IN-list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_lines"),
+    )
