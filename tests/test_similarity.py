@@ -19,9 +19,9 @@ def test_ann_recall_vs_brute_force(spark, sf_small):
     }
     assert true3, "brute-force baseline empty"
     recall = len(true3 & ann3) / len(true3)
-    # nprobe=1 over random (clusterless) embeddings: measured ~0.5
+    # nprobe=2 over random (clusterless) embeddings: measured ~0.7
     # at sf0.01; the floor guards against the cell search degenerating.
-    assert recall >= 0.3, f"ANN recall@3 collapsed: {recall:.3f}"
+    assert recall >= 0.45, f"ANN recall@3 collapsed: {recall:.3f}"
 
 
 def test_label_centroids_math(spark, sf_small):
