@@ -245,3 +245,105 @@ def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("data_mentions"),
     )
+
+
+@register(
+    "ranking_functions",
+    """
+SELECT event_id, user_id,
+  CAST(rank()         OVER w AS INT) AS rnk,
+  CAST(dense_rank()   OVER w AS INT) AS drnk,
+  CAST(ntile(4)       OVER w AS INT) AS quartile,
+  percent_rank()      OVER w AS pct_rank,
+  cume_dist()         OVER w AS cume
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+""",
+)
+def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family: rank, dense_rank, ntile,
+    percent_rank, cume_dist (deterministic tie-break on event_id)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "props_map_stats",
+    """
+SELECT k_key,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(k_value) AS BIGINT) AS sum_value,
+  CAST(min(k_value) AS BIGINT) AS min_value,
+  CAST(max(k_value) AS BIGINT) AS max_value
+FROM (
+  SELECT k AS k_key, CAST(props ->> k AS BIGINT) AS k_value
+  FROM events, unnest(json_keys(props)) AS t(k)
+)
+GROUP BY k_key
+""",
+)
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON payload as map<string,long>,
+    explode entries, aggregate per key — the schema-on-read path for
+    open-ended event properties (vs the fixed-struct decode of
+    props_extract)."""
+    from pyspark.sql import types as T
+
+    ev = load_events(spark, sf_dir)
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return (
+        ev.select(F.explode(m).alias("k_key", "k_value"))
+        .groupBy("k_key")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k_value").alias("sum_value"),
+            F.min("k_value").alias("min_value"),
+            F.max("k_value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "sql_surface_region_revenue",
+    """
+SELECT r_name AS region,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def sql_surface_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface: identical query expressed as
+    ``spark.sql`` over registered temp views — Catalyst produces the
+    same plan as the DataFrame composition, proving both layers of
+    the engine's API."""
+    from data_engineering_user_session_analysis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name AS region,
+          count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )

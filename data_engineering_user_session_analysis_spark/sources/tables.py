@@ -35,12 +35,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every table as a temp view (for the SQL surface)."""
+    """Register every table as a temp view (for the SQL surface).
+
+    Events go through ``load_events`` (nanos-timestamp normalization
+    + UTC session conf) — registering the raw file would fail on a
+    fresh session before any loader has set the legacy-nanos conf."""
+    from data_engineering_user_session_analysis_spark.sources.events import load_events
+
     out = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = (
+                load_events(spark, sf_dir)
+                if name == "events"
+                else spark.read.parquet(path)
+            )
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
