@@ -11,6 +11,7 @@ extension operators.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -28,6 +29,10 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
+    # keep catalog artifacts (bucketed tables) out of the repo/cwd
+    "spark.sql.warehouse.dir": os.path.join(
+        tempfile.gettempdir(), "data_engineering_user_session_analysis_spark_warehouse"
+    ),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     # Streaming state store: RocksDB scales to 100T-row session state
     # where the default HDFS-backed store (reference checkpoint conf)
