@@ -43,3 +43,25 @@ def test_label_centroids_math(spark, sf_small):
         centroid, n = got[label]
         assert n == len(vecs)
         assert np.allclose(centroid, np.mean(vecs, axis=0), atol=1e-9)
+
+
+def test_vector_lsh_recall_and_precision(spark, sf_small):
+    """Hyperplane-LSH near-dup pairs: subset of (precision 1.0 vs)
+    the all-pairs exact method, with usable recall at this weak
+    threshold (cos>=0.4 pairs sit near 66°, the hard LSH regime)."""
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import lsh_similarity_pairs
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["embedding_neardup"](spark, sf_small).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_similarity_pairs(emb, threshold=0.4).collect()
+    }
+    assert lsh <= exact, "LSH emitted a pair the exact method rejects"
+    assert exact, "no exact pairs to measure against"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall:.3f}"
