@@ -330,3 +330,43 @@ def session_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             - epoch_seconds(F.col("first_view_ts"))
         ).alias("seconds_to_convert"),
     )
+
+
+@register(
+    "cohort_retention",
+    """
+WITH firsts AS (
+  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS cohort_date
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS active_date
+  FROM events
+)
+SELECT f.cohort_date,
+  CAST(date_diff('day', CAST(f.cohort_date AS DATE), CAST(a.active_date AS DATE)) AS INT)
+    AS day_offset,
+  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_users
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY f.cohort_date, day_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen date,
+    counted on each subsequent active day — the standard product
+    analytics rollup (first-touch attribution + distinct activity).
+    Two aggregations + one equi-join on user_id; the firsts side is
+    per-user (small) and broadcasts."""
+    ev = load_events(spark, sf_dir)
+    day = F.date_format("ts", "yyyy-MM-dd")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_date"))
+    activity = ev.select("user_id", day.alias("active_date")).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.to_date("active_date"), F.to_date("cohort_date"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
