@@ -254,3 +254,65 @@ def test_foreach_batch_upsert_idempotent(spark, sf_small, tmp_path):
     one_day = batch.filter(F.col("date") == batch.select("date").first().date)
     write(one_day, 1)
     assert spark.read.parquet(out).count() == first
+
+
+def test_stateful_restart_recovers_session_state(spark, tmp_path):
+    """Reference ST6 for the STATEFUL operator: a session open at
+    shutdown must merge with events arriving after a checkpoint
+    restart (state store recovery, not just sink idempotence)."""
+    import pandas as pd
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "restart_ckpt")
+    base = pd.Timestamp("2024-01-01 12:00:00")
+
+    def mk(path, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1]).value for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": ["view"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(path)
+
+    out_dir = str(tmp_path / "restart_out")
+
+    def start_query():
+        # memory sink cannot recover from a checkpoint; the parquet
+        # sink is the fault-tolerant path (same as the lake sink)
+        stream = read_file_stream(spark, str(src), max_files_per_trigger=1)
+        rollup = session_window_rollup(stream, watermark="10 minutes")
+        return (
+            rollup.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # run 1: two events 10 min apart -> one open session, then stop
+    mk(src / "a.parquet", [(1, base, 1), (2, base + pd.Timedelta("10m"), 1)])
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+
+    # run 2 (same checkpoint): an event 10 min later extends the SAME
+    # session; a far-future event closes it
+    mk(src / "b.parquet", [(3, base + pd.Timedelta("20m"), 1)])
+    mk(src / "c.parquet", [(4, base + pd.Timedelta("6h"), 2)])
+    q2 = start_query()
+    q2.processAllAvailable()
+    q2.stop()
+
+    sessions = [
+        (r.number_of_events, r.session_duration_seconds)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id == 1
+    ]
+    # all three events in ONE session spanning 20 minutes — proof the
+    # restarted query recovered the open session from the state store
+    assert sessions == [(3, 1200)], sessions
