@@ -347,3 +347,39 @@ def sql_surface_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r_name
         """
     )
+
+
+@register(
+    "null_handling_functions",
+    """
+SELECT event_id,
+  nullif(event_type, 'error') AS type_or_null,
+  coalesce(nullif(event_type, 'error'), 'suppressed') AS type_filled,
+  CAST(greatest(CAST(value AS DECIMAL(18,2)), CAST(props->>'k' AS DECIMAL(18,2))) AS DOUBLE) AS max_metric,
+  CAST(least(CAST(value AS DECIMAL(18,2)), CAST(props->>'k' AS DECIMAL(18,2))) AS DOUBLE) AS min_metric,
+  CAST(value IS NOT NULL AND event_type IS NOT NULL AS BOOLEAN) AS is_complete
+FROM events
+""",
+)
+def null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: nullif, coalesce, greatest/least (exact
+    decimal comparison domain — double promotion differs across
+    engines), boolean completeness flag."""
+    from pyspark.sql import types as T
+
+    ev = load_events(spark, sf_dir)
+    k = F.from_json("props", T.MapType(T.StringType(), T.StringType()))["k"].cast(
+        "decimal(18,2)"
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    type_or_null = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(
+        "event_id",
+        type_or_null.alias("type_or_null"),
+        F.coalesce(type_or_null, F.lit("suppressed")).alias("type_filled"),
+        F.greatest(v, k).cast("double").alias("max_metric"),
+        F.least(v, k).cast("double").alias("min_metric"),
+        (F.col("value").isNotNull() & F.col("event_type").isNotNull()).alias(
+            "is_complete"
+        ),
+    )
