@@ -35,11 +35,23 @@ def shingle_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Distinct word n-gram shingles, one row per (doc, shingle).
 
     Docs with fewer than n tokens produce no shingles (dropped from
     near-dup consideration, matching the oracle's `range` semantics).
+
+    ``max_shingle_df`` is the stop-shingle ceiling: shingles whose
+    document frequency exceeds it are dropped from the representation
+    (sizes AND intersections, so Jaccard stays internally consistent).
+    The inverted-index pair join is quadratic in per-shingle DF — one
+    boilerplate shingle shared by 10^6 docs at 100 TB would emit 10^12
+    candidate pairs; the ceiling bounds that to DF² ≤ cap².  Recall
+    impact (standard stop-shingle trade): a pair whose ONLY shared
+    shingles are above-cap boilerplate is missed, and borderline
+    Jaccard values are computed over the capped shingle universe —
+    pinned by tests/test_operators.py against a brute-force oracle.
     """
     toks = F.split(F.col(text_col), " ")
     grams = F.transform(
@@ -48,10 +60,19 @@ def shingle_docs(
             " ", *[F.get(toks, i + j) for j in range(n)]
         ),
     )
-    return (
+    sh = (
         docs.filter(F.size(toks) >= n)
         .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
     )
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    return sh
 
 
 def _pair_jaccard(shingles: DataFrame, candidates: DataFrame | None, id_col: str) -> DataFrame:
@@ -77,17 +98,23 @@ def _pair_jaccard(shingles: DataFrame, candidates: DataFrame | None, id_col: str
     )
 
 
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Exact near-duplicate pairs with n-gram Jaccard >= threshold."""
+    """Exact near-duplicate pairs with n-gram Jaccard >= threshold
+    over the DF-capped shingle universe (see ``shingle_docs``: the
+    cap bounds the quadratic inverted-index join at corpus scale)."""
     # shingles feed the pair join twice (both sides) + the size agg:
     # cache once instead of re-shingling per branch.
-    sh = shingle_docs(docs, text_col, id_col, n).cache()
+    sh = shingle_docs(docs, text_col, id_col, n, max_shingle_df).cache()
     return (
         _pair_jaccard(sh, None, id_col)
         .filter(F.col("jaccard") >= threshold)
@@ -201,24 +228,67 @@ def simhash_fingerprints(
     )
 
 
+def _block_bounds(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """Split ``bits`` into ``n_blocks`` contiguous (offset, width)
+    ranges, widths differing by at most one."""
+    base, extra = divmod(bits, n_blocks)
+    bounds, off = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((off, width))
+        off += width
+    return bounds
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+    """Near-dup pairs by SimHash Hamming distance — pigeonhole block
+    candidates, NOT an all-pairs cross join.
 
-    All-pairs XOR+popcount here (fine to ~10^4 docs); the scale path
-    blocks on fingerprint bytes (4 rotations of 8-bit blocks) so only
-    block-equal pairs are compared — same output, linear candidates.
+    The fingerprint is split into ``max_hamming + 1`` contiguous bit
+    blocks; two fingerprints within Hamming distance ``max_hamming``
+    differ in at most ``max_hamming`` bits, so at least one block is
+    bit-identical (pigeonhole) — joining on (block index, block
+    value) is LOSSLESS.  Candidates then get the exact XOR+popcount
+    verification, so the output is identical to the all-pairs method
+    (pinned by tests/test_operators.py) while candidate count drops
+    from N²/2 to Σ per-bucket².  At 100 TB each of the 3 block joins
+    is a plain shuffle on an ≤11-bit key; random fingerprints spread
+    uniformly over the 2^width buckets.
     """
+    n_blocks = max_hamming + 1
     fp = simhash_fingerprints(docs, text_col, id_col)
+    block_entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("fingerprint"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for i, (off, width) in enumerate(_block_bounds(SIMHASH_BITS, n_blocks))
+        ]
+    )
+    blocks = fp.select(
+        F.col(id_col), F.explode(block_entries).alias("e")
+    ).select(id_col, "e.blk", "e.val")
+    left = blocks.select(F.col(id_col).alias("doc_a"), "blk", "val")
+    right = blocks.select(F.col(id_col).alias("doc_b"), "blk", "val")
+    candidates = (
+        left.join(right, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     a = fp.select(F.col(id_col).alias("doc_a"), F.col("fingerprint").alias("fa"))
     b = fp.select(F.col(id_col).alias("doc_b"), F.col("fingerprint").alias("fb"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn(
             "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
         )

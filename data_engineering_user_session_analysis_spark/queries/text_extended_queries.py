@@ -78,7 +78,7 @@ WITH feat AS (
     CAST(length(text) AS BIGINT) AS n_chars
   FROM documents
 )
-SELECT doc_id, n_tokens, n_types,
+SELECT doc_id, n_chars, n_tokens, n_types,
   n_types / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
   stop_hits / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
   (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
@@ -90,10 +90,13 @@ FROM feat
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + composite score (fixed linear
-    blend, bit-deterministic)."""
+    blend, bit-deterministic).  The single quality projection over
+    documents — round 1's overlapping ``doc_quality`` entry folded in
+    here (``n_chars`` column; see COVERAGE.md)."""
     docs = load_table(spark, sf_dir, "documents")
     return quality_features(docs).select(
         "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
         "n_tokens",
         "n_types",
         "type_token_ratio",
@@ -127,24 +130,7 @@ def doc_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(docs)
 
 
-@register(
-    "bpe_token_accounting",
-    """
-SELECT lang,
-  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
-    AS total_bpe_tokens,
-  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_word_tokens,
-  CAST(count(*) AS BIGINT) AS n_docs
-FROM documents GROUP BY lang
-""",
-)
-def bpe_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token accounting under the BPE-ish pre-split regex vs
-    whitespace tokens, per language."""
-    docs = load_table(spark, sf_dir, "documents")
-    with_counts = bpe_token_counts(docs)
-    return with_counts.groupBy("lang").agg(
-        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
-        F.sum("n_word_tokens").alias("total_word_tokens"),
-        F.count("*").alias("n_docs"),
-    )
+# NOTE: round 1's `bpe_token_accounting` registry entry was absorbed
+# into `doc_token_stats` (text_queries.py) — same lang grain, same
+# scan, whitespace + BPE-regex accounting in one row (COVERAGE.md).
+# The operator itself stays: operators/text_analysis.py:bpe_token_counts.

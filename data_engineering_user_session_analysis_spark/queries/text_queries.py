@@ -1,7 +1,14 @@
 """Text-analysis queries over the `documents` table — the
-training-data-pipeline extension surface (token counting, quality
-scoring, exact dedup).  All string work stays JVM-side
-(`pyspark.sql.functions`), no Python UDFs in the hot path.
+training-data-pipeline extension surface (token counting, exact
+dedup).  All string work stays JVM-side (`pyspark.sql.functions`),
+no Python UDFs in the hot path.
+
+Round-2 consolidation (driver caps correctness rows at 50 — see
+COVERAGE.md): ``doc_token_stats`` absorbed round 1's separate
+``bpe_token_accounting`` (same lang grain, same table — one scan now
+accounts whitespace AND BPE-regex tokens); the per-document quality
+projection lives solely in ``doc_quality_scores``
+(text_extended_queries.py).
 """
 
 from __future__ import annotations
@@ -12,6 +19,8 @@ from pyspark.sql import functions as F
 from data_engineering_user_session_analysis_spark.queries import register
 from data_engineering_user_session_analysis_spark.sources.tables import load_table
 
+_BPE_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
 
 @register(
     "doc_token_stats",
@@ -19,31 +28,52 @@ from data_engineering_user_session_analysis_spark.sources.tables import load_tab
 SELECT lang,
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+    AS total_bpe_tokens,
   CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
   CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
 FROM documents GROUP BY lang
 """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting per language (distributed token
-    accounting — the first thing a 100 TB corpus pipeline needs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Corpus token accounting per language, whitespace AND BPE-ish
+    pre-split regex in one scan (distributed token accounting — the
+    first thing a 100 TB corpus pipeline needs; the regex split
+    approximates a byte-pair pre-tokenizer's word/number/punct
+    boundaries)."""
+    from data_engineering_user_session_analysis_spark.operators.text_analysis import bpe_token_counts
+
+    docs = bpe_token_counts(load_table(spark, sf_dir, "documents"))
     tokens = F.size(F.split("text", " ")).cast("long")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(tokens).alias("total_tokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
         F.sum(F.length("text").cast("long")).alias("total_chars"),
         F.max(tokens).alias("max_tokens"),
     )
 
 
+# Deterministic ~10% re-crawl shard: the same md5-bucket idiom as the
+# hash-sampling query, reproducible in both engines.
+_RECRAWL_PRED = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0"
+)
+
+
 @register(
     "dedup_exact",
-    """
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE {_RECRAWL_PRED}
+)
 SELECT md5(text) AS text_hash,
   CAST(count(*) AS BIGINT) AS dup_count,
   CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
-FROM documents
+FROM corpus
 GROUP BY md5(text)
 HAVING count(*) > 1
 """,
@@ -52,44 +82,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication: hash-groupBy on content, keep the lowest
     doc_id as canonical.  At 100 TB this is the standard
     shuffle-on-digest pattern — the md5 shrinks shuffle payload from
-    document bytes to 32 hex chars."""
-    docs = load_table(spark, sf_dir, "documents")
+    document bytes to 32 hex chars.
+
+    The deduped corpus is the documents table plus a deterministic
+    ~10% "re-crawled shard" (same texts, shifted ids — the scenario
+    exact dedup exists for; both engines build the identical union).
+    Round 1 ran the bare table, which the fixture generator keeps
+    exact-dup-free, so the green row was vacuous (0 rows); this row
+    asserts real collapse (~50 duplicate groups at sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 10
+    recrawl = docs.filter(bucket == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    corpus = docs.unionByName(recrawl)
     return (
-        docs.groupBy(F.md5("text").alias("text_hash"))
+        corpus.groupBy(F.md5("text").alias("text_hash"))
         .agg(
             F.count("*").alias("dup_count"),
             F.min("doc_id").alias("canonical_doc_id"),
         )
         .filter(F.col("dup_count") > 1)
-    )
-
-
-@register(
-    "doc_quality",
-    """
-SELECT doc_id, lang,
-  CAST(length(text) AS BIGINT) AS n_chars,
-  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
-  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stopwords
-FROM documents
-WHERE length(text) >= 100
-""",
-)
-def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality features: char/token counts, mean token
-    length, stopword count — the length/ratio half of a quality
-    classifier.  Pure projection over the scan (no shuffle)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 100)
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks).cast("long")
-    return docs.select(
-        "doc_id",
-        "lang",
-        F.length("text").cast("long").alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        (F.length("text").cast("double") / n_tokens).alias("chars_per_token"),
-        F.size(F.filter(toks, lambda t: t.isin("the", "a")))
-        .cast("long")
-        .alias("n_stopwords"),
     )

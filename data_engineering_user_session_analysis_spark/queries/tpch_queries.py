@@ -102,22 +102,15 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "nation_revenue",
-    """
-SELECT n_name AS nation, r_name AS region,
-  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-FROM orders
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
-GROUP BY n_name, r_name
-""",
-)
 def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake join (fact → 3 dims): all dims broadcast, so the
-    whole join tree is map-side; one shuffle for the final agg."""
+    whole join tree is map-side; one shuffle for the final agg.
+
+    Not registry-listed (driver caps correctness rows at 50; see
+    COVERAGE.md): the snowflake-join + countDistinct shape keeps a
+    green row through q5_local_supplier_volume (deeper join tree) —
+    this function stays as the operator API and is plan-pinned in
+    tests/test_plans.py."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -396,20 +389,28 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + global aggregate — every
     predicate pushes to the scan; no shuffle except the final 2-stage
-    reduce."""
-    li = load_table(spark, sf_dir, "lineitem")
-    dec = "decimal(12,2)"
-    filtered = li.filter(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1997-01-01")
-        & (F.col("l_discount").cast(dec).between(0.02, 0.06))
-        & (F.col("l_quantity") < 10)
-    )
-    return filtered.agg(
-        F.sum(F.col("l_extendedprice").cast(dec) * F.col("l_discount").cast(dec))
-        .cast("double")
-        .alias("revenue"),
-        F.count("*").alias("n_lineitems"),
+    reduce.
+
+    Expressed through ``spark.sql`` over registered views: this is
+    the engine's SQL API surface (round 1's separate
+    ``sql_surface_region_revenue`` entry — see COVERAGE.md).
+    Catalyst produces the identical plan for the SQL text and the
+    DataFrame composition, so one registry row proves both layers."""
+    from data_engineering_user_session_analysis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+          count(*) AS n_lineitems
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01'
+          AND l_shipdate <  '1997-01-01'
+          AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.02 AND 0.06
+          AND l_quantity < 10
+        """
     )
 
 

@@ -1,7 +1,9 @@
-"""Similarity-search quality: the approximate (IVF) path must track
-the exact brute-force baseline."""
+"""Similarity-search quality: the approximate (IVF / LSH) paths must
+track the exact brute-force baselines."""
 
 from __future__ import annotations
+
+import numpy as np
 
 from data_engineering_user_session_analysis_spark.queries import QUERIES
 
@@ -25,41 +27,57 @@ def test_ann_recall_vs_brute_force(spark, sf_small):
 
 
 def test_label_centroids_math(spark, sf_small):
-    """Centroid of each label == numpy mean of that label's vectors."""
-    import numpy as np
-
+    """(label, dim) means == numpy mean of that label's vectors."""
     from data_engineering_user_session_analysis_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_small, "embeddings").collect()
-    by_label = {}
+    by_label: dict[int, list[np.ndarray]] = {}
     for r in emb:
         by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype="float64"))
-    got = {
-        r.label: (np.array(r.centroid), r.n_vectors)
-        for r in QUERIES["label_centroids"](spark, sf_small).collect()
-    }
+    rows = QUERIES["label_centroids"](spark, sf_small).collect()
+    got: dict[int, dict[int, float]] = {}
+    n_vectors: dict[int, int] = {}
+    for r in rows:
+        got.setdefault(r.label, {})[r.dim] = r.mean_x
+        n_vectors[r.label] = r.n_vectors
     assert set(got) == set(by_label)
     for label, vecs in by_label.items():
-        centroid, n = got[label]
-        assert n == len(vecs)
-        assert np.allclose(centroid, np.mean(vecs, axis=0), atol=1e-9)
+        dims = got[label]
+        assert sorted(dims) == list(range(len(vecs[0])))
+        assert n_vectors[label] == len(vecs)
+        centroid = np.array([dims[d] for d in range(len(vecs[0]))])
+        # query rounds to 1e-6 for cross-engine hash stability
+        assert np.allclose(centroid, np.mean(vecs, axis=0), atol=5e-7 + 1e-9)
+
+
+def _exact_cosine_pairs(spark, sf_dir, threshold=0.4):
+    """All-pairs exact ground truth, computed in numpy (the corpus is
+    tiny at test SF; the registered query is the LSH-bucketed path)."""
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    ids = [r.vec_id for r in rows]
+    mat = np.array([r.embedding for r in rows], dtype="float64")
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    pairs = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sorted((ids[i], ids[j]))
+            if cos[i, j] >= threshold:
+                pairs.add((a, b))
+    return pairs
 
 
 def test_vector_lsh_recall_and_precision(spark, sf_small):
-    """Hyperplane-LSH near-dup pairs: subset of (precision 1.0 vs)
-    the all-pairs exact method, with usable recall at this weak
-    threshold (cos>=0.4 pairs sit near 66°, the hard LSH regime)."""
-    from data_engineering_user_session_analysis_spark.operators.vector_lsh import lsh_similarity_pairs
-    from data_engineering_user_session_analysis_spark.sources.tables import load_table
-
-    emb = load_table(spark, sf_small, "embeddings")
-    exact = {
-        (r.vec_a, r.vec_b)
-        for r in QUERIES["embedding_neardup"](spark, sf_small).collect()
-    }
+    """The registered embedding_neardup (hyperplane-LSH buckets) emits
+    a subset of the exact all-pairs ground truth (precision 1.0) with
+    usable recall at this weak threshold (cos>=0.4 pairs sit near 66°,
+    the hard LSH regime)."""
+    exact = _exact_cosine_pairs(spark, sf_small, threshold=0.4)
     lsh = {
         (r.vec_a, r.vec_b)
-        for r in lsh_similarity_pairs(emb, threshold=0.4).collect()
+        for r in QUERIES["embedding_neardup"](spark, sf_small).collect()
     }
     assert lsh <= exact, "LSH emitted a pair the exact method rejects"
     assert exact, "no exact pairs to measure against"
