@@ -18,18 +18,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "session_rollup",
+    "session_rollup_keyed",
     "user_level",
     "favorite_event_type",
     "daily_activity",
     "q1_pricing_summary",
     "top_customers",
-    "nation_revenue",
+    "q5_local_supplier_volume",
     "late_shipment_orders",
     "supplier_part_share",
     "doc_token_stats",
     "dedup_exact",
     "knn_brute_force",
     "ann_ivf_topk",
+    "embedding_neardup",
     "dedup_minhash_lsh",
     "simhash_near_pairs",
     "media_features",

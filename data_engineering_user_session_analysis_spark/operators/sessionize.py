@@ -38,6 +38,12 @@ def epoch_seconds(col: Column | str) -> Column:
     return F.col(col).cast("timestamp").cast("long") if isinstance(col, str) else col.cast("timestamp").cast("long")
 
 
+def epoch_micros(col: Column | str) -> Column:
+    """Exact epoch microseconds (native TimestampType precision)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def sessionize(
     df: DataFrame,
     user_col: str = "user_id",
@@ -59,12 +65,22 @@ def sessionize(
     ``gap_seconds`` open a new session (strict ``>``, matching
     streaming ``session_window`` semantics where an event at exactly
     ``gap`` past the previous one extends the window).
+
+    The gap is compared at native MICROSECOND precision — the same
+    precision streaming ``session_window`` uses — so batch and
+    streaming sessionization agree on boundary pairs.  (Round 1
+    compared second-truncated epochs, which merges a pair whose
+    truncated delta equals the gap while its true delta exceeds it;
+    the DuckDB oracle CTE uses ``date_diff('microsecond', ...)`` to
+    match exactly.)
     """
     order = [F.col(ts_col).asc(), *(F.col(c).asc() for c in order_cols)]
     w = Window.partitionBy(user_col).orderBy(*order)
     prev_ts = F.lag(ts_col).over(w)
-    gap = epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts)
-    is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    gap = epoch_micros(F.col(ts_col)) - epoch_micros(prev_ts)
+    is_new = F.when(
+        prev_ts.isNull() | (gap > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
     running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -50,7 +50,16 @@ def salted_agg(
     unknown = {fn for fn, _ in aggs.values()} - set(_PARTIAL)
     if unknown:
         raise ValueError(f"non-algebraic aggregate(s) not salt-safe: {unknown}")
-    salt = F.pmod(F.hash(*[F.col(k) for k in df.columns]), F.lit(buckets))
+    # Salt from a per-ROW source, not row content: a hot key made of
+    # many IDENTICAL rows (the realistic skew case) must still spread
+    # across buckets, and content-hash salting would put them all in
+    # one.  Determinism of the salt is irrelevant — phase 2
+    # re-aggregates per key, so any assignment merges to the same
+    # result.
+    salt = F.pmod(
+        F.hash(F.monotonically_increasing_id(), F.spark_partition_id()),
+        F.lit(buckets),
+    )
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")

@@ -15,6 +15,14 @@ memory-light variant (inner product = signed sum).
 Scale shape: signatures are a map-only projection; bucketing is a
 groupBy on (table, signature); only bucket-mates are exact-scored.
 Candidates drop from N² to Σ bucket².
+
+Sizing rule: expected bucket size is N / 2^planes, so Σ bucket² stays
+near-linear only when `planes` grows with log2(N) (target bucket size
+B ⇒ planes = log2(N/B); at 10^9 vectors with B=256 that is ~22
+planes, recall recovered by raising `tables`).  The 4-plane/8-table
+default is tuned for the test corpus's weak 0.4-cosine threshold —
+production near-dup thresholds (≥0.9, θ≤26°, p≈0.86) keep good
+recall at much deeper planes.
 """
 
 from __future__ import annotations

@@ -32,14 +32,27 @@ def register(name: str, oracle: str | None = None):
 
 
 # Import for side effects: each module registers its queries.
+#
+# The registry holds EXACTLY 50 entries — the driver's correctness
+# gate records rows for the first 50 in registration order (round 1
+# registered 65 and the tail was never driver-checked).  Overlapping
+# round-1 entries were consolidated so every operator family keeps a
+# checked row; COVERAGE.md maps each retired name to the surviving
+# query that carries its coverage.  Registration order = reference
+# surface first (sessions, relational core), extensions after.
 from data_engineering_user_session_analysis_spark.queries import session_queries  # noqa: E402,F401
 from data_engineering_user_session_analysis_spark.queries import tpch_queries  # noqa: E402,F401
-from data_engineering_user_session_analysis_spark.queries import text_queries  # noqa: E402,F401
-from data_engineering_user_session_analysis_spark.queries import similarity_queries  # noqa: E402,F401
 from data_engineering_user_session_analysis_spark.queries import streaming_queries  # noqa: E402,F401
 from data_engineering_user_session_analysis_spark.queries import enrichment_queries  # noqa: E402,F401
-from data_engineering_user_session_analysis_spark.queries import dedup_queries  # noqa: E402,F401
-from data_engineering_user_session_analysis_spark.queries import text_extended_queries  # noqa: E402,F401
-from data_engineering_user_session_analysis_spark.queries import multimodal_queries  # noqa: E402,F401
 from data_engineering_user_session_analysis_spark.queries import relational_queries  # noqa: E402,F401
 from data_engineering_user_session_analysis_spark.queries import function_queries  # noqa: E402,F401
+from data_engineering_user_session_analysis_spark.queries import text_queries  # noqa: E402,F401
+from data_engineering_user_session_analysis_spark.queries import text_extended_queries  # noqa: E402,F401
+from data_engineering_user_session_analysis_spark.queries import dedup_queries  # noqa: E402,F401
+from data_engineering_user_session_analysis_spark.queries import similarity_queries  # noqa: E402,F401
+from data_engineering_user_session_analysis_spark.queries import multimodal_queries  # noqa: E402,F401
+
+assert len(QUERIES) == 50, (
+    f"registry must stay at the 50-row driver cap, got {len(QUERIES)}: "
+    "consolidate before adding (see COVERAGE.md)"
+)

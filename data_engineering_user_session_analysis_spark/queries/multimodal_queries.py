@@ -20,7 +20,7 @@ from data_engineering_user_session_analysis_spark.sources.tables import load_tab
 @register(
     "media_features",
     """
-SELECT doc_id,
+SELECT doc_id, lang,
   CAST(length(text) AS BIGINT) AS n_bytes,
   CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS checksum,
   CAST(16 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1024 AS INT) AS fake_width,
@@ -30,10 +30,17 @@ FROM documents
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → Arrow-batched mapInPandas feature extraction
-    (byte length, checksum, fake-decoded dimensions)."""
+    (byte length, checksum, fake-decoded dimensions), joined back to
+    the typed metadata columns (``lang``) — the metadata-join shape of
+    round 1's separate ``media_size_by_lang`` entry, folded in here
+    (COVERAGE.md).  The payload never transits the join: features are
+    extracted first, the blob dropped, and only skinny columns
+    shuffle — the 100 TB discipline for multimodal tables."""
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_media_features(attach_payload(docs))
-    return feats.select("doc_id", "n_bytes", "checksum", "fake_width", "fake_height")
+    return feats.select(
+        "doc_id", "n_bytes", "checksum", "fake_width", "fake_height"
+    ).join(docs.select("doc_id", "lang"), "doc_id")
 
 
 @register(
@@ -55,20 +62,15 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_payload(docs))
 
 
-@register(
-    "media_size_by_lang",
-    """
-SELECT lang,
-  CAST(count(*) AS BIGINT) AS n_media,
-  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_bytes,
-  CAST(max(16 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1024) AS INT) AS max_width
-FROM documents GROUP BY lang
-""",
-)
 def media_size_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only aggregation over the media table: runs off the
     typed columns (payload untouched — the 100 TB win of keeping
-    metadata out of the blob)."""
+    metadata out of the blob).
+
+    Not registry-listed since the 50-row consolidation (COVERAGE.md):
+    the metadata-join shape keeps its green row inside
+    ``media_features`` (lang column); this aggregate stays as the
+    operator API, exercised by tests."""
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_media_features(attach_payload(docs)).join(
         docs.select("doc_id", "lang"), "doc_id"

@@ -49,25 +49,43 @@ def user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_type_pivot",
     """
-SELECT user_id,
-  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
-  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
-  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
-  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
-  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
-FROM events GROUP BY user_id
+WITH pivoted AS (
+  SELECT user_id,
+    CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+    CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+    CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+    CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+  FROM events GROUP BY user_id
+)
+SELECT user_id, 'click' AS event_type, click AS cnt FROM pivoted
+UNION ALL SELECT user_id, 'error', error FROM pivoted
+UNION ALL SELECT user_id, 'purchase', purchase FROM pivoted
+UNION ALL SELECT user_id, 'signup', signup FROM pivoted
+UNION ALL SELECT user_id, 'view', view FROM pivoted
 """,
 )
 def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: per-user event counts as one column per event type
-    (explicit value list → no extra distinct-discovery job)."""
+    """Pivot + unpivot in one plan: per-user counts pivoted wide (one
+    column per event type, explicit value list → no extra
+    distinct-discovery job), then melted back long via ``stack()`` —
+    the round-trip covers both reshape directions in a single
+    driver-checked row (round 1 had separate pivot/unpivot entries;
+    COVERAGE.md).  One shuffle for the pivot agg; the stack is a
+    map-side Expand."""
     ev = load_events(spark, sf_dir)
-    return (
+    pivoted = (
         ev.groupBy("user_id")
         .pivot("event_type", list(EVENT_TYPES))
         .agg(F.count(F.lit(1)))
         .na.fill(0, list(EVENT_TYPES))
     )
+    stack_expr = (
+        "stack(5, "
+        + ", ".join(f"'{t}', {t}" for t in EVENT_TYPES)
+        + ") as (event_type, cnt)"
+    )
+    return pivoted.selectExpr("user_id", stack_expr)
 
 
 @register(
@@ -200,14 +218,24 @@ SELECT o_custkey, o_orderkey,
           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
   CAST(row_number()
     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT)
-    AS order_seq
+    AS order_seq,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  CAST(date_part('quarter', o_orderdate) AS INT) AS order_quarter,
+  CAST(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01') AS INT) AS days_to_1999
 FROM orders
 """,
 )
 def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit window frame (rowsBetween): per-customer running
     spend — decimal accumulation so partial order never changes the
-    result."""
+    result — plus the date-function family (add, trunc, last_day,
+    quarter, diff) as order-timeline columns (round 1's separate
+    ``date_arithmetic`` entry, folded in here at the same order
+    grain; COVERAGE.md).  The date projection is map-side and rides
+    the window's single shuffle."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -219,6 +247,18 @@ def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_total"),
         F.row_number().over(w).cast("int").alias("order_seq"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.datediff(F.lit("1999-01-01"), F.to_date("o_orderdate"))
+        .cast("int")
+        .alias("days_to_1999"),
     )
 
 

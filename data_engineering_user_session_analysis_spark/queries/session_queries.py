@@ -20,8 +20,10 @@ from data_engineering_user_session_analysis_spark.sources.events import load_eve
 GAP_SECONDS = 1800
 
 # Shared oracle CTE: gap-sessionization, the lag/cumsum construction.
-# date_diff('second', ...) counts second boundaries == Spark's
-# cast-to-long truncation delta, so the gap predicate is identical.
+# The gap predicate compares native microsecond deltas — identical to
+# the engine's `epoch_micros` difference and to what streaming
+# session_window compares, so batch, streaming, and oracle agree on
+# boundary pairs with sub-second components.
 _SESSIONIZED_CTE = f"""
 WITH ordered AS (
   SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -29,7 +31,7 @@ WITH ordered AS (
 ), flagged AS (
   SELECT *,
     CASE WHEN prev_ts IS NULL
-           OR date_diff('second', prev_ts, ts) > {GAP_SECONDS}
+           OR date_diff('microsecond', prev_ts, ts) > {GAP_SECONDS * 1_000_000}
          THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ), sessionized AS (
@@ -354,14 +356,16 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen date,
     counted on each subsequent active day — the standard product
     analytics rollup (first-touch attribution + distinct activity).
-    Two aggregations + one equi-join on user_id; the firsts side is
-    per-user (small) and broadcasts."""
+    Two aggregations + one equi-join on user_id.  No broadcast hint:
+    the firsts side is one row PER USER, so it grows with the data —
+    at 100x users a forced broadcast blows the driver/executor limit.
+    AQE picks broadcast while it fits and shuffle-hash/SMJ beyond."""
     ev = load_events(spark, sf_dir)
     day = F.date_format("ts", "yyyy-MM-dd")
     firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_date"))
     activity = ev.select("user_id", day.alias("active_date")).distinct()
     return (
-        activity.join(F.broadcast(firsts), "user_id")
+        activity.join(firsts, "user_id")
         .groupBy(
             "cohort_date",
             F.datediff(F.to_date("active_date"), F.to_date("cohort_date"))
@@ -369,4 +373,64 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+@register(
+    "session_rollup_keyed",
+    """
+WITH keyed AS (
+  SELECT *,
+    CAST(user_id AS VARCHAR) || '-' || strftime(ts, '%Y-%m-%d') AS user_session
+  FROM events
+), firsts AS (
+  SELECT *,
+    first_value(event_type) OVER w AS first_event_type,
+    last_value(event_type)  OVER w AS last_event_type
+  FROM keyed
+  WINDOW w AS (PARTITION BY user_id, user_session ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT
+  user_id,
+  user_session,
+  min(ts) AS session_start_time,
+  max(ts) AS session_end_time,
+  date_diff('second', min(ts), max(ts)) AS session_duration_seconds,
+  CAST(count(*) AS BIGINT) AS number_of_events,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_event_types,
+  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS is_purchase,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+  any_value(first_event_type) AS first_event_type,
+  any_value(last_event_type) AS last_event_type
+FROM firsts
+GROUP BY user_id, user_session
+""",
+)
+def session_rollup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LIVE batch path: sessions arrive PRE-KEYED
+    (`user_session` UUID column) and the rollup is a direct groupBy on
+    that key — no window, no gap derivation, ONE hash aggregation
+    (reference ``spark_jobs/spark_batch_job.py:27-41``).
+
+    The driver's events table carries no session key, so the key is
+    stamped in the scan projection (user-day — a stand-in for the
+    data-borne UUID; zero-cost, map-side).  What this row proves is
+    the keyed operator path: ``session_rollup(df, session_col=...)``
+    consuming an existing key.  Plan shape at 100 TB: single shuffle
+    on (user, session key) with map-side partial aggregation — strictly
+    cheaper than the gap-derived variant (no sort, no window state)."""
+    ev = load_events(spark, sf_dir)
+    keyed = ev.withColumn(
+        "user_session",
+        F.concat_ws(
+            "-", F.col("user_id").cast("string"), F.date_format("ts", "yyyy-MM-dd")
+        ),
+    )
+    df = session_rollup(keyed, session_col="user_session")
+    return df.withColumns(
+        {
+            "is_purchase": F.col("is_purchase").cast("int"),
+            "session_value": F.col("session_value").cast("double"),
+        }
     )

@@ -103,11 +103,18 @@ def write_lake_stream(
     enriched: DataFrame,
     lake_path: str,
     checkpoint_path: str,
-    partition_col: str = "extracted_date",
+    partition_col: str = "date",
     trigger_available_now: bool = False,
 ) -> StreamingQuery:
     """Partitioned append-mode parquet sink with checkpoint
-    (reference S4/ST2/ST6/ST7): exactly-once file sink."""
+    (reference S4/ST2/ST6/ST7): exactly-once file sink.
+
+    Partitions by the EVENT-derived ``date`` by default — the column
+    the daily batch job prunes on — so the lake layout matches the
+    downstream filters.  (Partitioning by processing-date
+    ``extracted_date`` is nondeterministic under checkpoint replay
+    across midnight and prunes nothing; it stays as a non-partition
+    audit column.)"""
     writer = (
         enriched.writeStream.format("parquet")
         .outputMode("append")

@@ -112,23 +112,55 @@ def foreach_batch_jdbc(
     )
 
 
-def foreach_batch_upsert_parquet(out_dir: str, partition_col: str = "date"):
-    """Idempotent micro-batch sink without a database: dynamic
-    partition overwrite — each batch replaces exactly the partitions
-    it touches, so replaying a batch (checkpoint recovery, reference
-    S6 semantics done right) converges instead of duplicating.  This
-    is the parquet stand-in for a JDBC MERGE/upsert."""
+def foreach_batch_upsert_parquet(
+    out_dir: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    partition_col: str = "date",
+):
+    """Idempotent micro-batch sink without a database: TRUE key-level
+    upsert (the parquet stand-in for a JDBC ``MERGE``).
+
+    Per epoch: read the already-committed rows of the partitions this
+    batch touches, drop the ones whose key the batch re-delivers
+    (batch wins), union the survivors with the batch, and dynamic-
+    partition-overwrite exactly those partitions.  Replaying an epoch
+    converges (checkpoint recovery, reference S6 semantics done
+    right), and — unlike round 1's partition-level overwrite — a batch
+    carrying only PART of a partition's rows upserts those rows
+    without deleting the partition's previously committed remainder.
+
+    Scale notes: the touched-partition list is collected to the
+    driver, but it is bounded by partitions-per-batch (a handful of
+    dates), not data size; the read side prunes to those partitions;
+    ``localCheckpoint`` materializes the merged rows so the write does
+    not overwrite a path its own plan is reading."""
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.sparkSession.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        from pyspark.sql import functions as F
+        from pyspark.sql.utils import AnalysisException
+
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged = batch_df
+        try:
+            existing = spark.read.parquet(out_dir)
+        except AnalysisException:
+            existing = None  # first epoch: nothing committed yet
+        if existing is not None:
+            touched = [
+                r[0]
+                for r in batch_df.select(partition_col).distinct().collect()
+            ]
+            keep = (
+                existing.filter(F.col(partition_col).isin(touched))
+                .join(
+                    batch_df.select(*key_cols).distinct(),
+                    list(key_cols),
+                    "left_anti",
+                )
+                .select(*batch_df.columns)
             )
-        )
-        (
-            batch_df.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(out_dir)
-        )
+            merged = batch_df.unionByName(keep).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
 
     return _write

@@ -236,7 +236,7 @@ def test_apply_in_pandas_with_state(spark, tmp_path):
 
 def test_foreach_batch_upsert_idempotent(spark, sf_small, tmp_path):
     """Replaying the same micro-batch through the upsert sink leaves
-    the output unchanged (dynamic partition overwrite == MERGE)."""
+    the output unchanged (key-level MERGE semantics)."""
     from data_engineering_user_session_analysis_spark.streaming.session_stream import (
         foreach_batch_upsert_parquet,
     )
@@ -250,10 +250,55 @@ def test_foreach_batch_upsert_idempotent(spark, sf_small, tmp_path):
     first = spark.read.parquet(out).count()
     write(batch, 0)  # replay of the same epoch
     assert spark.read.parquet(out).count() == first
-    # a new batch touching one partition replaces only that partition
+    # a new batch touching one partition upserts only that partition
     one_day = batch.filter(F.col("date") == batch.select("date").first().date)
     write(one_day, 1)
     assert spark.read.parquet(out).count() == first
+
+
+def test_foreach_batch_upsert_partial_partition_no_data_loss(
+    spark, sf_small, tmp_path
+):
+    """A batch carrying only PART of a partition's rows must upsert
+    those rows and keep the partition's previously committed
+    remainder (the round-1 partition-overwrite sink silently deleted
+    it — data-loss path now pinned)."""
+    from data_engineering_user_session_analysis_spark.streaming.session_stream import (
+        foreach_batch_upsert_parquet,
+    )
+
+    out = str(tmp_path / "upsert_partial")
+    batch = enrich_events(load_events(spark, sf_small)).withColumn(
+        "date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write = foreach_batch_upsert_parquet(out)
+    write(batch, 0)
+    first = spark.read.parquet(out).count()
+    day = batch.select("date").first().date
+    one_day = batch.filter(F.col("date") == day)
+    day_total = one_day.count()
+    # update 5 existing rows (value bumped) + insert 1 brand-new row
+    updates = one_day.orderBy("event_id").limit(5).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    inserts = (
+        one_day.orderBy("event_id")
+        .limit(1)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    write(updates.unionByName(inserts), 1)
+    got = spark.read.parquet(out)
+    # nothing lost: all original rows still there, plus the 1 insert
+    assert got.count() == first + 1
+    assert got.filter(F.col("date") == day).count() == day_total + 1
+    # the 5 updates landed (value > 1000 only exists post-bump)
+    updated_ids = {r.event_id for r in updates.select("event_id").collect()}
+    bumped = {
+        r.event_id
+        for r in got.filter(F.col("value") >= 1000.0).select("event_id").collect()
+        if r.event_id in updated_ids
+    }
+    assert bumped == updated_ids
 
 
 def test_stateful_restart_recovers_session_state(spark, tmp_path):
