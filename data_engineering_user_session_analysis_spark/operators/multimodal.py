@@ -26,11 +26,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MEDIA_SCHEMA = (
-    "doc_id long, modality string, n_bytes long, checksum long, "
-    "fake_width int, fake_height int"
-)
-
 FRAME_SCHEMA = "doc_id long, frame_index int, frame_md5 string"
 
 
@@ -73,14 +68,28 @@ def _fake_dims(digest_hex: str) -> tuple[int, int]:
 
 
 def extract_media_features(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = ("modality",),
 ) -> DataFrame:
     """Per-payload features via mapInPandas (one Python hop per Arrow
-    batch): byte length, 32-bit md5 checksum, fake-decoded dims."""
+    batch): byte length, 32-bit md5 checksum, fake-decoded dims.
+
+    ``passthrough`` metadata columns ride the Arrow batch unchanged —
+    the zero-shuffle way to keep typed metadata (lang, source, …) next
+    to the extracted features; joining it back after extraction would
+    shuffle both sides on doc_id for nothing."""
 
     from data_engineering_user_session_analysis_spark.runtime import ensure_worker_imports
 
     ensure_worker_imports(df.sparkSession)
+
+    out_schema = ", ".join(
+        [f"{id_col} long"]
+        + [f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough]
+        + ["n_bytes long", "checksum long", "fake_width int", "fake_height int"]
+    )
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -88,10 +97,11 @@ def extract_media_features(
                 lambda b: hashlib.md5(bytes(b)).hexdigest()
             )
             dims = digests.map(_fake_dims)
-            yield pd.DataFrame(
+            cols = {id_col: pdf[id_col]}
+            for c in passthrough:
+                cols[c] = pdf[c]
+            cols.update(
                 {
-                    "doc_id": pdf[id_col],
-                    "modality": pdf["modality"],
                     "n_bytes": pdf[payload_col].map(len).astype("int64"),
                     "checksum": digests.map(lambda d: int(d[:8], 16)).astype(
                         "int64"
@@ -100,9 +110,10 @@ def extract_media_features(
                     "fake_height": dims.map(lambda t: t[1]).astype("int32"),
                 }
             )
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, "modality", payload_col).mapInPandas(
-        feats, schema=MEDIA_SCHEMA
+    return df.select(id_col, *passthrough, payload_col).mapInPandas(
+        feats, schema=out_schema
     )
 
 

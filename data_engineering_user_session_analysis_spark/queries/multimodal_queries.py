@@ -30,17 +30,20 @@ FROM documents
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → Arrow-batched mapInPandas feature extraction
-    (byte length, checksum, fake-decoded dimensions), joined back to
-    the typed metadata columns (``lang``) — the metadata-join shape of
-    round 1's separate ``media_size_by_lang`` entry, folded in here
-    (COVERAGE.md).  The payload never transits the join: features are
-    extracted first, the blob dropped, and only skinny columns
-    shuffle — the 100 TB discipline for multimodal tables."""
+    (byte length, checksum, fake-decoded dimensions) with the typed
+    metadata (``lang``) riding the Arrow batch — the metadata-next-
+    to-features shape of round 1's separate ``media_size_by_lang``
+    entry, folded in here (COVERAGE.md).  Zero shuffle: metadata
+    passes THROUGH the extractor instead of being joined back on
+    doc_id afterwards — the 100 TB discipline for multimodal tables
+    (plan pinned shuffle-free in tests/test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = extract_media_features(attach_payload(docs))
+    feats = extract_media_features(
+        attach_payload(docs), passthrough=("modality", "lang")
+    )
     return feats.select(
-        "doc_id", "n_bytes", "checksum", "fake_width", "fake_height"
-    ).join(docs.select("doc_id", "lang"), "doc_id")
+        "doc_id", "lang", "n_bytes", "checksum", "fake_width", "fake_height"
+    )
 
 
 @register(
@@ -68,12 +71,12 @@ def media_size_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata out of the blob).
 
     Not registry-listed since the 50-row consolidation (COVERAGE.md):
-    the metadata-join shape keeps its green row inside
+    the metadata-passthrough shape keeps its green row inside
     ``media_features`` (lang column); this aggregate stays as the
     operator API, exercised by tests."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = extract_media_features(attach_payload(docs)).join(
-        docs.select("doc_id", "lang"), "doc_id"
+    feats = extract_media_features(
+        attach_payload(docs), passthrough=("modality", "lang")
     )
     return feats.groupBy("lang").agg(
         F.count("*").alias("n_media"),

@@ -55,7 +55,8 @@ def test_zscore_pandas_udf_runs(spark, sf_small):
 
 
 def _py_sessionize(events: list[tuple[int, datetime.datetime]], gap: int = 1800):
-    """Pure-Python reference: second-truncated gap semantics."""
+    """Pure-Python reference: native MICROSECOND gap semantics (the
+    streaming session_window contract the batch operator matches)."""
     out = {}
     by_user: dict[int, list[tuple[int, datetime.datetime]]] = {}
     for eid, ts in events:
@@ -65,11 +66,13 @@ def _py_sessionize(events: list[tuple[int, datetime.datetime]], gap: int = 1800)
         seq = 0
         prev = None
         for eid, ts in evs:
-            secs = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp())
-            if prev is None or secs - prev > gap:
+            micros = int(
+                ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+            )
+            if prev is None or micros - prev > gap * 1_000_000:
                 seq += 1
             out[eid] = (user, seq)
-            prev = secs
+            prev = micros
     return out
 
 
@@ -103,3 +106,105 @@ def test_sessionize_property(spark, events):
         for r in sessionize(df, order_cols=("event_id",)).collect()
     }
     assert got == expected
+
+
+def test_sessionize_subsecond_boundary_pair(spark):
+    """The round-1 hazard made explicit: a pair whose SECOND-truncated
+    delta equals the gap while the true microsecond delta exceeds it
+    must SPLIT (streaming session_window semantics); a pair at exactly
+    the gap in microseconds must MERGE (strict >)."""
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0, 900_000)
+    rows = [
+        # user 0: truncated delta = 1800 s, true delta = 1800.05 s -> split
+        (1, base, 0),
+        (2, base + datetime.timedelta(seconds=1800, milliseconds=50), 0),
+        # user 1: true delta exactly 1800.000000 s -> merge (strict >)
+        (3, base, 1),
+        (4, base + datetime.timedelta(seconds=1800), 1),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {
+        r.event_id: r.session_seq
+        for r in sessionize(df, order_cols=("event_id",)).collect()
+    }
+    assert got[1] == 1 and got[2] == 2, got  # split
+    assert got[3] == 1 and got[4] == 1, got  # merge
+
+
+def test_salted_agg_spreads_identical_rows(spark):
+    """A hot key made of IDENTICAL rows (the realistic skew case) must
+    land in multiple salt buckets — content-derived salt would put
+    them all in one (round-1 defect)."""
+    from data_engineering_user_session_analysis_spark.operators.skew import _MERGE, _PARTIAL  # noqa: F401
+
+    df = spark.range(0, 10_000).select(
+        F.lit(7).alias("user_id"), F.lit(1.0).alias("value")
+    ).repartition(8)
+    salt = F.pmod(
+        F.hash(F.monotonically_increasing_id(), F.spark_partition_id()),
+        F.lit(16),
+    )
+    n_buckets = df.withColumn("_salt", salt).select("_salt").distinct().count()
+    assert n_buckets > 1, "identical-row hot key concentrated in one salt bucket"
+    # and the end-to-end result is still exact
+    out = salted_agg(
+        df, ["user_id"], {"n": ("count", "value"), "v": ("sum", "value")}, buckets=16
+    ).collect()
+    assert len(out) == 1 and out[0].n == 10_000 and out[0].v == 10_000.0
+
+
+def test_simhash_blocking_equals_all_pairs(spark, sf_small):
+    """Pigeonhole block candidates are LOSSLESS for hamming <= 2: the
+    blocked operator must emit exactly the all-pairs result."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    blocked = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(docs, max_hamming=2).collect()
+    }
+    fp = simhash_fingerprints(docs)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fb"))
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= 2)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+        .collect()
+    }
+    assert blocked == brute
+    assert brute, "fixture produced no near pairs — test is vacuous"
+
+
+def test_ngram_df_cap_binding_and_nonbinding(spark, sf_small):
+    """Default stop-shingle cap must not change the result on the test
+    corpus (non-binding); with a tiny binding cap the query must still
+    run and keep the near-dup pairs that share low-DF shingles."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, max_shingle_df=None).collect()
+    }
+    default_cap = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs).collect()
+    }
+    assert default_cap == uncapped  # 10k cap cannot bind on 500 docs
+    tiny_cap = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, max_shingle_df=2).collect()
+    }
+    # capped universe can only shrink intersections for shared-boilerplate
+    # pairs; near-dup pairs share many LOW-df shingles and survive
+    assert tiny_cap, "DF cap destroyed all near-dup pairs"

@@ -69,3 +69,20 @@ def test_top1_per_group_uses_window_group_limit(spark, sf_small):
 def test_projections_have_no_shuffle(spark, sf_small, name):
     plan = _plan(spark, sf_small, name)
     assert "Exchange hashpartitioning" not in plan, f"{name} shuffles"
+
+
+@pytest.mark.parametrize("name", ["simhash_near_pairs", "embedding_neardup"])
+def test_near_dup_pairing_is_bucketed_not_all_pairs(spark, sf_small, name):
+    """The round-1 scale-killers: pair generation must come from
+    bucket-equi joins, never a cartesian/nested-loop self-join of the
+    full table (O(N²) at 100 TB)."""
+    plan = _plan(spark, sf_small, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans an all-pairs BNLJ"
+
+
+def test_event_window_functions_single_exchange(spark, sf_small):
+    """Both window specs partition by user_id — Catalyst must shuffle
+    once and re-sort, not shuffle per window."""
+    plan = _plan(spark, sf_small, "event_window_functions")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
