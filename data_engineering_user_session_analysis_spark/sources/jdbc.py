@@ -9,9 +9,12 @@ the contract: the URL is explicit, executors open one connection per
 partition, and `coalesce_partitions` bounds connection count for
 small serving tables.
 
-No database runs in this container — exercised by the parquet
-stand-in in ``jobs/batch_job.py``; the JDBC path activates when a
-driver jar + reachable URL exist.
+LIVE-TESTED against embedded Derby (the JDBC driver Spark ships for
+its metastore): overwrite + read-back, range-partitioned parallel
+reads, and the streaming foreachBatch append path all round-trip for
+real in ``tests/test_jdbc.py`` — no parquet stand-in needed for
+verification.  In production the same wrappers take a Postgres/MySQL
+URL + driver jar.
 """
 
 from __future__ import annotations
