@@ -189,6 +189,103 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    ``(node, component)`` where the component id is the MINIMUM node
+    id in the component — the step that turns pairwise dedup output
+    into dedup *clusters* (keep one doc per component).
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (hash-to-min family).  Each round every node takes the min of its
+    own label and its neighbors' labels, then labels are pointer-
+    jumped (``label[v] = label[label[v]]``), which collapses chains
+    in O(log n) rounds instead of O(diameter).  All operations are
+    plain joins/groupBys shuffling on node id — no driver-side graph
+    state; each round is localCheckpoint-ed so lineage (and therefore
+    planning time) stays constant.  The per-round convergence check
+    is one count() action — the standard Spark iterative-algorithm
+    shape.  At 100 TB: near-dup components are tiny and shallow
+    (dup clusters, not social graphs), so rounds ≈ 3-5; every round
+    is one shuffle of the label table + one of the edge join.
+    """
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("node").alias("v"), F.col("label").alias("vl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vl").alias("nmin"))
+            .select(F.col("u").alias("node"), "nmin")
+        )
+        stepped = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        # pointer jump: label[v] <- label[label[v]] (total map: every
+        # node owns a label row, labels are node ids)
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("node").alias("label"), F.col("label").alias("ll")
+                ).alias("b"),
+                "label",
+            )
+            .select(F.col("node"), F.least("label", "ll").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Keep ONE document per near-duplicate cluster: the full dedup
+    pipeline tail (pairs → components → canonical filter).  The
+    canonical doc is the min-id member; docs that appear in no pair
+    survive untouched (left-anti against clustered non-canonicals —
+    the big side is never collected or recomputed per cluster)."""
+    comp = connected_components(pairs, src, dst)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def _md5_token_hash(col) -> F.Column:
     """First 32 bits of md5(token) as a non-negative long —
     reproducible in any engine (unlike murmur/xxhash)."""

@@ -208,3 +208,65 @@ def test_ngram_df_cap_binding_and_nonbinding(spark, sf_small):
     # capped universe can only shrink intersections for shared-boilerplate
     # pairs; near-dup pairs share many LOW-df shingles and survive
     assert tiny_cap, "DF cap destroyed all near-dup pairs"
+
+
+def _uf_components(edges):
+    """Python union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Chains, triangles, isolated pairs — the Spark iterative
+    min-label propagation must match python union-find exactly."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),          # chain -> comp 1
+        (10, 11), (11, 12), (10, 12),            # triangle -> comp 10
+        (20, 21),                                # pair -> comp 20
+        (30, 31), (32, 33), (31, 32),            # merged chains -> comp 30
+        (41, 40),                                # reversed order pair -> 40
+    ]
+    expected = _uf_components(edges)
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_dedup_canonical_end_to_end(spark, sf_small):
+    """Full dedup tail on the real corpus: minhash pairs -> clusters
+    -> one survivor per cluster; untouched docs all survive."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import (
+        dedup_canonical,
+        minhash_lsh_pairs,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    kept = dedup_canonical(docs, pairs)
+    pair_rows = pairs.select("doc_a", "doc_b").collect()
+    comp = _uf_components([(r.doc_a, r.doc_b) for r in pair_rows])
+    n_docs = docs.count()
+    n_losers = sum(1 for n, c in comp.items() if n != c)
+    assert kept.count() == n_docs - n_losers
+    assert n_losers > 0, "corpus has near-dups; dedup must remove some"
+    # every cluster's min-id member survives
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    for n, c in comp.items():
+        assert (n in kept_ids) == (n == c)
