@@ -83,7 +83,10 @@ def _pair_jaccard(shingles: DataFrame, candidates: DataFrame | None, id_col: str
     b = shingles.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
     pairs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
     if candidates is not None:
-        pairs = pairs.join(F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi")
+        # no broadcast hint: the candidate set scales with corpus size
+        # (linear via LSH, but linear-in-100TB is still huge) — AQE
+        # broadcasts while it fits and shuffles beyond.
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
     inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("intersection"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))

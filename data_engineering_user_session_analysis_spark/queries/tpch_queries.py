@@ -83,13 +83,17 @@ LIMIT 10
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈dim equi-join + aggregate + deterministic top-k.
 
-    The dimension (customer) is broadcast — no shuffle of the fact
-    side for the join; the top-k is a TakeOrderedAndProject, not a
-    global sort."""
+    Broadcast-hint policy (round 2): customer GROWS with scale factor
+    (~150k rows per SF unit — billions at 100 TB), so it carries NO
+    explicit broadcast hint; AQE/statistics broadcast it while it fits
+    the threshold and fall back to shuffle joins beyond.  Explicit
+    hints are reserved for BOUNDED tables (nation=25, region=5,
+    1-row aggregates, literal anchor sets).  The top-k is a
+    TakeOrderedAndProject, not a global sort."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     )
     return (
         joined.groupBy("c_custkey", "c_name")
@@ -103,8 +107,10 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snowflake join (fact → 3 dims): all dims broadcast, so the
-    whole join tree is map-side; one shuffle for the final agg.
+    """Snowflake join (fact → 3 dims): bounded dims (nation, region)
+    carry explicit broadcast hints; customer is SF-proportional so AQE
+    decides — at test SF the whole join tree is still map-side with
+    one shuffle for the final agg (plan-pinned).
 
     Not registry-listed (driver caps correctness rows at 50; see
     COVERAGE.md): the snowflake-join + countDistinct shape keeps a
@@ -116,7 +122,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     joined = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -196,9 +202,10 @@ WHERE rn = 1
 """,
 )
 def supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-1-per-group window over a 2-key aggregate, then a
-    broadcast dim join — the reference's W1 favorite-category idiom
-    at fact scale."""
+    """Top-1-per-group window over a 2-key aggregate, then a dim
+    join (supplier is SF-proportional → no explicit hint; AQE
+    broadcasts while it fits) — the reference's W1 favorite-category
+    idiom at fact scale."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     sp = li.groupBy("l_suppkey", "l_partkey").agg(
@@ -209,7 +216,7 @@ def supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = sp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return top.join(
-        F.broadcast(supplier), top.l_suppkey == supplier.s_suppkey
+        supplier, top.l_suppkey == supplier.s_suppkey
     ).select(
         "s_name",
         F.col("l_partkey").alias("top_partkey"),
@@ -240,7 +247,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: the fact-fact join (lineitem ⋈ orders on
     orderkey) the broadcast-dim queries don't exercise — at scale
     this is the sort-merge/shuffle-hash join with AQE skew handling;
-    filters push into both scans before the join."""
+    filters push into both scans before the join.  The filtered
+    customer side has no explicit broadcast hint (SF-proportional)."""
     customer = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -251,7 +259,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > "1997-01-01"
     )
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     )
     disc = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
@@ -345,7 +353,8 @@ GROUP BY n_name
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with a compound join condition
     (customer and supplier in the same nation) — the deepest join
-    tree in the surface; dims broadcast, facts shuffle on orderkey."""
+    tree in the surface; bounded dims (nation, region) broadcast by
+    hint, customer/supplier by AQE decision, facts shuffle on orderkey."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= "1996-01-01"
@@ -356,9 +365,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li.l_suppkey == supplier.s_suppkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )
