@@ -270,3 +270,18 @@ def test_dedup_canonical_end_to_end(spark, sf_small):
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
     for n, c in comp.items():
         assert (n in kept_ids) == (n == c)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 1000-node path graph needs O(log n) pointer-jump rounds, not
+    O(n) — convergence within max_iter=25 pins the jumping actually
+    works (plain neighbor propagation would need 999 rounds)."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import connected_components
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    comp = connected_components(pairs, max_iter=25).collect()
+    assert len(comp) == n
+    assert {r.component for r in comp} == {0}

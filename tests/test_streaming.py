@@ -361,3 +361,15 @@ def test_stateful_restart_recovers_session_state(spark, tmp_path):
     # all three events in ONE session spanning 20 minutes — proof the
     # restarted query recovered the open session from the state store
     assert sessions == [(3, 1200)], sessions
+
+
+def test_kafka_source_gate_is_informative(spark):
+    """S1 without the connector jar: the Kafka reader must fail fast
+    with a message pointing at the file-source twin, not a raw py4j
+    ClassNotFoundException at stream start."""
+    import pytest
+
+    from data_engineering_user_session_analysis_spark.streaming.ingest_stream import read_kafka_stream
+
+    with pytest.raises(RuntimeError, match="read_file_stream"):
+        read_kafka_stream(spark, "broker:9092")
