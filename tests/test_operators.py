@@ -285,3 +285,41 @@ def test_connected_components_long_chain_converges(spark):
     comp = connected_components(pairs, max_iter=25).collect()
     assert len(comp) == n
     assert {r.component for r in comp} == {0}
+
+
+def test_stratified_sample_quota_and_determinism(spark, sf_small):
+    """Exactly k per stratum, stable under repartitioning, and
+    strata-independent (removing one stratum leaves others' samples
+    untouched)."""
+    from data_engineering_user_session_analysis_spark.operators.sampling import stratified_sample
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    s1 = stratified_sample(docs, ["lang"], 10, "doc_id")
+    per_lang = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per_lang == {lang: min(10, n) for lang, n in sizes.items()}
+    # deterministic under a different partitioning
+    s2 = stratified_sample(docs.repartition(13), ["lang"], 10, "doc_id")
+    assert {r.doc_id for r in s1.collect()} == {r.doc_id for r in s2.collect()}
+    # dropping one stratum leaves the others' picks unchanged
+    langs = sorted(sizes)
+    rest = stratified_sample(docs.filter(F.col("lang") != langs[0]), ["lang"], 10, "doc_id")
+    s1_rest = {r.doc_id for r in s1.filter(F.col("lang") != langs[0]).collect()}
+    assert {r.doc_id for r in rest.collect()} == s1_rest
+
+
+def test_hash_bernoulli_sample_rate_and_stability(spark, sf_small):
+    """~rate fraction kept, identical rows on every invocation and
+    partition layout, filter-only plan (no shuffle)."""
+    from data_engineering_user_session_analysis_spark.operators.sampling import hash_bernoulli_sample
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    s = hash_bernoulli_sample(docs, "doc_id", 0.2)
+    n, total = s.count(), docs.count()
+    assert 0.1 * total < n < 0.3 * total, (n, total)
+    again = hash_bernoulli_sample(docs.repartition(7), "doc_id", 0.2)
+    assert {r.doc_id for r in s.collect()} == {r.doc_id for r in again.collect()}
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
