@@ -323,3 +323,43 @@ def test_hash_bernoulli_sample_rate_and_stability(spark, sf_small):
     assert {r.doc_id for r in s.collect()} == {r.doc_id for r in again.collect()}
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_range_join_equals_naive_and_is_equi(spark, sf_small):
+    """Binned range join == naive cross-join range filter, and the
+    plan is an equi-join (no cartesian/nested-loop)."""
+    from data_engineering_user_session_analysis_spark.operators.range_join import range_join
+    from data_engineering_user_session_analysis_spark.operators.sessionize import sessionize
+
+    ev = load_events(spark, sf_small).select("event_id", "ts", "user_id")
+    # intervals: each user's per-session [start, end] windows
+    sessions = (
+        sessionize(load_events(spark, sf_small), order_cols=("event_id",))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("w_start"), F.max("ts").alias("w_end"))
+    )
+    binned = range_join(
+        ev,
+        sessions,
+        point_ts="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bin_width_seconds=1800,
+        extra_keys=("user_id",),
+    )
+    naive = (
+        ev.alias("p")
+        .join(sessions.alias("i"), "user_id")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end")))
+    )
+    got = {(r.event_id, r.session_id) for r in binned.collect()}
+    want = {(r.event_id, r.session_id) for r in naive.collect()}
+    assert got == want and got, "binned range join diverged from naive"
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # semi variant: every event lands in its own session's window
+    semi = range_join(
+        ev, sessions, "ts", "w_start", "w_end", 1800, ("user_id",), how="left_semi"
+    )
+    assert semi.count() == ev.count()
