@@ -210,11 +210,16 @@ def connected_components(
     in O(log n) rounds instead of O(diameter).  All operations are
     plain joins/groupBys shuffling on node id — no driver-side graph
     state; each round is localCheckpoint-ed so lineage (and therefore
-    planning time) stays constant.  The per-round convergence check
-    is one count() action — the standard Spark iterative-algorithm
-    shape.  At 100 TB: near-dup components are tiny and shallow
-    (dup clusters, not social graphs), so rounds ≈ 3-5; every round
-    is one shuffle of the label table + one of the edge join.
+    planning time) stays constant.  The convergence check is one
+    count() action run every SECOND round (plus the last): pointer
+    jumping converges in O(log n) rounds, so one potentially
+    redundant extra round is cheaper than doubling the action count —
+    a no-change round is a fixed point, so comparing round 2k's
+    labels against round 2k-1's detects convergence exactly one
+    round late at worst.  At 100 TB: near-dup components are tiny
+    and shallow (dup clusters, not social graphs), so rounds ≈ 3-5;
+    every round is one shuffle of the label table + one of the edge
+    join.
     """
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = edges.union(
@@ -226,7 +231,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         neighbor_min = (
             edges.join(
                 labels.select(F.col("node").alias("v"), F.col("label").alias("vl")),
@@ -258,15 +263,17 @@ def connected_components(
             .select(F.col("node"), F.least("label", "ll").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        prev = labels
         labels = jumped
-        if changed == 0:
-            break
+        if round_no % 2 == 0 or round_no == max_iter:
+            changed = (
+                jumped.alias("n")
+                .join(prev.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if changed == 0:
+                break
     return labels.select("node", F.col("label").alias("component"))
 
 

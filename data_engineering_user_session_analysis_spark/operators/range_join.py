@@ -29,6 +29,9 @@ def _bin(col: Column, width_micros: int) -> Column:
     return F.floor(epoch_micros(col) / F.lit(width_micros)).cast("long")
 
 
+_BIN = "__range_join_bin__"
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -38,39 +41,68 @@ def range_join(
     bin_width_seconds: int = 3600,
     extra_keys: tuple[str, ...] = (),
     how: str = "inner",
+    point_key: str | None = None,
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``start <= ts <= end`` (and equal ``extra_keys``, e.g. user_id)
     via bin equi-join + residual filter.
 
-    ``how`` supports "inner" (matched pairs) and "left_semi" (points
-    that fall in at least one interval).  Columns from both inputs
-    survive an inner join; name collisions beyond ``extra_keys`` must
-    be resolved by the caller beforehand.
+    ``how`` supports:
+
+    * ``"inner"`` — matched (point, interval) pairs; columns from
+      both inputs survive.  Name collisions beyond ``extra_keys``
+      must be resolved by the caller beforehand.
+    * ``"left"`` — every point row, interval columns null where no
+      interval contains the point.  Requires ``point_key`` (a column
+      that uniquely identifies a point row, e.g. event_id): matched
+      rows come from the inner path, unmatched via left-anti on the
+      key, so duplicate *matches* fan out exactly like a true range
+      left join.
+    * ``"left_semi"`` — points that fall in at least one interval.
+      With ``point_key`` this is a true left-semi (duplicate point
+      rows sharing a key all survive, exactly one output row per
+      input row); without it the fallback collapses to DISTINCT full
+      point rows (EXISTS over row *values* — duplicated input rows
+      merge; pass ``point_key`` when that matters).
+
+    Both inputs must be free of the reserved internal bin column
+    (``__range_join_bin__``).
     """
-    if how not in ("inner", "left_semi"):
+    if how not in ("inner", "left", "left_semi"):
         raise ValueError(f"unsupported join type: {how}")
+    if how == "left" and point_key is None:
+        raise ValueError("how='left' requires point_key (unique point row id)")
+    for side, df in (("points", points), ("intervals", intervals)):
+        if _BIN in df.columns:
+            raise ValueError(f"{side} input already has reserved column {_BIN}")
     width = bin_width_seconds * 1_000_000
-    p = points.withColumn("_bin", _bin(F.col(point_ts), width))
+    p = points.withColumn(_BIN, _bin(F.col(point_ts), width))
     i = intervals.withColumn(
-        "_bin",
+        _BIN,
         F.explode(
             F.sequence(
                 _bin(F.col(start_col), width), _bin(F.col(end_col), width)
             )
         ),
     )
-    on = ["_bin", *extra_keys]
+    on = [_BIN, *extra_keys]
     residual = (F.col(point_ts) >= F.col(start_col)) & (
         F.col(point_ts) <= F.col(end_col)
     )
     if how == "left_semi":
-        # a point inside several intervals matches once per interval;
-        # collapse back to distinct point rows for EXISTS semantics
-        return (
-            p.join(i.select(*on, start_col, end_col), on)
-            .filter(residual)
-            .select(*points.columns)
-            .distinct()
+        matched = p.join(i.select(*on, start_col, end_col), on).filter(residual)
+        if point_key is not None:
+            # true EXISTS: left-semi against the distinct matched-key
+            # set — duplicate point rows sharing a key all survive
+            return points.join(
+                matched.select(point_key).distinct(), point_key, "left_semi"
+            )
+        # fallback EXISTS over row values: duplicated inputs collapse
+        return matched.select(*points.columns).distinct()
+    inner = p.join(i, on).filter(residual).drop(_BIN)
+    if how == "left":
+        unmatched = points.join(
+            inner.select(point_key).distinct(), point_key, "left_anti"
         )
-    return p.join(i, on).filter(residual).drop("_bin")
+        return inner.unionByName(unmatched, allowMissingColumns=True)
+    return inner

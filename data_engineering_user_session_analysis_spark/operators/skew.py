@@ -39,6 +39,7 @@ def salted_agg(
     keys: list[str],
     aggs: dict[str, tuple[str, str | Column]],
     buckets: int = 16,
+    row_key: str | None = None,
 ) -> DataFrame:
     """Two-phase aggregation over salted keys.
 
@@ -46,20 +47,40 @@ def salted_agg(
     {sum, count, min, max}.  Result is identical to a direct
     ``groupBy(keys).agg(...)`` — pinned by the oracle of the query
     that uses it.
+
+    ``row_key`` names a per-row UNIQUE column (event id, line id);
+    when given, the salt is ``pmod(hash(row_key), buckets)`` —
+    deterministic under task retry.  Prefer it whenever the data has
+    one: the fallback salt below is derived from
+    ``monotonically_increasing_id()/spark_partition_id()``, which are
+    nondeterministic across map-task re-execution — after a
+    shuffle-fetch failure, rerun tasks can re-salt rows into reduce
+    partitions that were already fetched, duplicating or dropping
+    rows in the phase-1 aggregate (the SPARK-23207 class of bug).
+    The fallback is therefore only safe where a stage retry forces
+    full-stage recomputation (e.g. the first stage after a
+    deterministic source scan, barrier mode, or single-attempt jobs).
     """
     unknown = {fn for fn, _ in aggs.values()} - set(_PARTIAL)
     if unknown:
         raise ValueError(f"non-algebraic aggregate(s) not salt-safe: {unknown}")
-    # Salt from a per-ROW source, not row content: a hot key made of
-    # many IDENTICAL rows (the realistic skew case) must still spread
-    # across buckets, and content-hash salting would put them all in
-    # one.  Determinism of the salt is irrelevant — phase 2
-    # re-aggregates per key, so any assignment merges to the same
-    # result.
-    salt = F.pmod(
-        F.hash(F.monotonically_increasing_id(), F.spark_partition_id()),
-        F.lit(buckets),
-    )
+    if row_key is not None:
+        # Deterministic per-row salt: unique row ids spread a hot key
+        # of IDENTICAL payload rows across buckets AND re-salt
+        # identically on retry.
+        salt = F.pmod(F.hash(F.col(row_key)), F.lit(buckets))
+    else:
+        # Salt from a per-ROW source, not row content: a hot key made
+        # of many IDENTICAL rows (the realistic skew case) must still
+        # spread across buckets, and content-hash salting would put
+        # them all in one.  Merge correctness never depends on the
+        # assignment (phase 2 re-aggregates per key) — but see the
+        # retry hazard in the docstring; pass ``row_key`` when the
+        # data has a unique column.
+        salt = F.pmod(
+            F.hash(F.monotonically_increasing_id(), F.spark_partition_id()),
+            F.lit(buckets),
+        )
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")

@@ -287,5 +287,6 @@ def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value": ("sum", F.col("value").cast("decimal(18,2)")),
         },
         buckets=16,
+        row_key="event_id",  # deterministic salt — retry-safe at scale
     )
     return out.withColumn("total_value", F.col("total_value").cast("double"))

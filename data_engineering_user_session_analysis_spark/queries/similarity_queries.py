@@ -319,12 +319,13 @@ def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_centroids",
     """
 WITH dims AS (
-  SELECT label, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
+  SELECT label, i AS dim,
+    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e9) AS BIGINT) AS xq
   FROM embeddings,
     LATERAL (SELECT unnest(range(len(embedding))) AS i)
 )
 SELECT label, CAST(dim AS INT) AS dim,
-  round(avg(x), 6) AS mean_x,
+  CAST(sum(xq) AS DOUBLE) / (count(*) * 1e9) AS mean_x,
   CAST(count(*) AS BIGINT) AS n_vectors
 FROM dims GROUP BY label, dim
 """,
@@ -337,19 +338,36 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-1 shape returned `centroid: array<double>`, which the
     driver's pandas canonicalizer cannot hash (unhashable list cell);
     exploded rows are both hashable AND let the oracle run a full
-    value check.  Means are rounded to 1e-6: a distributed float mean
-    has no summation-order guarantee, and the rounding absorbs the
-    ~1e-16 partial-order wobble while remaining a real correctness
-    gate.  This query also carries the table-profile row count
+    value check.
+
+    Determinism (decimal-first rule): a distributed float mean has no
+    summation-order guarantee, and round 2's ``round(avg, 6)`` patch
+    still flakes when a mean lands within the ~1e-16 wobble of a
+    0.5e-6 rounding boundary.  Instead each component is quantized
+    ONCE with a single IEEE op pair — ``floor(x * 1e9)`` on the
+    exactly-widened double — which is bit-identical in any engine,
+    then summed as exact integers (order-free), and the mean is ONE
+    final IEEE division of exactly-representable operands.  No
+    rounding step remains anywhere, so there is no tie to flake on;
+    the quantized mean differs from the true mean by < 1e-9 per
+    component.  This query also carries the table-profile row count
     (`n_vectors` per label) that round 1's separate `embedding_norms`
     query reported — see COVERAGE.md."""
     emb = load_table(spark, sf_dir, "embeddings")
+    xq = F.floor(F.col("x").cast("double") * F.lit(1e9)).cast("long")
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(
-            F.round(F.avg(F.col("x").cast("double")), 6).alias("mean_x"),
+            F.sum(xq).alias("sum_q"),
             F.count("*").alias("n_vectors"),
         )
-        .select("label", F.col("dim").cast("int").alias("dim"), "mean_x", "n_vectors")
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            (F.col("sum_q").cast("double") / (F.col("n_vectors") * F.lit(1e9))).alias(
+                "mean_x"
+            ),
+            "n_vectors",
+        )
     )

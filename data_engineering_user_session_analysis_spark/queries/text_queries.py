@@ -67,12 +67,12 @@ _RECRAWL_PRED = (
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  SELECT -(doc_id + 1) AS doc_id, text FROM documents
   WHERE {_RECRAWL_PRED}
 )
 SELECT md5(text) AS text_hash,
   CAST(count(*) AS BIGINT) AS dup_count,
-  CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+  CAST(min(CASE WHEN doc_id >= 0 THEN doc_id END) AS BIGINT) AS canonical_doc_id
 FROM corpus
 GROUP BY md5(text)
 HAVING count(*) > 1
@@ -85,24 +85,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     document bytes to 32 hex chars.
 
     The deduped corpus is the documents table plus a deterministic
-    ~10% "re-crawled shard" (same texts, shifted ids — the scenario
+    ~10% "re-crawled shard" (same texts, synthetic ids — the scenario
     exact dedup exists for; both engines build the identical union).
     Round 1 ran the bare table, which the fixture generator keeps
     exact-dup-free, so the green row was vacuous (0 rows); this row
-    asserts real collapse (~50 duplicate groups at sf0.01)."""
+    asserts real collapse (~50 duplicate groups at sf0.01).
+
+    The synthetic shard uses the NEGATED id space (``-(doc_id+1)``)
+    so it can never collide with genuine ids at any scale factor
+    (round 2 shifted by +1e6, which a large-enough corpus overruns),
+    and the canonical id is the min over GENUINE (non-negative) ids —
+    identical output to the shifted-id construction at every SF."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long") % 10
     recrawl = docs.filter(bucket == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        "doc_id", -(F.col("doc_id") + F.lit(1))
     )
     corpus = docs.unionByName(recrawl)
     return (
         corpus.groupBy(F.md5("text").alias("text_hash"))
         .agg(
             F.count("*").alias("dup_count"),
-            F.min("doc_id").alias("canonical_doc_id"),
+            F.min(F.when(F.col("doc_id") >= 0, F.col("doc_id"))).alias(
+                "canonical_doc_id"
+            ),
         )
         .filter(F.col("dup_count") > 1)
     )

@@ -97,21 +97,28 @@ def apply_ddl_jdbc(spark, url: str, ddl: str) -> bool:
     works with any driver on Spark's classpath (embedded Derby in
     tests; Postgres/MySQL in production).  Statements run one at a
     time; already-exists / not-found errors are treated as idempotent
-    success so drop+create scripts re-run cleanly."""
+    success so drop+create scripts re-run cleanly.
+
+    Statement splitting is a plain ``';'`` split: scripts must not
+    contain semicolons inside string literals (``ddl_for_schema``
+    output never does; callers passing arbitrary DDL must respect the
+    same constraint)."""
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         st = conn.createStatement()
-        for stmt in (s.strip() for s in ddl.split(";")):
-            if not stmt:
-                continue
-            try:
-                st.execute(stmt)
-            except Exception as exc:  # py4j wraps SQLException
-                state = getattr(getattr(exc, "java_exception", None), "getSQLState", lambda: "")()
-                if state not in _IDEMPOTENT_SQLSTATES:
-                    raise
-        st.close()
+        try:
+            for stmt in (s.strip() for s in ddl.split(";")):
+                if not stmt:
+                    continue
+                try:
+                    st.execute(stmt)
+                except Exception as exc:  # py4j wraps SQLException
+                    state = getattr(getattr(exc, "java_exception", None), "getSQLState", lambda: "")()
+                    if state not in _IDEMPOTENT_SQLSTATES:
+                        raise
+        finally:
+            st.close()
     finally:
         conn.close()
     return True

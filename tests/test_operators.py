@@ -363,3 +363,123 @@ def test_range_join_equals_naive_and_is_equi(spark, sf_small):
         ev, sessions, "ts", "w_start", "w_end", 1800, ("user_id",), how="left_semi"
     )
     assert semi.count() == ev.count()
+
+
+def test_range_join_left_equals_naive(spark, sf_small):
+    """how='left' == naive left range join (matched rows fan out,
+    unmatched points survive with null interval columns) against a
+    PARTIAL interval set, so both branches are exercised."""
+    from data_engineering_user_session_analysis_spark.operators.range_join import range_join
+    from data_engineering_user_session_analysis_spark.operators.sessionize import sessionize
+
+    ev = load_events(spark, sf_small).select("event_id", "ts", "user_id")
+    # only purchase sessions: most events fall OUTSIDE every interval
+    s = sessionize(load_events(spark, sf_small), order_cols=("event_id",))
+    sessions = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("w_start"),
+            F.max("ts").alias("w_end"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "has_purchase"
+            ),
+        )
+        .filter(F.col("has_purchase") == 1)
+        .drop("has_purchase")
+    )
+    left = range_join(
+        ev,
+        sessions,
+        point_ts="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bin_width_seconds=1800,
+        extra_keys=("user_id",),
+        how="left",
+        point_key="event_id",
+    )
+    naive_inner = (
+        ev.join(sessions, "user_id")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end")))
+        .select("event_id", "session_id")
+    )
+    naive_matched = {(r.event_id, r.session_id) for r in naive_inner.collect()}
+    matched_ids = {e for e, _ in naive_matched}
+    naive_left = naive_matched | {
+        (r.event_id, None)
+        for r in ev.collect()
+        if r.event_id not in matched_ids
+    }
+    got = {(r.event_id, r.session_id) for r in left.collect()}
+    assert got == naive_left
+    # load-bearing: both matched and unmatched branches non-empty
+    assert matched_ids and len(matched_ids) < ev.count()
+
+
+def test_range_join_left_semi_preserves_duplicate_rows(spark):
+    """With point_key, left_semi is a true EXISTS: duplicate point
+    rows sharing a key all survive (the no-key fallback collapses
+    them — the documented limitation)."""
+    import datetime
+
+    from data_engineering_user_session_analysis_spark.operators.range_join import range_join
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    pts = spark.createDataFrame(
+        [(1, t0), (1, t0), (2, t0 + datetime.timedelta(hours=6))],
+        "pid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(t0 - datetime.timedelta(minutes=5), t0 + datetime.timedelta(minutes=5))],
+        "w_start timestamp, w_end timestamp",
+    )
+    true_semi = range_join(
+        pts, iv, "ts", "w_start", "w_end", 3600, how="left_semi", point_key="pid"
+    )
+    assert true_semi.count() == 2  # both duplicate pid=1 rows survive
+    fallback = range_join(pts, iv, "ts", "w_start", "w_end", 3600, how="left_semi")
+    assert fallback.count() == 1  # documented value-collapse fallback
+
+
+def test_range_join_reserved_bin_column_guarded(spark):
+    import datetime
+
+    import pytest as _pytest
+
+    from data_engineering_user_session_analysis_spark.operators.range_join import _BIN, range_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([(1, t0)], "pid long, ts timestamp").withColumn(
+        _BIN, F.lit(0)
+    )
+    iv = spark.createDataFrame([(t0, t0)], "w_start timestamp, w_end timestamp")
+    with _pytest.raises(ValueError, match="reserved column"):
+        range_join(pts, iv, "ts", "w_start", "w_end")
+
+
+def test_connected_components_batched_convergence_actions(spark, monkeypatch):
+    """Convergence is checked every SECOND round: the count() action
+    tally must be about half the rounds a per-round checker would
+    spend, while the result stays exact."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import connected_components
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    # patch the CONCRETE DataFrame class (pyspark 4 routes instances
+    # through pyspark.sql.classic, not the pyspark.sql.DataFrame ABC)
+    cls = type(pairs)
+    calls = {"n": 0}
+    orig = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    comp = connected_components(pairs, max_iter=25).collect()
+    assert len(comp) == n and {r.component for r in comp} == {0}
+    # a 256-chain needs ~6-8 pointer-jump rounds; per-round checking
+    # would spend that many count() actions, every-2 spends <= 5
+    assert 0 < calls["n"] <= 5, calls["n"]
