@@ -1,13 +1,24 @@
 """Near-duplicate detection queries over `documents` — exact n-gram
 Jaccard (ground truth, DF-capped shingles), MinHash+LSH (the 100 TB
-path, verified so its output matches the exact oracle), and SimHash
-near-pairs (md5-derived bits, pigeonhole-blocked candidates).
+path, verified so its output matches the exact oracle), SimHash
+near-pairs (md5-derived bits, pigeonhole-blocked candidates), and
+cluster-level dedup (pairs → connected components → canonical ids —
+the step that turns pairwise output into actual deduplication).
 
-The SimHash *fingerprint* operator has no separate registry entry
-(round 1's ``simhash_fingerprints`` — see COVERAGE.md): the
-``simhash_near_pairs`` oracle recomputes every fingerprint from raw
-text in DuckDB, so a fingerprint defect would break that row's hash
-match — the operator stays fully oracle-checked through its consumer.
+Consolidations (the driver caps correctness rows at 50 — COVERAGE.md
+has the full mapping):
+
+* The SimHash *fingerprint* operator has no separate registry entry
+  (round 1's ``simhash_fingerprints``): the ``simhash_near_pairs``
+  oracle recomputes every fingerprint from raw text in DuckDB, so a
+  fingerprint defect would break that row's hash match.
+* Round 2's ``dedup_ngram_jaccard`` row is retired (round 3): the
+  exact-Jaccard expressions ARE the verify tier inside
+  ``dedup_minhash_lsh`` (same ``_pair_jaccard`` code path), and that
+  row's oracle is the exact uncapped Jaccard query — a defect in the
+  n-gram/Jaccard math breaks the minhash row's hash match.  The
+  operator (incl. the stop-shingle DF cap) stays pytest-pinned
+  (tests/test_operators.py) and callable.
 """
 
 from __future__ import annotations
@@ -16,10 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_user_session_analysis_spark.operators.dedup import (
-    DEFAULT_MAX_SHINGLE_DF,
     SIMHASH_BITS,
+    connected_components,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
     simhash_pairs,
 )
 from data_engineering_user_session_analysis_spark.queries import register
@@ -28,10 +38,12 @@ from data_engineering_user_session_analysis_spark.sources.tables import load_tab
 _JACCARD_THRESHOLD = 0.5
 
 
-def _ngram_jaccard_sql(max_shingle_df: int | None) -> str:
-    """Jaccard-pair oracle; optionally with the stop-shingle DF cap
-    (mirrored from operators/dedup.py so the capped plan stays fully
-    hash-checked even when the cap binds)."""
+def _jaccard_pair_ctes(max_shingle_df: int | None) -> str:
+    """Shared oracle CTE chain ending in ``jpairs(doc_a, doc_b,
+    intersection, jaccard)`` — the exact-Jaccard pairs at the
+    threshold, optionally under the stop-shingle DF cap (mirrored
+    from operators/dedup.py so a capped plan stays hash-checked even
+    when the cap binds)."""
     cap_cte = (
         f""", dfc AS (
   SELECT s FROM sh GROUP BY s HAVING count(*) <= {max_shingle_df}
@@ -41,8 +53,7 @@ def _ngram_jaccard_sql(max_shingle_df: int | None) -> str:
         if max_shingle_df is not None
         else ", shc AS (SELECT doc_id, s FROM sh)"
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -55,27 +66,20 @@ WITH toks AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
   FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+), jpairs AS (
+  SELECT doc_a, doc_b, CAST(c AS BIGINT) AS intersection,
+    c / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE c / CAST(sa.n + sb.n - c AS DOUBLE) >= {_JACCARD_THRESHOLD}
+)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    "WITH " + _jaccard_pair_ctes(None) + "\nSELECT * FROM jpairs",
 )
-SELECT doc_a, doc_b, CAST(c AS BIGINT) AS intersection,
-  c / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE c / CAST(sa.n + sb.n - c AS DOUBLE) >= {_JACCARD_THRESHOLD}
-"""
-
-
-@register("dedup_ngram_jaccard", _ngram_jaccard_sql(DEFAULT_MAX_SHINGLE_DF))
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join,
-    stop-shingle DF ceiling bounding the quadratic blowup at scale)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        docs, threshold=_JACCARD_THRESHOLD, max_shingle_df=DEFAULT_MAX_SHINGLE_DF
-    )
-
-
-@register("dedup_minhash_lsh", _ngram_jaccard_sql(None))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs.  Oracle = the exact (uncapped)
     Jaccard method: every emitted pair is exact-Jaccard-verified
@@ -128,3 +132,58 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=2)
+
+
+@register(
+    "dedup_clusters",
+    "WITH RECURSIVE "
+    + _jaccard_pair_ctes(None)
+    + """
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jpairs
+), reach AS (
+  -- transitive closure: every node reaches itself and, recursively,
+  -- its neighbors' reachable sets (UNION dedups -> terminates)
+  SELECT DISTINCT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v AS r FROM reach JOIN edges e ON reach.r = e.u
+), comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+), sized AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT comp.node AS doc_id,
+  CAST(comp.component AS BIGINT) AS canonical_doc_id,
+  CAST(sized.cluster_size AS BIGINT) AS cluster_size,
+  comp.node = comp.component AS is_canonical
+FROM comp JOIN sized ON comp.component = sized.component
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup — the tail of the pipeline that makes
+    near-dup detection actually DEDUPLICATE: MinHash+LSH verified
+    pairs → connected components (pointer-jumped min-label
+    propagation, `operators/dedup.py:connected_components`) → one
+    canonical (min-id) doc per cluster, with cluster sizes.
+
+    The oracle replays the exact-Jaccard pair graph and computes
+    min-label components via a recursive transitive-closure CTE —
+    min-label components are deterministic, so this is a full
+    hash-checked row, not rows-only.  Scale shape: O(log n) rounds of
+    plain label-table joins (near-dup clusters are tiny and shallow,
+    so rounds ≈ 3-5 in practice); no driver-side graph state.  The
+    keep-one filter itself (`dedup_canonical`) is the trivial
+    left-anti consumer of this output, pinned end-to-end in
+    tests/test_operators.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_doc_id"),
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

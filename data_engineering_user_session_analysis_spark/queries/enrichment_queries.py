@@ -85,3 +85,71 @@ def session_rollup_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     formats differ across engines)."""
     s = sessionize(load_events(spark, sf_dir), order_cols=("event_id",))
     return session_rollup_full(s, with_events_json=False)
+
+
+@register(
+    "session_event_attribution",
+    _SESSIONIZED_CTE
+    + """
+, purchase_sessions AS (
+  SELECT user_id,
+    session_id AS purchase_session_id,
+    min(ts) AS w_start, max(ts) AS w_end
+  FROM sessionized
+  GROUP BY user_id, session_id
+  HAVING max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+)
+SELECT e.event_id, e.user_id, s.purchase_session_id
+FROM events e
+LEFT JOIN purchase_sessions s
+  ON e.user_id = s.user_id AND e.ts >= s.w_start AND e.ts <= s.w_end
+""",
+)
+def session_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-to-interval attribution via the binned range join
+    (`operators/range_join.py`) — the reference's own domain: sessions
+    have [start, end] windows (the `user_session` serving DDL,
+    ``spark_jobs/spark_stream.py:116-131``), and each raw event is
+    attributed to the purchase-session window containing it, or to
+    NULL if it falls outside every one (``how="left"``).
+
+    The oracle is the naive BETWEEN left join; the engine path is the
+    bin equi-join + residual filter + left-anti unmatched union — a
+    plain shuffle on (bin, user_id) instead of the
+    BroadcastNestedLoopJoin a raw range predicate plans as (plan shape
+    pinned in tests/test_plans.py).  Gap-derived sessions of one user
+    never overlap, so each event matches at most one window and the
+    output stays exactly one row per event."""
+    from data_engineering_user_session_analysis_spark.operators.range_join import range_join
+
+    ev = load_events(spark, sf_dir)
+    s = sessionize(ev, order_cols=("event_id",))
+    sessions = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("w_start"),
+            F.max("ts").alias("w_end"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("has_purchase"),
+        )
+        .filter(F.col("has_purchase") == 1)
+        .select(
+            "user_id",
+            F.col("session_id").alias("purchase_session_id"),
+            "w_start",
+            "w_end",
+        )
+    )
+    points = ev.select("event_id", "user_id", "ts")
+    return range_join(
+        points,
+        sessions,
+        point_ts="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bin_width_seconds=1800,
+        extra_keys=("user_id",),
+        how="left",
+        point_key="event_id",
+    ).select("event_id", "user_id", "purchase_session_id")

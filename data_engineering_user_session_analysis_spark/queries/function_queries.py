@@ -13,7 +13,10 @@ family keeps a driver-checked row inside the cap:
 * ``event_window_functions`` = ranking_functions +
   trailing_hour_activity + null_handling_functions (events, event
   grain; both window specs share the user_id hash partitioning).
-* ``props_map_stats`` unchanged (MapType schema-on-read surface).
+* ``props_map_stats`` retired in round 3: the MapType schema-on-read
+  surface (map decode, map_keys, map element access) now lives in
+  ``props_extract`` (session_queries.py) next to the StructType
+  decode — one row checks both JSON read paths.
 * date arithmetic lives in ``customer_running_total``
   (relational_queries.py); ROLLUP grouping-sets in ``docs_cube``
   (CUBE is the superset demo, same Expand operator); UNPIVOT inside
@@ -178,37 +181,3 @@ def event_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "props_map_stats",
-    """
-SELECT k_key,
-  CAST(count(*) AS BIGINT) AS n_events,
-  CAST(sum(k_value) AS BIGINT) AS sum_value,
-  CAST(min(k_value) AS BIGINT) AS min_value,
-  CAST(max(k_value) AS BIGINT) AS max_value
-FROM (
-  SELECT k AS k_key, CAST(props ->> k AS BIGINT) AS k_value
-  FROM events, unnest(json_keys(props)) AS t(k)
-)
-GROUP BY k_key
-""",
-)
-def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MapType surface: parse the JSON payload as map<string,long>,
-    explode entries, aggregate per key — the schema-on-read path for
-    open-ended event properties (vs the fixed-struct decode of
-    props_extract)."""
-    from pyspark.sql import types as T
-
-    ev = load_events(spark, sf_dir)
-    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
-    return (
-        ev.select(F.explode(m).alias("k_key", "k_value"))
-        .groupBy("k_key")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum("k_value").alias("sum_value"),
-            F.min("k_value").alias("min_value"),
-            F.max("k_value").alias("max_value"),
-        )
-    )

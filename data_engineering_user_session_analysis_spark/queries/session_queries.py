@@ -267,22 +267,45 @@ def hourly_traffic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
   CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-  CAST(count(CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 1 END) AS BIGINT) AS n_high_k
+  CAST(count(CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 1 END) AS BIGINT) AS n_high_k,
+  CAST(sum(len(json_keys(props))) AS BIGINT) AS n_prop_entries,
+  CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """,
 )
 def props_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload decode (reference F7 `from_json`,
-    ``spark_jobs/spark_stream.py:57``): parse the props JSON with an
-    explicit schema — no inference on the hot path — and aggregate a
-    nested field."""
+    ``spark_jobs/spark_stream.py:57``) through BOTH read paths in one
+    row: the fixed-StructType decode (explicit schema, no inference
+    on the hot path — ``sum_k``/``n_high_k``) AND the schema-on-read
+    MapType decode (open-ended keys — entry counts via ``map_keys``,
+    ``min_k``/``max_k`` through map element access).  Round 3 folded
+    the former separate ``props_map_stats`` registry entry in here
+    (driver 50-row cap; COVERAGE.md) — a defect in either decode path
+    breaks this row's hash match."""
+    from pyspark.sql import types as T
+
     from data_engineering_user_session_analysis_spark.sources.events import PROPS_SCHEMA
 
     ev = load_events(spark, sf_dir)
     k = F.from_json("props", PROPS_SCHEMA).getField("k")
-    return ev.withColumn("k", k).groupBy("event_type").agg(
-        F.sum("k").alias("sum_k"),
-        F.count(F.when(F.col("k") > 50, 1)).alias("n_high_k"),
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return (
+        ev.select(
+            "event_type",
+            k.alias("k"),
+            F.size(F.map_keys(m)).cast("long").alias("n_entries"),
+            m.getItem("k").alias("mk"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high_k"),
+            F.sum("n_entries").alias("n_prop_entries"),
+            F.min("mk").alias("min_k"),
+            F.max("mk").alias("max_k"),
+        )
     )
 
 

@@ -297,21 +297,75 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_event_stats")  # no oracle: sketch outputs are engine-specific
+@register(
+    "approx_event_stats",
+    """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+  quantile_cont(value, 0.5) AS exact_p50,
+  quantile_cont(value, 0.99) AS exact_p99,
+  TRUE AS hll_within_rtol,
+  TRUE AS p50_within_rtol,
+  TRUE AS p99_in_tail_bracket
+FROM events GROUP BY event_type
+""",
+)
 def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based statistics — the 100 TB variants of countDistinct
-    and percentile (single-pass, mergeable, bounded memory).  HLL++ /
-    KLL outputs are implementation-specific, so the driver records a
-    rows-only check; exactness is covered by the exact twins
-    (funnel, value_percentiles)."""
+    and percentile (single-pass, mergeable, bounded memory: HLL++ and
+    the percentile_approx sketch).
+
+    Raw sketch outputs are engine-specific, so round 2 recorded a
+    rows-only check.  This round makes the row fully hash-checked and
+    the sketches LOAD-BEARING: the plan computes the exact twins in
+    the same aggregation and emits in-plan relative-error booleans
+    (``abs(approx - exact) <= rtol * |exact|``); the oracle checks
+    the exact columns by value and expects every error flag TRUE.  A
+    broken sketch (or a tolerance blowout) flips a boolean and fails
+    the hash — while the hashed values themselves stay
+    engine-neutral.  Tolerances: HLL++ default rsd is 5%, checked at
+    20%; the p50 sketch at 10% relative error; the p99 sketch with a
+    BRACKET check (lands in [exact p95, max]) — at small group counts
+    the sketch legitimately returns a tail ELEMENT that can sit far
+    from the interpolated exact p99 in relative terms (24% on the
+    sf0.001 fixture), while the bracket stays scale-independent and
+    still fails on any genuinely broken sketch."""
     from data_engineering_user_session_analysis_spark.sources.events import load_events
 
+    def within(approx: str, exact: str, rtol: float):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.lit(rtol) * F.abs(F.col(exact)) + F.lit(1e-9)
+        )
+
     ev = load_events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_p50"),
-        F.percentile_approx("value", 0.99).alias("approx_p99"),
+    agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.99)").alias("exact_p99"),
+        F.expr("percentile(value, 0.95)").alias("_exact_p95"),
+        F.max("value").alias("_max_value"),
+        F.approx_count_distinct("user_id").alias("_approx_users"),
+        F.percentile_approx("value", 0.5).alias("_approx_p50"),
+        F.percentile_approx("value", 0.99).alias("_approx_p99"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        "exact_p50",
+        "exact_p99",
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            <= F.lit(0.2) * F.col("exact_users")
+        ).alias("hll_within_rtol"),
+        within("_approx_p50", "exact_p50", 0.1).alias("p50_within_rtol"),
+        (
+            (F.col("_approx_p99") >= F.col("_exact_p95"))
+            & (F.col("_approx_p99") <= F.col("_max_value"))
+        ).alias("p99_in_tail_bracket"),
     )
 
 

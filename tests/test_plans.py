@@ -86,3 +86,12 @@ def test_event_window_functions_single_exchange(spark, sf_small):
     once and re-sort, not shuffle per window."""
     plan = _plan(spark, sf_small, "event_window_functions")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_session_event_attribution_is_equi_join(spark, sf_small):
+    """The range-attribution query must plan the binned EQUI-join +
+    residual filter — a raw BETWEEN join predicate would plan as a
+    BroadcastNestedLoopJoin (O(|events|·|sessions|) at 100 TB)."""
+    plan = _plan(spark, sf_small, "session_event_attribution")
+    assert "CartesianProduct" not in plan, "attribution plans a cartesian"
+    assert "BroadcastNestedLoopJoin" not in plan, "attribution plans a BNLJ"
