@@ -104,20 +104,24 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_oracle_sql(threshold: float, tables: int, planes: int, dim: int) -> str:
     """DuckDB twin of `operators/vector_lsh.py`: the hyperplanes are
-    deterministic (md5-derived ±1 signs), so the oracle embeds them as
-    literal arrays and replays the exact same bucketing."""
-    from data_engineering_user_session_analysis_spark.operators.vector_lsh import _plane_sign
+    deterministic (md5-derived ±1 signs) and the signature dots are
+    EXACT integer arithmetic over ``floor(x * 1e6)``-quantized
+    components (order-independent — see vector_lsh.py), so the oracle
+    embeds the signs as literal arrays and replays the identical
+    bucketing with plain BIGINT sums."""
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        QUANT_SCALE,
+        _plane_sign,
+    )
 
     sig_cols = []
     for t in range(tables):
         bits = []
         for i in range(planes):
-            signs = ", ".join(
-                f"{float(_plane_sign(t, i, d)):.1f}" for d in range(dim)
-            )
+            signs = ", ".join(str(_plane_sign(t, i, d)) for d in range(dim))
             dot = (
-                f"list_sum(list_transform(list_zip(embedding, [{signs}]), "
-                f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
+                f"list_sum(list_transform(list_zip(qe, [{signs}]), "
+                f"p -> p[1] * p[2]))"
             )
             bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
         sig_cols.append(" + ".join(bits) + f" AS sig_{t}")
@@ -126,10 +130,15 @@ def _lsh_oracle_sql(threshold: float, tables: int, planes: int, dim: int) -> str
         f"SELECT vec_id, {t} AS t, sig_{t} AS sig FROM sigs" for t in range(tables)
     )
     return f"""
-WITH sigs AS (
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS qe
+  FROM embeddings
+), sigs AS (
   SELECT vec_id,
     {sig_select}
-  FROM embeddings
+  FROM q
 ), buckets AS (
   {bucket_union}
 ), cand AS (
@@ -171,12 +180,16 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified (precision 1.0; recall = the LSH catch rate, tested in
     tests/test_similarity.py).
 
-    The hyperplanes are deterministic md5-derived ±1 signs, so the
-    DuckDB oracle replays the identical construction: this is a full
-    hash-checked row, not a rows-only pass.  Scale shape: signatures
-    are a map-only projection, bucketing is one shuffle on
-    (table, signature), exact scoring touches only bucket-mates —
-    candidates drop from N² to Σ bucket²."""
+    The hyperplanes are deterministic md5-derived ±1 signs and the
+    signature dots are exact int64 sums over ``floor(x*1e6)``-
+    quantized components (round 3: computed by one Arrow-batched
+    numpy matmul instead of 32 interpreted fold expressions — see
+    vector_lsh.py), so the DuckDB oracle replays the identical
+    construction: this is a full hash-checked row, not a rows-only
+    pass.  Scale shape: signatures are a map-only projection,
+    bucketing is one shuffle on (table, signature), exact scoring
+    touches only bucket-mates — candidates drop from N² to Σ
+    bucket²."""
     from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
         lsh_similarity_pairs,
     )
