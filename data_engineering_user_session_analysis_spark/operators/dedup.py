@@ -75,24 +75,63 @@ def shingle_docs(
     return sh
 
 
-def _pair_jaccard(shingles: DataFrame, candidates: DataFrame | None, id_col: str) -> DataFrame:
-    """Exact Jaccard for doc pairs sharing >=1 shingle (optionally
-    restricted to `candidates(doc_a, doc_b)`)."""
+def _pair_jaccard(shingles: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard for ALL doc pairs sharing >=1 shingle — the
+    inverted-index self-join (O(Σ per-shingle DF²); bound it with the
+    stop-shingle cap).  For candidate-restricted verification use
+    ``_verify_jaccard`` instead, whose cost is O(|candidates|)."""
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = shingles.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
     b = shingles.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
     pairs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
-    if candidates is not None:
-        # no broadcast hint: the candidate set scales with corpus size
-        # (linear via LSH, but linear-in-100TB is still huge) — AQE
-        # broadcasts while it fits and shuffles beyond.
-        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
     inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("intersection"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("na") + F.col("nb") - F.col("intersection")).cast("double"),
+        )
+    )
+
+
+def _verify_jaccard(
+    shingles: DataFrame, candidates: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for exactly the ``candidates(doc_a, doc_b)``
+    pairs: join each side to its collected shingle SET and intersect
+    arrays.  Cost is O(|candidates| · doc size) — candidate-bounded.
+
+    Round 2 verified via the full inverted-index join followed by a
+    candidate semi-join, which still *computed* every co-shingle pair
+    first (the semi-join cannot push below the shingle self-join), so
+    the \"LSH scale path\" silently paid the same O(Σ DF²) as the
+    exact method.  This shape is what makes LSH actually cheaper at
+    corpus scale; equality with the inverted-index verify is pinned
+    in tests/test_operators.py."""
+    sets = shingles.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("sh_set")
+    )
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
+    # no broadcast hint: the candidate set scales with corpus size
+    # (linear via LSH, but linear-in-100TB is still huge) — AQE
+    # broadcasts while it fits and shuffles beyond.
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b"))
+            .cast("long")
+            .alias("intersection"),
+            F.size("set_a").alias("na"),
+            F.size("set_b").alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.col("intersection")
@@ -119,7 +158,7 @@ def ngram_jaccard_pairs(
     # cache once instead of re-shingling per branch.
     sh = shingle_docs(docs, text_col, id_col, n, max_shingle_df).cache()
     return (
-        _pair_jaccard(sh, None, id_col)
+        _pair_jaccard(sh, id_col)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "intersection", "jaccard")
     )
@@ -140,27 +179,15 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    threshold: float = 0.5,
-    n: int = 3,
+def minhash_candidate_pairs(
+    shingles: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
-    text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Approximate near-dup pairs: MinHash signatures → LSH band
-    buckets → candidate pairs → exact-Jaccard verification.
-
-    With 16 bands x 4 rows, a pair at Jaccard 0.9 is caught with
-    probability ~1 - (1 - 0.9^4)^16 ≈ 1 - 4e-8; at 0.5 ≈ 0.65 —
-    tune bands/rows to the target threshold.  The verification step
-    makes the *output* exact for every emitted pair (precision 1.0;
-    recall is the LSH catch probability).
-    """
-    # shingles feed signatures + both verify-join sides + sizes.
-    sh = shingle_docs(docs, text_col, id_col, n).cache()
-    sig = minhash_signatures(sh, bands * rows_per_band, id_col)
+    """LSH band-bucket candidate pairs from a shingle table: MinHash
+    signatures → per-band bucket hash → distinct bucket-mate pairs."""
+    sig = minhash_signatures(shingles, bands * rows_per_band, id_col)
     bucket_entries = F.array(
         *[
             F.struct(
@@ -179,14 +206,39 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_a"), "band", "bucket"
     )
     right = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
-    candidates = (
+    return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Approximate near-dup pairs: MinHash signatures → LSH band
+    buckets → candidate pairs → candidate-bounded exact-Jaccard
+    verification (``_verify_jaccard`` — set intersection per
+    candidate, NOT the O(Σ DF²) inverted-index join).
+
+    With 16 bands x 4 rows, a pair at Jaccard 0.9 is caught with
+    probability ~1 - (1 - 0.9^4)^16 ≈ 1 - 4e-8; at 0.5 ≈ 0.65 —
+    tune bands/rows to the target threshold.  The verification step
+    makes the *output* exact for every emitted pair (precision 1.0;
+    recall is the LSH catch probability).
+    """
+    # shingles feed signatures + the verify set-collection.
+    sh = shingle_docs(docs, text_col, id_col, n).cache()
+    candidates = minhash_candidate_pairs(sh, bands, rows_per_band, id_col)
     return (
-        _pair_jaccard(sh, candidates, id_col)
+        _verify_jaccard(sh, candidates, id_col)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "intersection", "jaccard")
     )
@@ -347,6 +399,39 @@ def _block_bounds(bits: int, n_blocks: int) -> list[tuple[int, int]]:
     return bounds
 
 
+def simhash_candidate_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pigeonhole block candidate pairs from a fingerprint table —
+    lossless for Hamming distance <= max_hamming (see
+    ``simhash_pairs``)."""
+    n_blocks = max_hamming + 1
+    block_entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("fingerprint"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for i, (off, width) in enumerate(_block_bounds(SIMHASH_BITS, n_blocks))
+        ]
+    )
+    blocks = fingerprints.select(
+        F.col(id_col), F.explode(block_entries).alias("e")
+    ).select(id_col, "e.blk", "e.val")
+    left = blocks.select(F.col(id_col).alias("doc_a"), "blk", "val")
+    right = blocks.select(F.col(id_col).alias("doc_b"), "blk", "val")
+    return (
+        left.join(right, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 2,
@@ -369,28 +454,7 @@ def simhash_pairs(
     """
     n_blocks = max_hamming + 1
     fp = simhash_fingerprints(docs, text_col, id_col)
-    block_entries = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col("fingerprint"), off)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("val"),
-            )
-            for i, (off, width) in enumerate(_block_bounds(SIMHASH_BITS, n_blocks))
-        ]
-    )
-    blocks = fp.select(
-        F.col(id_col), F.explode(block_entries).alias("e")
-    ).select(id_col, "e.blk", "e.val")
-    left = blocks.select(F.col(id_col).alias("doc_a"), "blk", "val")
-    right = blocks.select(F.col(id_col).alias("doc_b"), "blk", "val")
-    candidates = (
-        left.join(right, ["blk", "val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    candidates = simhash_candidate_pairs(fp, max_hamming, id_col)
     a = fp.select(F.col(id_col).alias("doc_a"), F.col("fingerprint").alias("fa"))
     b = fp.select(F.col(id_col).alias("doc_b"), F.col("fingerprint").alias("fb"))
     return (

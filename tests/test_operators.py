@@ -210,6 +210,35 @@ def test_ngram_df_cap_binding_and_nonbinding(spark, sf_small):
     assert tiny_cap, "DF cap destroyed all near-dup pairs"
 
 
+def test_verify_jaccard_equals_inverted_index(spark, sf_small):
+    """The candidate-bounded set-intersection verify must emit exactly
+    the inverted-index result for the same candidate set (round-3
+    swap: the old semi-join-after-self-join still paid O(Σ DF²))."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import (
+        _pair_jaccard,
+        _verify_jaccard,
+        minhash_candidate_pairs,
+        shingle_docs,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    sh = shingle_docs(docs).cache()
+    cand = minhash_candidate_pairs(sh)
+    via_sets = {
+        (r.doc_a, r.doc_b, r.intersection, r.jaccard)
+        for r in _verify_jaccard(sh, cand, "doc_id").collect()
+    }
+    via_index = {
+        (r.doc_a, r.doc_b, r.intersection, r.jaccard)
+        for r in _pair_jaccard(sh, "doc_id")
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .collect()
+    }
+    assert via_sets == via_index
+    assert via_sets, "no candidate pairs — test is vacuous"
+
+
 def _uf_components(edges):
     """Python union-find reference."""
     parent = {}
