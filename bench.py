@@ -33,7 +33,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "embedding_neardup",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "simhash_near_pairs",
+    "session_event_attribution",
     "media_features",
     "lang_id",
     "streaming_session_rollup",
