@@ -71,6 +71,10 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # drop caches between queries: intra-query cache reuse stays
+        # in the best-of-2, but one query's cached intermediates must
+        # not occupy memory (GC pressure) while another is timed
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -274,9 +274,15 @@ def connected_components(
     join.
     """
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        # materialize ONCE: the edge table re-enters every round's
+        # neighbor join — without this, each round recomputes the
+        # whole upstream pair pipeline (e.g. the full MinHash+verify
+        # DAG when called from dedup_clusters)
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
