@@ -99,13 +99,18 @@ def lsh_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Distinct candidate pairs sharing any table's full signature."""
+    """Distinct candidate pairs sharing any table's full signature.
+
+    The bucket table ((id, table, sig) — N·tables small-int rows,
+    tiny next to the vectors) is cached: it feeds BOTH sides of the
+    bucket self-join, and without the cache each side re-runs the
+    signature UDF over the full input."""
     buckets = emb.select(
         F.col(id_col),
         F.posexplode(signature_column(vec_col, dim, tables, planes)).alias(
             "t", "sig"
         ),
-    )
+    ).cache()
     a = buckets.select(F.col(id_col).alias("vec_a"), "t", "sig")
     b = buckets.select(F.col(id_col).alias("vec_b"), "t", "sig")
     return (
