@@ -19,7 +19,7 @@ interval span so fan-out stays O(1) per interval.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_engineering_user_session_analysis_spark.operators.sessionize import epoch_micros
@@ -54,10 +54,13 @@ def range_join(
       must be resolved by the caller beforehand.
     * ``"left"`` — every point row, interval columns null where no
       interval contains the point.  Requires ``point_key`` (a column
-      that uniquely identifies a point row, e.g. event_id): matched
-      rows come from the inner path, unmatched via left-anti on the
-      key, so duplicate *matches* fan out exactly like a true range
-      left join.
+      that uniquely identifies a point row, e.g. event_id).
+      SINGLE-PASS: one left bin-equi-join, then one window over the
+      point key keeps residual matches (fanning out like a true
+      range left join) and exactly one null-extended representative
+      for keys with no residual match — each input is scanned once
+      (a matched/anti two-branch formulation recomputes the whole
+      bin join for the anti side).
     * ``"left_semi"`` — points that fall in at least one interval.
       With ``point_key`` this is a true left-semi (duplicate point
       rows sharing a key all survive, exactly one output row per
@@ -99,10 +102,29 @@ def range_join(
             )
         # fallback EXISTS over row values: duplicated inputs collapse
         return matched.select(*points.columns).distinct()
-    inner = p.join(i, on).filter(residual).drop(_BIN)
     if how == "left":
-        unmatched = points.join(
-            inner.select(point_key).distinct(), point_key, "left_anti"
+        ok, any_ok, rn = "__range_join_ok__", "__range_join_any__", "__range_join_rn__"
+        wk = Window.partitionBy(point_key)
+        joined = (
+            p.join(i, on, "left")
+            # residual is NULL on null-extended rows -> coalesce False
+            .withColumn(ok, F.coalesce(residual, F.lit(False)))
         )
-        return inner.unionByName(unmatched, allowMissingColumns=True)
-    return inner
+        joined = joined.withColumn(
+            any_ok, F.max(F.col(ok).cast("int")).over(wk)
+        ).withColumn(
+            # any row serves as the unmatched representative: the
+            # point columns are identical within a key (point_key is
+            # unique per point row) and the interval columns get
+            # nulled below
+            rn,
+            F.row_number().over(wk.orderBy(F.col(ok).desc())),
+        )
+        kept = joined.filter(
+            F.col(ok) | ((F.col(any_ok) == 0) & (F.col(rn) == 1))
+        )
+        for c in i.columns:
+            if c not in (*extra_keys, _BIN):
+                kept = kept.withColumn(c, F.when(F.col(ok), F.col(c)))
+        return kept.drop(ok, any_ok, rn, _BIN)
+    return p.join(i, on).filter(residual).drop(_BIN)
