@@ -95,3 +95,7 @@ def test_session_event_attribution_is_equi_join(spark, sf_small):
     plan = _plan(spark, sf_small, "session_event_attribution")
     assert "CartesianProduct" not in plan, "attribution plans a cartesian"
     assert "BroadcastNestedLoopJoin" not in plan, "attribution plans a BNLJ"
+    # single-pass left: one scan per input — the two-branch
+    # (matched + left-anti) formulation recomputed the bin join and
+    # read events 5 times
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
