@@ -301,6 +301,32 @@ def test_dedup_canonical_end_to_end(spark, sf_small):
         assert (n in kept_ids) == (n == c)
 
 
+def test_embedding_cluster_dedup_end_to_end(spark, sf_small):
+    """The cluster-dedup tail composes across modalities: embedding
+    near-dup pairs (hyperplane LSH) → connected components →
+    keep-one-per-cluster, mirroring the text pipeline exactly."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import dedup_canonical
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        lsh_similarity_pairs,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    pairs = lsh_similarity_pairs(emb, threshold=0.4)
+    kept = dedup_canonical(
+        emb, pairs, id_col="vec_id", src="vec_a", dst="vec_b"
+    )
+    comp = _uf_components(
+        [(r.vec_a, r.vec_b) for r in pairs.select("vec_a", "vec_b").collect()]
+    )
+    n_losers = sum(1 for n, c in comp.items() if n != c)
+    assert n_losers > 0, "fixture has near-dup vectors; dedup must drop some"
+    assert kept.count() == emb.count() - n_losers
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    for n, c in comp.items():
+        assert (n in kept_ids) == (n == c)
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 1000-node path graph needs O(log n) pointer-jump rounds, not
     O(n) — convergence within max_iter=25 pins the jumping actually
