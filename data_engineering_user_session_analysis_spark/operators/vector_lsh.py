@@ -82,6 +82,8 @@ def signature_column(
 
     @F.pandas_udf("array<long>")
     def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # empty Arrow batch: np.stack([]) would throw
+            return pd.Series([], dtype=object)
         x = np.stack(v.to_numpy()).astype(np.float64)  # float32 -> exact
         xq = np.floor(x * QUANT_SCALE).astype(np.int64)  # bit-deterministic
         dots = xq @ signs  # exact integer arithmetic, order-free

@@ -512,6 +512,62 @@ def test_range_join_reserved_bin_column_guarded(spark):
         range_join(pts, iv, "ts", "w_start", "w_end")
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.integers(min_value=0, max_value=7200),  # seconds offset
+        min_size=1,
+        max_size=20,
+    ),
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7200),
+            st.integers(min_value=0, max_value=3600),  # span
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+)
+def test_range_join_property_vs_naive(spark, pts, ivs):
+    """Property pin: for arbitrary point sets and (possibly
+    overlapping, zero-width, or empty) interval sets, the binned
+    inner and left joins match the naive range joins exactly."""
+    import datetime as dt
+
+    from data_engineering_user_session_analysis_spark.operators.range_join import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    p = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(pts)],
+        "pid long, ts timestamp",
+    )
+    i_rows = [
+        (j, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + span))
+        for j, (s, span) in enumerate(ivs)
+    ]
+    iv = spark.createDataFrame(
+        i_rows, "iid long, w_start timestamp, w_end timestamp"
+    ) if i_rows else spark.createDataFrame([], "iid long, w_start timestamp, w_end timestamp")
+    naive = {
+        (i, j)
+        for i, s in enumerate(pts)
+        for j, (st_, span) in enumerate(ivs)
+        if st_ <= s <= st_ + span
+    }
+    inner = range_join(p, iv, "ts", "w_start", "w_end", bin_width_seconds=600)
+    assert {(r.pid, r.iid) for r in inner.collect()} == naive
+    left = range_join(
+        p, iv, "ts", "w_start", "w_end", 600, how="left", point_key="pid"
+    )
+    matched = {i for i, _ in naive}
+    naive_left = naive | {(i, None) for i in range(len(pts)) if i not in matched}
+    assert {(r.pid, r.iid) for r in left.collect()} == naive_left
+
+
 def test_connected_components_batched_convergence_actions(spark, monkeypatch):
     """Convergence is checked every SECOND round: the count() action
     tally must be about half the rounds a per-round checker would
