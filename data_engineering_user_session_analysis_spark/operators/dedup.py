@@ -457,6 +457,19 @@ def simhash_pairs(
     from N²/2 to Σ per-bucket².  At 100 TB each of the 3 block joins
     is a plain shuffle on an ≤11-bit key; random fingerprints spread
     uniformly over the 2^width buckets.
+
+    Fingerprint width: 32 bits (11-bit blocks) starts saturating its
+    block space around ~10^5 docs on a small-vocabulary corpus
+    (STRESS_sf1_r03.json: candidates grow as replicas² on the 10×
+    clone stress) — production corpora use 64-bit fingerprints
+    (21-bit blocks, 2^21 buckets).  A 60-bit variant (15 md5 hex
+    chars, still a signed long in both engines) was measured on this
+    fixture corpus and NOT adopted: its pairwise Hamming histogram
+    has no separation cliff (counts rise smoothly 1,5,2,5,11,32,85…
+    with the random mass centered ~20), so any threshold is
+    arbitrary here, while the 32-bit construction keeps the clean
+    planted-vs-random gap the oracle row demonstrates.  Widen
+    SIMHASH_BITS for real corpora.
     """
     n_blocks = max_hamming + 1
     fp = simhash_fingerprints(docs, text_col, id_col)

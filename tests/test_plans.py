@@ -92,10 +92,34 @@ def test_session_event_attribution_is_equi_join(spark, sf_small):
     """The range-attribution query must plan the binned EQUI-join +
     residual filter — a raw BETWEEN join predicate would plan as a
     BroadcastNestedLoopJoin (O(|events|·|sessions|) at 100 TB)."""
-    plan = _plan(spark, sf_small, "session_event_attribution")
-    assert "CartesianProduct" not in plan, "attribution plans a cartesian"
-    assert "BroadcastNestedLoopJoin" not in plan, "attribution plans a BNLJ"
+    from data_engineering_user_session_analysis_spark.plans import count_scans, is_equi_join_only
+
+    df = QUERIES["session_event_attribution"](spark, sf_small)
+    assert is_equi_join_only(df), "attribution degraded to BNLJ/cartesian"
     # single-pass left: one scan per input — the two-branch
     # (matched + left-anti) formulation recomputed the bin join and
     # read events 5 times
-    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert count_scans(df) == 2, count_scans(df)
+
+
+def test_plan_audit_helpers(spark, sf_small):
+    """The plans.audit API itself: pushdown/partition detection and
+    exchange counting on known plans."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.plans import (
+        count_exchanges,
+        has_pushed_filter,
+        whole_stage_codegen_spans,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem").filter(
+        F.col("l_quantity") < 10
+    ).select("l_orderkey", "l_quantity")
+    assert has_pushed_filter(li, "LessThan(l_quantity,")
+    assert not has_pushed_filter(li, "GreaterThan(l_quantity,")
+    assert count_exchanges(li) == 0
+    assert whole_stage_codegen_spans(li) >= 1  # scan+filter+project fused
+    agg = li.groupBy("l_orderkey").count()
+    assert count_exchanges(agg) == 1
