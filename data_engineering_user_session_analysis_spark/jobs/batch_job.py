@@ -29,14 +29,20 @@ from data_engineering_user_session_analysis_spark.operators.sessionize import se
 from data_engineering_user_session_analysis_spark.sources.events import load_events
 
 
-def build_lake(spark: SparkSession, sf_dir: str, lake_path: str) -> None:
+def build_lake(
+    spark: SparkSession, sf_dir: str, lake_path: str, fmt: str = "parquet"
+) -> None:
     """Materialize the events lake, Hive-partitioned by event date
     (the streaming job's sink layout, reference S4/ST7 — batch twin
-    for tests/backfill)."""
+    for tests/backfill).  ``fmt`` picks the lake format (parquet or
+    ORC — both keep pushdown + partition pruning; see
+    sources/formats.py)."""
+    from data_engineering_user_session_analysis_spark.sources.formats import write_lake_table
+
     ev = load_events(spark, sf_dir).withColumn(
         "date", F.date_format("ts", "yyyy-MM-dd")
     )
-    ev.write.mode("overwrite").partitionBy("date").parquet(lake_path)
+    write_lake_table(ev, lake_path, fmt=fmt, partition_by=("date",))
 
 
 def run_daily_job(
@@ -46,14 +52,19 @@ def run_daily_job(
     out_dir: str,
     jdbc_url: str | None = None,
     jdbc_properties: dict[str, str] | None = None,
+    fmt: str = "parquet",
 ) -> dict[str, DataFrame]:
     """Compute and persist the day's serving tables.
 
     Returns the result DataFrames keyed by table name (also written
-    to ``out_dir`` as parquet, or to JDBC when ``jdbc_url`` given).
+    to ``out_dir`` in the lake format, or to JDBC when ``jdbc_url``
+    given).  ``fmt`` must match the lake's format (partition pruning
+    behaves identically for parquet and ORC — plan-pinned in
+    tests/test_formats.py).
     """
     day = (
-        spark.read.parquet(lake_path)
+        spark.read.format(fmt)
+        .load(lake_path)
         .filter(F.col("date") == ds)  # -> PartitionFilters, file pruning
         .cache()
     )
@@ -86,7 +97,7 @@ def run_daily_job(
                 properties=jdbc_properties or {},
             )
         else:
-            df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+            df.write.mode("overwrite").format(fmt).save(os.path.join(out_dir, name))
     day.unpersist()
     return results
 

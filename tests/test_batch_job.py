@@ -46,6 +46,25 @@ def test_daily_job_end_to_end(spark, sf_small, tmp_path):
     assert direct.count() == job_counts.count()
 
 
+def test_daily_job_runs_on_orc_lake(spark, sf_small, tmp_path):
+    """The job's format knob: same pipeline over an ORC lake — day
+    results must match the parquet run row-for-row."""
+    lake_pq, out_pq = str(tmp_path / "lake_pq"), str(tmp_path / "out_pq")
+    lake_orc, out_orc = str(tmp_path / "lake_orc"), str(tmp_path / "out_orc")
+    build_lake(spark, sf_small, lake_pq)
+    build_lake(spark, sf_small, lake_orc, fmt="orc")
+    ds = "2024-01-05"
+    pq = run_daily_job(spark, lake_pq, ds, out_pq)
+    orc = run_daily_job(spark, lake_orc, ds, out_orc, fmt="orc")
+    for name in ("session_level", "user_level"):
+        a = {tuple(r) for r in pq[name].collect()}
+        b = {tuple(r) for r in orc[name].collect()}
+        assert a == b, f"{name} diverged across lake formats"
+        assert a, f"{name} empty — vacuous"
+    written = spark.read.orc(os.path.join(out_orc, "user_level"))
+    assert written.count() > 0
+
+
 def test_day_read_prunes_partitions(spark, sf_small, tmp_path):
     """The date filter must reach the scan as a partition filter —
     at 100 TB this is the difference between reading one day and the
