@@ -9,6 +9,7 @@ driver-side collection cost in the measurement.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -73,8 +74,13 @@ def main() -> None:
         timings[name] = round(best, 4)
         # drop caches between queries: intra-query cache reuse stays
         # in the best-of-2, but one query's cached intermediates must
-        # not occupy memory (GC pressure) while another is timed
+        # not occupy memory (GC pressure) while another is timed.
+        # localCheckpoint RDDs (the iterative CC query) are released
+        # by the ContextCleaner only after their references are
+        # GC'd — nudge both runtimes so the next timing starts clean.
         spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -36,9 +36,17 @@ def build_lake(
     (the streaming job's sink layout, reference S4/ST7 — batch twin
     for tests/backfill).  ``fmt`` picks the lake format (parquet or
     ORC — both keep pushdown + partition pruning; see
-    sources/formats.py)."""
-    from data_engineering_user_session_analysis_spark.sources.formats import write_lake_table
+    sources/formats.py).  Row formats are rejected: an analytics
+    lake must be columnar."""
+    from data_engineering_user_session_analysis_spark.sources.formats import (
+        COLUMNAR_FORMATS,
+        write_lake_table,
+    )
 
+    if fmt not in COLUMNAR_FORMATS:
+        raise ValueError(
+            f"lake format must be columnar {COLUMNAR_FORMATS}, got {fmt!r}"
+        )
     ev = load_events(spark, sf_dir).withColumn(
         "date", F.date_format("ts", "yyyy-MM-dd")
     )
@@ -60,8 +68,15 @@ def run_daily_job(
     to ``out_dir`` in the lake format, or to JDBC when ``jdbc_url``
     given).  ``fmt`` must match the lake's format (partition pruning
     behaves identically for parquet and ORC — plan-pinned in
-    tests/test_formats.py).
+    tests/test_formats.py); only columnar formats are accepted —
+    the raw read below carries no row-format header/schema options.
     """
+    from data_engineering_user_session_analysis_spark.sources.formats import COLUMNAR_FORMATS
+
+    if fmt not in COLUMNAR_FORMATS:
+        raise ValueError(
+            f"lake format must be columnar {COLUMNAR_FORMATS}, got {fmt!r}"
+        )
     day = (
         spark.read.format(fmt)
         .load(lake_path)

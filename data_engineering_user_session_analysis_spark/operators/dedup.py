@@ -471,7 +471,6 @@ def simhash_pairs(
     planted-vs-random gap the oracle row demonstrates.  Widen
     SIMHASH_BITS for real corpora.
     """
-    n_blocks = max_hamming + 1
     fp = simhash_fingerprints(docs, text_col, id_col)
     candidates = simhash_candidate_pairs(fp, max_hamming, id_col)
     a = fp.select(F.col(id_col).alias("doc_a"), F.col("fingerprint").alias("fa"))

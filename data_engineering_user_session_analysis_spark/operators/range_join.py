@@ -30,6 +30,11 @@ def _bin(col: Column, width_micros: int) -> Column:
 
 
 _BIN = "__range_join_bin__"
+_LEFT_WORK_COLS = (
+    "__range_join_ok__",
+    "__range_join_any__",
+    "__range_join_rn__",
+)
 
 
 def range_join(
@@ -68,16 +73,23 @@ def range_join(
       point rows (EXISTS over row *values* — duplicated input rows
       merge; pass ``point_key`` when that matters).
 
-    Both inputs must be free of the reserved internal bin column
-    (``__range_join_bin__``).
+    Both inputs must be free of the reserved internal working
+    columns (``__range_join_bin__`` and, for ``how='left'``, the
+    ``__range_join_ok__``/``__range_join_any__``/``__range_join_rn__``
+    flags) — guarded with an explicit error rather than silent
+    clobbering.
     """
     if how not in ("inner", "left", "left_semi"):
         raise ValueError(f"unsupported join type: {how}")
     if how == "left" and point_key is None:
         raise ValueError("how='left' requires point_key (unique point row id)")
+    reserved = (_BIN, *_LEFT_WORK_COLS) if how == "left" else (_BIN,)
     for side, df in (("points", points), ("intervals", intervals)):
-        if _BIN in df.columns:
-            raise ValueError(f"{side} input already has reserved column {_BIN}")
+        for col in reserved:
+            if col in df.columns:
+                raise ValueError(
+                    f"{side} input already has reserved column {col}"
+                )
     width = bin_width_seconds * 1_000_000
     p = points.withColumn(_BIN, _bin(F.col(point_ts), width))
     i = intervals.withColumn(
@@ -103,7 +115,7 @@ def range_join(
         # fallback EXISTS over row values: duplicated inputs collapse
         return matched.select(*points.columns).distinct()
     if how == "left":
-        ok, any_ok, rn = "__range_join_ok__", "__range_join_any__", "__range_join_rn__"
+        ok, any_ok, rn = _LEFT_WORK_COLS
         wk = Window.partitionBy(point_key)
         joined = (
             p.join(i, on, "left")

@@ -106,7 +106,13 @@ def lsh_candidate_pairs(
     The bucket table ((id, table, sig) — N·tables small-int rows,
     tiny next to the vectors) is cached: it feeds BOTH sides of the
     bucket self-join, and without the cache each side re-runs the
-    signature UDF over the full input."""
+    signature UDF over the full input.  Cache lifecycle: Spark's
+    cache manager keys entries by canonicalized plan, so repeated
+    calls over the SAME input reuse ONE entry (including the
+    downstream `lsh_similarity_pairs` call) — the session holds one
+    bucket-table entry per distinct input, evictable LRU like any
+    storage-memory block; call ``spark.catalog.clearCache()`` for a
+    hard release."""
     buckets = emb.select(
         F.col(id_col),
         F.posexplode(signature_column(vec_col, dim, tables, planes)).alias(

@@ -12,13 +12,20 @@ has the full mapping):
   (round 1's ``simhash_fingerprints``): the ``simhash_near_pairs``
   oracle recomputes every fingerprint from raw text in DuckDB, so a
   fingerprint defect would break that row's hash match.
-* Round 2's ``dedup_ngram_jaccard`` row is retired (round 3): the
-  exact-Jaccard expressions ARE the verify tier inside
-  ``dedup_minhash_lsh`` (same ``_pair_jaccard`` code path), and that
-  row's oracle is the exact uncapped Jaccard query — a defect in the
-  n-gram/Jaccard math breaks the minhash row's hash match.  The
-  operator (incl. the stop-shingle DF cap) stays pytest-pinned
-  (tests/test_operators.py) and callable.
+* Round 2's ``dedup_ngram_jaccard`` row is retired (round 3).  The
+  coverage chain: ``dedup_minhash_lsh``'s ORACLE is the exact
+  inverted-index Jaccard SQL, and its Spark side shares the shingle
+  construction (``shingle_docs``) and Jaccard formula — so a defect
+  in shingling or the Jaccard math still breaks that row's hash
+  match.  The Spark *inverted-index join* implementation itself
+  (``_pair_jaccard``) is no longer driver-row-exercised: since round
+  3 the minhash verify tier is the candidate-bounded
+  ``_verify_jaccard`` (set intersection), pinned EQUAL to the
+  inverted-index path by
+  tests/test_operators.py::test_verify_jaccard_equals_inverted_index,
+  and the DF-cap behavior stays pinned by
+  test_ngram_df_cap_binding_and_nonbinding.  The operator remains
+  callable API surface.
 """
 
 from __future__ import annotations

@@ -279,24 +279,28 @@ def props_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark_jobs/spark_stream.py:57``) through BOTH read paths in one
     row: the fixed-StructType decode (explicit schema, no inference
     on the hot path — ``sum_k``/``n_high_k``) AND the schema-on-read
-    MapType decode (open-ended keys — entry counts via ``map_keys``,
-    ``min_k``/``max_k`` through map element access).  Round 3 folded
-    the former separate ``props_map_stats`` registry entry in here
-    (driver 50-row cap; COVERAGE.md) — a defect in either decode path
-    breaks this row's hash match."""
+    path (key enumeration via ``json_object_keys`` — the exact twin
+    of DuckDB's ``json_keys`` — plus MapType element access for
+    ``min_k``/``max_k``).  The map parses values as STRING and casts
+    the accessed field: a map<string,long> decode would null the
+    ENTIRE map on one non-long value while the oracle's ``->>'k'``
+    still reads k — a latent cross-engine divergence this shape
+    avoids.  Round 3 folded the former separate ``props_map_stats``
+    registry entry in here (driver 50-row cap; COVERAGE.md) — a
+    defect in either decode path breaks this row's hash match."""
     from pyspark.sql import types as T
 
     from data_engineering_user_session_analysis_spark.sources.events import PROPS_SCHEMA
 
     ev = load_events(spark, sf_dir)
     k = F.from_json("props", PROPS_SCHEMA).getField("k")
-    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    m = F.from_json("props", T.MapType(T.StringType(), T.StringType()))
     return (
         ev.select(
             "event_type",
             k.alias("k"),
-            F.size(F.map_keys(m)).cast("long").alias("n_entries"),
-            m.getItem("k").alias("mk"),
+            F.size(F.json_object_keys("props")).cast("long").alias("n_entries"),
+            m.getItem("k").cast("long").alias("mk"),
         )
         .groupBy("event_type")
         .agg(

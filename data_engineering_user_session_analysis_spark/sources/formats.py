@@ -20,8 +20,6 @@ boundaries, not analytics storage.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -76,8 +74,3 @@ def read_lake_table(
     elif schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
-
-
-def lake_paths(base: str, fmt: str) -> str:
-    """Conventional per-format subdirectory layout."""
-    return os.path.join(base, fmt)
