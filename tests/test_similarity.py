@@ -83,3 +83,34 @@ def test_vector_lsh_recall_and_precision(spark, sf_small):
     assert exact, "no exact pairs to measure against"
     recall = len(lsh) / len(exact)
     assert recall >= 0.3, f"LSH recall collapsed: {recall:.3f}"
+
+
+def test_foldl_dot_udf_bit_exact_vs_aggregate_fold(spark):
+    """The Arrow-batched exact-scoring kernel must be bit-identical to
+    the F.aggregate fold it replaces — same products, same left-to-
+    right IEEE accumulation (adversarial values: huge/tiny magnitude
+    spread so summation order visibly matters)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import foldl_dot_column
+    from data_engineering_user_session_analysis_spark.queries.similarity_queries import dot_double
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    scale = np.float32(10.0) ** rng.integers(-8, 8, size=(50, dim)).astype(np.float32)
+    a = (rng.standard_normal((50, dim)).astype(np.float32) * scale).tolist()
+    b = (rng.standard_normal((50, dim)).astype(np.float32) * scale).tolist()
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": a, "b": b}),
+        "a array<float>, b array<float>",
+    )
+    got = df.select(
+        dot_double(F.col("a"), F.col("b")).alias("fold"),
+        foldl_dot_column("a", "b").alias("kernel"),
+    ).collect()
+    for r in got:
+        assert r.fold == r.kernel or (np.isnan(r.fold) and np.isnan(r.kernel)), (
+            r.fold,
+            r.kernel,
+        )
