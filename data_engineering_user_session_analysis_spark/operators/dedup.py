@@ -24,10 +24,45 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SIMHASH_BITS = 32
+
+
+def _shingle_array_column(text_col: str, n: int) -> F.Column:
+    """``array<string>`` of distinct word n-grams, first-occurrence
+    order — an Arrow-batched kernel bit-identical to the Catalyst
+    construction ``array_distinct(transform(sequence(0, size-n),
+    i -> concat_ws(' ', get(toks,i)..get(toks,i+n-1))))``.
+
+    Exists because Catalyst interprets higher-order functions (no
+    whole-stage codegen): the transform+get+concat_ws tree costs ~20µs
+    per shingle, which at sf0.1 made shingling (~5 s) the single most
+    expensive stage of every MinHash-family query.  Python's
+    ``str.split(' ')`` matches ``F.split(text, ' ')`` (both keep empty
+    strings around repeated separators); equality with the HOF
+    construction is pinned on the real corpus in
+    tests/test_operators.py.  Map-only like the HOF — no shuffle, one
+    Python hop per Arrow batch."""
+
+    @F.pandas_udf("array<string>")
+    def shingles(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.split(" ")
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return shingles(F.col(text_col))
 
 
 def shingle_docs(
@@ -54,15 +89,12 @@ def shingle_docs(
     pinned by tests/test_operators.py against a brute-force oracle.
     """
     toks = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.get(toks, i + j) for j in range(n)]
-        ),
-    )
     sh = (
         docs.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .select(
+            F.col(id_col),
+            F.explode(_shingle_array_column(text_col, n)).alias("shingle"),
+        )
     )
     if max_shingle_df is not None:
         keep = (

@@ -594,3 +594,44 @@ def test_connected_components_batched_convergence_actions(spark, monkeypatch):
     # a 256-chain needs ~6-8 pointer-jump rounds; per-round checking
     # would spend that many count() actions, every-2 spends <= 5
     assert 0 < calls["n"] <= 5, calls["n"]
+
+
+def test_shingle_kernel_equals_hof_construction(spark, sf_small):
+    """The Arrow shingle kernel must reproduce the Catalyst HOF
+    construction exactly — same tokens (empty strings around repeated
+    separators included), same distinct-by-first-occurrence grams —
+    on the real corpus plus adversarial whitespace."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup import shingle_docs
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    n = 3
+    corpus = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    weird = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100001, 100002, 100003, 100004],
+                "text": [
+                    "a  b c d",          # double space -> empty token
+                    " lead and trail ",  # boundary empties
+                    "x y",               # shorter than n: no shingles
+                    "r r r r r",         # repeated grams collapse
+                ],
+            }
+        )
+    )
+    docs = corpus.unionByName(weird)
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
+    hof = docs.filter(F.size(toks) >= n).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+    kernel = shingle_docs(docs, n=n)
+    assert kernel.count() == hof.count() > 0
+    assert kernel.exceptAll(hof).count() == 0
+    assert hof.exceptAll(kernel).count() == 0
