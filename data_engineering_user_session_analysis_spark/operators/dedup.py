@@ -27,6 +27,7 @@ from functools import reduce
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SIMHASH_BITS = 32
 
@@ -276,38 +277,62 @@ def minhash_lsh_pairs(
     )
 
 
+#: Edge-count budget under which components are solved on the driver.
+#: 5M (u, v) longs ≈ 80 MB — the same order as Spark's own
+#: driver-collect budget for broadcast-join sides.  Above it, the
+#: distributed rounds run.
+DRIVER_CC_MAX_EDGES = 5_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     ``(node, component)`` where the component id is the MINIMUM node
     id in the component — the step that turns pairwise dedup output
     into dedup *clusters* (keep one doc per component).
 
-    Algorithm: iterative min-label propagation with pointer jumping
-    (hash-to-min family).  Each round every node takes the min of its
-    own label and its neighbors' labels, then labels are pointer-
-    jumped (``label[v] = label[label[v]]``), which collapses chains
-    in O(log n) rounds instead of O(diameter).  All operations are
-    plain joins/groupBys shuffling on node id — no driver-side graph
-    state; each round is localCheckpoint-ed so lineage (and therefore
-    planning time) stays constant.  The convergence check is one
-    count() action run every SECOND round (plus the last): pointer
-    jumping converges in O(log n) rounds, so one potentially
-    redundant extra round is cheaper than doubling the action count —
-    a no-change round is a fixed point, so comparing round 2k's
-    labels against round 2k-1's detects convergence exactly one
-    round late at worst.  At 100 TB: near-dup components are tiny
-    and shallow (dup clusters, not social graphs), so rounds ≈ 3-5;
-    every round is one shuffle of the label table + one of the edge
-    join.
+    Two execution strategies, picked from the MEASURED edge count the
+    same way AQE picks broadcast joins from measured sizes:
+
+    - pair count ``<= driver_max_edges``: run union-find with path
+      halving on the driver — O(E α(E)), no iteration.  The size
+      probe IS the collection (``limit(budget + 1).collect()``), so
+      the pair pipeline is computed exactly once; union-find needs
+      neither symmetrized nor deduped edges.  Near-dup pair graphs
+      are orders of magnitude smaller than the corpus (only docs in
+      some pair appear), so even at 100 TB this is the common case;
+      the budget caps driver memory at broadcast-class size (~80 MB
+      at the default).
+    - larger graphs: iterative min-label propagation with pointer
+      jumping (hash-to-min family).  Each round every node takes the
+      min of its own and its neighbors' labels, then labels are
+      pointer-jumped (``label[v] = label[label[v]]``), collapsing
+      chains in O(log n) rounds instead of O(diameter).  All
+      operations are plain joins/groupBys shuffling on node id; each
+      round is localCheckpoint-ed so lineage stays constant, and the
+      loop's shuffle width is sized from the edge count.  The
+      convergence check is one count() every SECOND round (plus the
+      last): a no-change round is a fixed point, so convergence is
+      detected at worst one round late for half the actions.
+
+    Both paths produce identical output (min-id component labels are
+    unique); equality is pinned on the real corpus in
+    tests/test_operators.py.
     """
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    spark = pairs.sparkSession
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if driver_max_edges > 0:
+        # size probe == collection: one pass over the pair pipeline
+        probe = raw.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            return _driver_components(spark, probe, raw.schema["u"].dataType)
     edges = (
-        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         # materialize ONCE: the edge table re-enters every round's
         # neighbor join — without this, each round recomputes the
@@ -321,6 +346,63 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Distributed rounds.  Size the loop's shuffle width from the
+    # measured edge count: every round compiles joins between
+    # stat-less LogicalRDDs at the session's static shuffle width —
+    # at modest graph sizes that is hundreds of near-empty tasks per
+    # round, and the per-round checkpoint materializes before AQE can
+    # coalesce.  One reduce task per ~1M edges keeps 100 TB graphs
+    # wide while collapsing small ones to few-task rounds.
+    n_edges = edges.count()
+    width_key = "spark.sql.shuffle.partitions"
+    sess_width = int(spark.conf.get(width_key))
+    loop_width = max(1, min(sess_width, n_edges // 1_000_000 + 1))
+    spark.conf.set(width_key, str(loop_width))
+    try:
+        labels = _cc_rounds(edges, labels, max_iter)
+    finally:
+        spark.conf.set(width_key, str(sess_width))
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def _driver_components(spark, edge_rows, id_type) -> DataFrame:
+    """Union-find with path halving over a driver-collected pair
+    list (raw pairs: direction and duplicates are irrelevant);
+    component id = min member id (union by min root)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for row in edge_rows:
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # attach the larger root under the smaller: min id wins
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+
+    out_schema = T.StructType(
+        [
+            T.StructField("node", id_type, False),
+            T.StructField("component", id_type, False),
+        ]
+    )
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, out_schema)
+
+
+def _cc_rounds(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+    """The min-label-propagation rounds of ``connected_components``,
+    split out so the caller can scope the loop's shuffle width."""
     for round_no in range(1, max_iter + 1):
         neighbor_min = (
             edges.join(
@@ -364,7 +446,7 @@ def connected_components(
             )
             if changed == 0:
                 break
-    return labels.select("node", F.col("label").alias("component"))
+    return labels
 
 
 def dedup_canonical(

@@ -271,10 +271,17 @@ def test_connected_components_vs_union_find(spark):
     ]
     expected = _uf_components(edges)
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    # default: driver union-find fast path (graph under the budget)
     got = {
         r.node: r.component for r in connected_components(pairs).collect()
     }
     assert got == expected
+    # forced distributed rounds must produce the identical labeling
+    got_dist = {
+        r.node: r.component
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert got_dist == expected
 
 
 def test_dedup_canonical_end_to_end(spark, sf_small):
@@ -337,7 +344,9 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
-    comp = connected_components(pairs, max_iter=25).collect()
+    comp = connected_components(
+        pairs, max_iter=25, driver_max_edges=0
+    ).collect()
     assert len(comp) == n
     assert {r.component for r in comp} == {0}
 
@@ -589,11 +598,12 @@ def test_connected_components_batched_convergence_actions(spark, monkeypatch):
         return orig(self)
 
     monkeypatch.setattr(cls, "count", counting)
-    comp = connected_components(pairs, max_iter=25).collect()
+    comp = connected_components(pairs, max_iter=25, driver_max_edges=0).collect()
     assert len(comp) == n and {r.component for r in comp} == {0}
     # a 256-chain needs ~6-8 pointer-jump rounds; per-round checking
-    # would spend that many count() actions, every-2 spends <= 5
-    assert 0 < calls["n"] <= 5, calls["n"]
+    # would spend that many count() actions, every-2 spends <= 5,
+    # plus ONE for the strategy decision (driver vs distributed)
+    assert 0 < calls["n"] <= 6, calls["n"]
 
 
 def test_shingle_kernel_equals_hof_construction(spark, sf_small):
