@@ -585,6 +585,11 @@ def simhash_pairs(
     planted-vs-random gap the oracle row demonstrates.  Widen
     SIMHASH_BITS for real corpora.
     """
+    # fp enters the plan four times (block join left/right + verify
+    # a/b) but is NOT cached: the four subtrees are identical up to
+    # the fingerprint aggregation, so ReusedExchange computes it once
+    # — an explicit .cache() measured ~2x SLOWER (materialization
+    # barrier + cache scan replacing one whole-stage pipeline).
     fp = simhash_fingerprints(docs, text_col, id_col)
     candidates = simhash_candidate_pairs(fp, max_hamming, id_col)
     a = fp.select(F.col(id_col).alias("doc_a"), F.col("fingerprint").alias("fa"))
