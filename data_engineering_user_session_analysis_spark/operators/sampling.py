@@ -19,6 +19,12 @@ mixes.
   (e.g. k documents per language).  One shuffle on the strata
   columns; the rank is a WindowGroupLimit at execution, so only the
   top-k per stratum survive the sort buffer.
+* ``weighted_sample`` — k rows without replacement with inclusion
+  probability proportional to a weight column (quality-weighted
+  training mixes), via the Efraimidis–Spirtakis exponential-keys
+  scheme with the content-hash as the uniform variate — the one
+  weighted sampler that is both single-pass distributed AND
+  deterministic.
 """
 
 from __future__ import annotations
@@ -70,4 +76,46 @@ def stratified_sample(
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .drop("_rk")
+    )
+
+
+#: hash-bucket denominator for the uniform variate: md5's first 8 hex
+#: chars span [0, 2^32), so (h + 1) / (2^32 + 1) lies strictly in
+#: (0, 1) — pow(u, 1/w) stays finite for every weight.
+_U_DENOM = float((1 << 32) + 1)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """``k`` rows without replacement, inclusion probability
+    proportional to ``weight_col`` — deterministic.
+
+    Efraimidis–Spirtakis A-ES: each row scores ``u ** (1 / w)`` with
+    ``u`` uniform in (0, 1); the k largest scores are a weighted
+    sample without replacement.  Here ``u`` comes from the row's
+    content hash instead of ``rand()``, so the sample is reproducible
+    across runs, engines, and partition layouts — and retry-safe
+    (re-executed tasks recompute identical scores, the SPARK-23207
+    hazard class that seed-based sampling has on shuffle retry).
+
+    Scale shape: scores are a map-only projection; the top-k is
+    ``orderBy(...).limit(k)`` = TakeOrderedAndProject — per-partition
+    partial top-k, one driver merge of partitions·k rows, NO global
+    sort shuffle.  Rows with non-positive weight are excluded (their
+    inclusion probability is 0).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (_key_hash(F.col(key_col)) + 1) / F.lit(_U_DENOM)
+    score = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_score", score)
+        .orderBy(F.col("_es_score").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_es_score")
     )
