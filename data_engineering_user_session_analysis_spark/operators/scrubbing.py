@@ -1,0 +1,96 @@
+"""PII scrubbing and repetition signals for corpus pipelines.
+
+Two pre-training hygiene steps the reference's domain (raw event and
+document ingest) needs at corpus scale:
+
+* ``scrub_pii`` — redact email addresses, phone numbers, IPv4
+  addresses, and long digit runs (card/account numbers) with typed
+  placeholder tokens.  Pure ``regexp_replace`` chains — string work
+  stays inside whole-stage codegen, no Python in the hot path, and
+  the patterns are deliberately engine-portable (no lookbehind) so
+  a DuckDB/other-engine oracle can replay them.
+* ``repetition_signals`` — the Gopher-family intra-document
+  repetition ratios (duplicate-line fraction and the fraction of
+  CHARACTERS inside duplicated lines) used to drop boilerplate and
+  template spam.  One map-side projection: lines are split,
+  counted, and measured per row with array built-ins — no explode,
+  no shuffle, no UDF.
+
+Both are map-only: at 100 TB they pipeline inside the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (pattern, replacement) applied in order.  Order matters: emails
+#: first (their digits must not be half-eaten by the digit rules),
+#: IPv4 before digit runs (dots would split a run), bare long digit
+#: runs (account/card numbers) before phones (the phone pattern
+#: would otherwise swallow them), separator-formatted phones last.
+#: No lookbehind/lookahead — portable syntax only.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{8,}\b", "<NUMBER>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace PII spans in ``text_col`` with placeholder tokens
+    (``<EMAIL>``, ``<IP>``, ``<PHONE>``, ``<NUMBER>``), in rule
+    order.  Writes ``out_col`` (default: in place)."""
+    col: Column = F.col(text_col)
+    for pattern, repl in PII_RULES:
+        col = F.regexp_replace(col, pattern, repl)
+    return df.withColumn(out_col or text_col, col)
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", line_sep: str = "\n"
+) -> DataFrame:
+    """Add ``n_lines``, ``dup_line_frac`` (fraction of line
+    OCCURRENCES that are repeats of an earlier-seen line), and
+    ``dup_line_char_frac`` (fraction of characters living in lines
+    that occur more than once) — the Gopher repetition-filter pair.
+
+    Computed entirely with array expressions over the split lines:
+    ``array_distinct`` gives the unique set; the duplicated-char mass
+    is the total minus the sum of lengths of lines occurring exactly
+    once (a line occurs once iff removing one occurrence removes it
+    from the distinct set of the remainder — expressed via
+    ``aggregate`` over the distinct set counting occurrences).
+    """
+    lines = F.split(F.col(text_col), F.lit(line_sep))
+    n = F.size(lines)
+    n_uniq = F.size(F.array_distinct(lines))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    # chars in lines whose occurrence count == 1: for each DISTINCT
+    # line, add its length iff it appears exactly once in the full
+    # line array
+    uniq_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda a, x: a
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) == 1, F.length(x)
+        ).otherwise(F.lit(0)),
+    )
+    return df.withColumns(
+        {
+            "n_lines": n.cast("long"),
+            "dup_line_frac": (
+                (n - n_uniq) / F.greatest(n, F.lit(1))
+            ).cast("double"),
+            "dup_line_char_frac": (
+                (total_chars - uniq_chars)
+                / F.greatest(total_chars, F.lit(1))
+            ).cast("double"),
+        }
+    )

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import hashlib
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from data_engineering_user_session_analysis_spark.operators.packing import pack_sequences
@@ -100,6 +102,40 @@ def test_pack_oversized_doc_gets_singleton(spark):
         packs.setdefault(r.pack_id, []).append(r.n_tokens)
     oversized = [m for m in packs.values() if 999 in m]
     assert oversized == [[999]]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=1, max_value=800),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda e: e[0],
+    ),
+    st.integers(min_value=50, max_value=600),
+)
+def test_pack_property(spark, rows, budget):
+    """For arbitrary doc sizes and budgets: lossless, budget-safe
+    (singleton exception), and shard-consistent pack ids."""
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", budget, n_shards=3)
+    got = out.collect()
+    assert {(r.doc_id, r.n_tokens) for r in got} == set(rows)
+    packs: dict[int, list] = {}
+    for r in got:
+        packs.setdefault(r.pack_id, []).append(r.n_tokens)
+    for members in packs.values():
+        assert sum(members) <= budget or len(members) == 1
+    # pack ids embed the shard: docs in one pack share a shard
+    for r in got:
+        assert (r.pack_id >> 40) == _md5_h(r.doc_id) % 3
 
 
 def test_weighted_sample_replays_exponential_keys(spark, sf_small):
