@@ -1,0 +1,135 @@
+"""The full training-corpus preparation pipeline, composed from the
+operator library — scrub, filter, dedup, decontaminate, sample, pack.
+
+One function per stage already exists and is individually tested;
+this module wires them in the order real pretraining pipelines run
+them, with the cheap map-side stages first so expensive stages see
+the smallest possible survivor set:
+
+  1. PII scrub             (map-only regexp chains)
+  2. quality + repetition  (map-only features -> pushed filters)
+  3. exact dedup           (one shuffle on content digest)
+  4. near-dup cluster dedup (MinHash/LSH pairs -> components ->
+                            keep canonical)
+  5. benchmark decontamination (broadcast gram probe, optional)
+  6. weighted subsample    (optional, quality-weighted token budget)
+  7. sequence packing      (optional, token-budget pack ids)
+
+Every stage is deterministic (content-hash randomness throughout),
+so the whole pipeline is reproducible run-to-run and auditable —
+``prepare_corpus`` returns the same survivor set on every cluster
+layout.  A ``report`` dict carries per-stage survivor counts (one
+cheap count per stage, the operational visibility every data
+pipeline needs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.operators.decontamination import (
+    decontaminate,
+)
+from data_engineering_user_session_analysis_spark.operators.dedup import dedup_canonical, minhash_lsh_pairs
+from data_engineering_user_session_analysis_spark.operators.packing import pack_sequences
+from data_engineering_user_session_analysis_spark.operators.sampling import weighted_sample
+from data_engineering_user_session_analysis_spark.operators.scrubbing import (
+    repetition_signals,
+    scrub_pii,
+)
+from data_engineering_user_session_analysis_spark.operators.text_analysis import (
+    quality_features,
+)
+
+
+@dataclass(frozen=True)
+class CorpusPrepConfig:
+    """Knobs for ``prepare_corpus``; defaults follow the published
+    filter envelopes (Gopher/C4-family) scaled to short fixture docs."""
+
+    min_tokens: int = 5
+    min_quality: float = 0.0
+    max_dup_line_frac: float = 0.5
+    neardup_threshold: float = 0.6
+    decontaminate_ngram: int = 13
+    sample_k: int | None = None
+    pack_budget: int | None = None
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    config: CorpusPrepConfig = CorpusPrepConfig(),
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the full prep pipeline; returns ``(result, report)``.
+
+    ``result`` carries the surviving docs (scrubbed text) plus the
+    quality columns; if ``config.pack_budget`` is set it also carries
+    ``pack_id``.  ``report`` maps stage name -> surviving row count,
+    in stage order (dict insertion order).
+    """
+    c = config
+    report: dict[str, int] = {}
+    report["input"] = docs.count()
+
+    scrubbed = scrub_pii(docs, c.text_col)
+    quality = repetition_signals(
+        quality_features(scrubbed, c.text_col), c.text_col, line_sep=" "
+    )
+    filtered = quality.filter(
+        (F.col("n_tokens") >= c.min_tokens)
+        & (F.col("quality_score") >= c.min_quality)
+        & (F.col("dup_line_frac") <= c.max_dup_line_frac)
+    )
+    report["quality_filtered"] = filtered.count()
+
+    # exact dedup: keep the min-id doc per identical text
+    canonical_ids = (
+        filtered.groupBy(F.md5(F.col(c.text_col)).alias("_digest"))
+        .agg(F.min(c.id_col).alias(c.id_col))
+        .select(c.id_col)
+    )
+    exact = filtered.join(canonical_ids, c.id_col, "left_semi")
+    report["exact_deduped"] = exact.count()
+
+    pairs = minhash_lsh_pairs(
+        exact, threshold=c.neardup_threshold, text_col=c.text_col, id_col=c.id_col
+    )
+    neardup = dedup_canonical(exact, pairs, id_col=c.id_col)
+    report["neardup_deduped"] = neardup.count()
+
+    result = neardup
+    if benchmark is not None:
+        result = decontaminate(
+            result,
+            benchmark,
+            n=c.decontaminate_ngram,
+            text_col=c.text_col,
+            id_col=c.id_col,
+        )
+        report["decontaminated"] = result.count()
+
+    if c.sample_k is not None:
+        result = weighted_sample(
+            result.withColumn(
+                "_w", F.col("quality_score") + F.lit(1e-9)
+            ),
+            c.id_col,
+            "_w",
+            c.sample_k,
+        ).drop("_w")
+        report["sampled"] = result.count()
+
+    if c.pack_budget is not None:
+        packs = pack_sequences(
+            result, c.id_col, "n_tokens", c.pack_budget
+        ).select(c.id_col, "pack_id")
+        result = result.join(packs, c.id_col)
+        report["packed"] = result.count()
+
+    return result, report

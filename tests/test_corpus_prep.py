@@ -1,0 +1,92 @@
+"""End-to-end corpus prep: monotone survivor counts, stage
+effectiveness on a corpus with planted junk, determinism, and the
+packed output contract."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.pipelines.corpus_prep import (
+    CorpusPrepConfig,
+    prepare_corpus,
+)
+from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+
+def _corpus_with_junk(spark, sf_small):
+    """Real corpus + planted junk: an exact clone, a PII doc, a
+    too-short doc, and a boilerplate doc (every word repeated)."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    first = docs.orderBy("doc_id").first()
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [990001, 990002, 990003, 990004],
+                "text": [
+                    first.text,  # exact clone of doc 0 (higher id loses)
+                    "contact me at alice@example.com for the offer "
+                    "and more words to pass the length filter",
+                    "too short",
+                    "spam spam spam spam spam spam spam spam",
+                ],
+            }
+        )
+    )
+    return docs.unionByName(extra), first.doc_id
+
+
+def test_prepare_corpus_stages(spark, sf_small):
+    corpus, first_id = _corpus_with_junk(spark, sf_small)
+    result, report = prepare_corpus(
+        corpus,
+        config=CorpusPrepConfig(min_tokens=5, max_dup_line_frac=0.9),
+    )
+    # monotone: each stage only removes rows
+    counts = list(report.values())
+    assert counts == sorted(counts, reverse=True)
+    assert report["input"] == corpus.count()
+    # the short doc died at quality, the exact clone at exact dedup
+    assert report["quality_filtered"] <= report["input"] - 1
+    assert report["exact_deduped"] <= report["quality_filtered"] - 1
+    surviving = {r.doc_id for r in result.select("doc_id").collect()}
+    assert 990003 not in surviving  # too short
+    assert 990001 not in surviving  # exact clone, min-id survives
+    assert first_id in surviving
+    # PII doc survives but scrubbed
+    pii = result.filter(F.col("doc_id") == 990002).collect()
+    if pii:  # may have been near-dup'd away; if present, must be clean
+        assert "<EMAIL>" in pii[0].text
+        assert "alice@example.com" not in pii[0].text
+
+
+def test_prepare_corpus_deterministic(spark, sf_small):
+    corpus, _ = _corpus_with_junk(spark, sf_small)
+    cfg = CorpusPrepConfig(sample_k=100, pack_budget=512)
+    a, ra = prepare_corpus(corpus, config=cfg)
+    b, rb = prepare_corpus(corpus.repartition(13), config=cfg)
+    assert ra == rb
+    rows_a = sorted((r.doc_id, r.pack_id) for r in a.collect())
+    rows_b = sorted((r.doc_id, r.pack_id) for r in b.collect())
+    assert rows_a == rows_b
+
+
+def test_prepare_corpus_with_benchmark_and_packing(spark, sf_small):
+    corpus, first_id = _corpus_with_junk(spark, sf_small)
+    first = corpus.filter(F.col("doc_id") == first_id).first()
+    toks = first.text.split(" ")
+    bench = spark.createDataFrame([(" ".join(toks[:8]),)], "text string")
+    cfg = CorpusPrepConfig(
+        decontaminate_ngram=5, pack_budget=512, max_dup_line_frac=0.9
+    )
+    result, report = prepare_corpus(corpus, benchmark=bench, config=cfg)
+    assert "decontaminated" in report and "packed" in report
+    surviving = {r.doc_id for r in result.select("doc_id").collect()}
+    assert first_id not in surviving  # contaminated by the benchmark
+    # pack contract: every survivor has a pack, budget respected
+    rows = result.select("doc_id", "n_tokens", "pack_id").collect()
+    assert len(rows) == report["packed"] > 0
+    packs: dict[int, int] = {}
+    for r in rows:
+        packs[r.pack_id] = packs.get(r.pack_id, 0) + r.n_tokens
+    assert all(v <= 512 for v in packs.values())
