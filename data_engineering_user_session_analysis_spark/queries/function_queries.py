@@ -39,13 +39,31 @@ from data_engineering_user_session_analysis_spark.sources.tables import load_tab
 @register(
     "scalar_doc_functions",
     """
-SELECT doc_id,
+WITH fp AS (
+  -- the doc_fingerprints operator replayed: mod-8 sampled 5-gram
+  -- md5 fingerprints, aggregated to doc grain
+  SELECT doc_id,
+    CAST(len(fps) AS BIGINT) AS n_fingerprints,
+    list_min(fps) AS min_fingerprint,
+    list_max(fps) AS max_fingerprint
+  FROM (
+    SELECT doc_id, list_filter(
+      list_transform(
+        list_distinct(list_transform(range(1, len(w) - 3),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])),
+        g -> CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)),
+      h -> h % 8 = 0) AS fps
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 5
+  )
+)
+SELECT documents.doc_id,
   -- string family
   upper(lang) AS lang_upper,
   substr(text, 1, 20) AS prefix20,
   replace(substr(text, 1, 40), ' ', '_') AS snake40,
   CAST(strpos(text, 'spark') AS INT) AS spark_pos,
-  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+  lpad(CAST(documents.doc_id AS VARCHAR), 8, '0') AS padded_id,
   CAST(length(trim(text)) AS INT) AS trimmed_len,
   concat(lang, ':', source) AS lang_source,
   -- regexp family
@@ -61,11 +79,15 @@ SELECT doc_id,
   CAST(list_contains(string_split(text, ' '), 'spark') AS BOOLEAN) AS mentions_spark,
   array_to_string(
     list_reverse(list_sort(list_distinct(string_split(text, ' '))))[1:2], ','
-  ) AS top2_types_desc
-FROM documents
+  ) AS top2_types_desc,
+  -- fingerprint family (round-4 consolidation: doc_fingerprints)
+  CAST(coalesce(fp.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+  fp.min_fingerprint,
+  fp.max_fingerprint
+FROM documents LEFT JOIN fp ON documents.doc_id = fp.doc_id
 -- deterministic 1-in-10 content-hash sample (reproducible across
 -- engines/runs/partitionings, unlike TABLESAMPLE)
-WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+WHERE CAST(('0x' || substr(md5(CAST(documents.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
 """,
 )
 def scalar_doc_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,13 +95,27 @@ def scalar_doc_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a deterministic hash-bucket sample of documents — all JVM
     built-ins inside whole-stage codegen; the sample filter is the
     reproducible Bernoulli-by-content sampling contract a
-    training-data pipeline needs."""
+    training-data pipeline needs.  Round-4 consolidation: the
+    ``doc_fingerprints`` registry row retired into the three
+    fingerprint aggregate columns here — they run the REAL operator
+    (`operators/text_analysis.py:doc_fingerprints`), so a defect in
+    the 5-gram/md5/mod-8 construction still fails this row
+    (COVERAGE.md)."""
+    from data_engineering_user_session_analysis_spark.operators.text_analysis import (
+        doc_fingerprints,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
+    fp = doc_fingerprints(docs).groupBy("doc_id").agg(
+        F.count("*").alias("_n_fp"),
+        F.min("fingerprint").alias("min_fingerprint"),
+        F.max("fingerprint").alias("max_fingerprint"),
+    )
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long") % 10
     w = F.split("text", " ")
-    return docs.filter(bucket == 0).select(
+    return docs.filter(bucket == 0).join(fp, "doc_id", "left").select(
         "doc_id",
         # string family
         F.upper("lang").alias("lang_upper"),
@@ -107,6 +143,10 @@ def scalar_doc_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.slice(F.reverse(F.array_sort(F.array_distinct(w))), 1, 2), ","
         ).alias("top2_types_desc"),
+        # fingerprint family (round-4 consolidation: doc_fingerprints)
+        F.coalesce(F.col("_n_fp"), F.lit(0)).cast("long").alias("n_fingerprints"),
+        "min_fingerprint",
+        "max_fingerprint",
     )
 
 

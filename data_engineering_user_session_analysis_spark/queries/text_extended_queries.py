@@ -7,10 +7,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineering_user_session_analysis_spark.operators.decontamination import (
+    contaminated_docs,
+)
 from data_engineering_user_session_analysis_spark.operators.text_analysis import (
     LANG_PROFILES,
-    bpe_token_counts,
-    doc_fingerprints,
     predict_lang,
     quality_features,
 )
@@ -106,28 +107,62 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: the round-1..3 `doc_fingerprints` registry row was retired in
+# round 4 (driver 50-row cap): its operator now feeds the
+# n_fingerprints/min_fingerprint/max_fingerprint columns of
+# `scalar_doc_functions` (function_queries.py), whose oracle replays
+# the identical 5-gram/md5/mod-8 construction.  The operator itself
+# stays: operators/text_analysis.py:doc_fingerprints.
+
+#: Constant-K eval-prompt ids (literal, NOT derived from N — the
+#: benchmark side stays 5 prompts at any corpus size, so its gram
+#: set broadcast is O(k) forever; same policy as the kNN anchors).
+DECON_PROMPT_IDS = (0, 101, 202, 303, 404)
+DECON_PROMPT_TOKENS = 12
+DECON_NGRAM = 5  # fixture docs are short; production uses 13
+
+
 @register(
-    "doc_fingerprints",
-    """
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-), grams AS (
-  SELECT doc_id,
+    "doc_decontamination",
+    f"""
+WITH bench AS (
+  SELECT array_to_string(
+    list_slice(string_split(text, ' '), 1, {DECON_PROMPT_TOKENS}), ' ') AS btext
+  FROM documents WHERE doc_id IN {DECON_PROMPT_IDS}
+), bgrams AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
+    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+  FROM (SELECT string_split(btext, ' ') AS w FROM bench) WHERE len(w) >= 5
+), cgrams AS (
+  SELECT doc_id, unnest(
     list_distinct(list_transform(range(1, len(w) - 3),
-      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gs
-  FROM toks WHERE len(w) >= 5
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 5
 )
-SELECT doc_id, unnest(list_sort(list_filter(
-  list_transform(gs, g -> CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)),
-  h -> h % 8 = 0))) AS fingerprint
-FROM grams
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM cgrams c JOIN bgrams b USING (shingle)
+GROUP BY c.doc_id
+HAVING count(*) >= 1
 """,
 )
-def doc_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MOD-8 sampled 5-gram md5 fingerprints (copy-detection
-    sampling; ~1/8 of distinct grams per doc)."""
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination flags: training docs sharing >= 1
+    distinct n-gram with a fixed eval-prompt set (the GPT-3/PaLM
+    contamination protocol, `operators/decontamination.py`).  The
+    prompts are the 12-token prefixes of a
+    CONSTANT literal doc-id set, so the broadcast side is O(k) at
+    any corpus size; the corpus side is map-only until the per-doc
+    hit count's one small shuffle.  Non-vacuous by construction —
+    each prompt's source doc self-hits — and the oracle replays the
+    gram join exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    return doc_fingerprints(docs)
+    bench = docs.filter(F.col("doc_id").isin(*DECON_PROMPT_IDS)).select(
+        F.array_join(
+            F.slice(F.split("text", " "), 1, DECON_PROMPT_TOKENS), " "
+        ).alias("text")
+    )
+    return contaminated_docs(docs, bench, n=DECON_NGRAM, min_hits=1)
 
 
 # NOTE: round 1's `bpe_token_accounting` registry entry was absorbed
