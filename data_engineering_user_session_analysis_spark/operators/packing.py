@@ -54,9 +54,11 @@ def pack_sequences(
     a singleton pack).  Returns ``(key_col, token_col, pack_id)`` —
     join back on ``key_col`` to carry payloads.
 
-    Next-fit within a shard: docs are walked in content-hash order
-    and appended to the current pack until the next doc would
-    overflow, then a new pack opens.  Next-fit (vs first-fit) keeps
+    Rows with a NULL token count are excluded (a sizeless doc has no
+    defined placement; count tokens upstream — the quality stage
+    already does).  Next-fit within a shard: docs are walked in
+    content-hash order and appended to the current pack until the
+    next doc would overflow, then a new pack opens.  Next-fit (vs first-fit) keeps
     the loop O(n) with zero lookback state, and its fill efficiency
     is within a few percent of first-fit for doc-length
     distributions whose mean is well under the budget — the
@@ -72,7 +74,7 @@ def pack_sequences(
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
-    slim = df.select(
+    slim = df.filter(F.col(token_col).isNotNull()).select(
         F.col(key_col).alias("key"),
         F.col(token_col).cast("long").alias("n_tokens"),
         (h % n_shards).alias("_shard"),

@@ -92,6 +92,44 @@ def test_pack_replays_in_local_python(spark, sf_small):
     assert got == expected
 
 
+def test_pack_excludes_null_token_counts(spark):
+    """NULL sizes have no defined placement: excluded, documented,
+    and never a worker crash."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20)], "doc_id long, n_tokens long"
+    )
+    got = pack_sequences(df, "doc_id", "n_tokens", 100, n_shards=1).collect()
+    assert sorted(r.doc_id for r in got) == [1, 3]
+
+
+def test_weighted_sample_plan_is_take_ordered(spark, sf_small):
+    """The top-k must compile to TakeOrderedAndProject (partial
+    per-partition top-k + driver merge), never a global sort."""
+    docs = _doc_tokens(spark, sf_small).withColumn(
+        "w", (F.col("n_tokens") + 1).cast("double")
+    )
+    plan = (
+        weighted_sample(docs, "doc_id", "w", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pack_plan_single_shuffle(spark, sf_small):
+    """Packing shuffles once, on the shard key: exactly one exchange
+    in the executed plan."""
+    docs = _doc_tokens(spark, sf_small)
+    plan = (
+        pack_sequences(docs, "doc_id", "n_tokens", BUDGET, n_shards=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_pack_oversized_doc_gets_singleton(spark):
     df = spark.createDataFrame(
         [(1, 10), (2, 999), (3, 20), (4, 30)], "doc_id long, n_tokens long"
