@@ -327,10 +327,17 @@ def connected_components(
     spark = pairs.sparkSession
     raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if driver_max_edges > 0:
-        # size probe == collection: one pass over the pair pipeline
-        probe = raw.limit(driver_max_edges + 1).collect()
+        # size probe == collection: one pass over the pair pipeline.
+        # toPandas (Arrow when enabled) keeps the driver copy at raw
+        # value width — python Row objects would cost ~10x the bytes
+        # at the 5M-edge budget.
+        probe = raw.limit(driver_max_edges + 1).toPandas()
         if len(probe) <= driver_max_edges:
-            return _driver_components(spark, probe, raw.schema["u"].dataType)
+            return _driver_components(
+                spark,
+                zip(probe.iloc[:, 0].tolist(), probe.iloc[:, 1].tolist()),
+                raw.schema["u"].dataType,
+            )
     edges = (
         raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -353,6 +360,12 @@ def connected_components(
     # round, and the per-round checkpoint materializes before AQE can
     # coalesce.  One reduce task per ~1M edges keeps 100 TB graphs
     # wide while collapsing small ones to few-task rounds.
+    # NOTE: the width override is session-scoped while the loop runs
+    # (restored in finally) — plans compiled concurrently on OTHER
+    # driver threads during those seconds would pick it up.  Run CC
+    # from the thread that owns the session, as every caller here
+    # does; a per-stage width knob does not exist in Spark's conf
+    # model.
     n_edges = edges.count()
     width_key = "spark.sql.shuffle.partitions"
     sess_width = int(spark.conf.get(width_key))
