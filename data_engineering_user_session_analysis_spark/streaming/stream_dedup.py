@@ -59,3 +59,29 @@ def dedup_stream(
             keys
         )
     return events.dropDuplicates(keys)
+
+
+def dedup_ingest(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    scrub_col: str | None = "props",
+) -> DataFrame:
+    """The ingest-hygiene composition: PII-scrub the payload column,
+    then drop redelivered events by primary key within the watermark
+    horizon — the streaming twin of the batch corpus-prep pipeline's
+    first stages (`pipelines/corpus_prep.py`).
+
+    The scrub is a map-side projection, so it rides inside the same
+    micro-batch stage as the decode; only the dedup holds state.
+    ``scrub_col=None`` skips scrubbing (pass-through dedup).
+    """
+    from data_engineering_user_session_analysis_spark.operators.scrubbing import (
+        scrub_pii,
+    )
+
+    out = events
+    if scrub_col is not None:
+        out = scrub_pii(out, scrub_col)
+    return dedup_stream(out, ts_col=ts_col, watermark=watermark)

@@ -116,6 +116,44 @@ def test_stream_dedup_state_evicted_after_horizon(spark, tmp_path):
         q.stop()
 
 
+def test_dedup_ingest_scrubs_and_dedups(spark, tmp_path):
+    """The composed ingest stage: payload PII is redacted AND the
+    redelivered key is dropped, in one streaming pass."""
+    from data_engineering_user_session_analysis_spark.streaming.stream_dedup import (
+        dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    rows = [
+        (1, base, 1, "view"),
+        (1, base, 1, "view"),  # redelivery
+        (2, base + pd.Timedelta("1m"), 2, "view"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [pd.Timestamp(r[1]).value for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ['{"email": "bob@example.com"}'] * len(rows),
+        }
+    )
+    pdf.to_parquet(src / "a.parquet")
+    stream = read_file_stream(spark, str(src))
+    q, name = _start(dedup_ingest(stream, watermark="10 minutes"))
+    try:
+        q.processAllAvailable()
+        out = spark.table(name).collect()
+        assert sorted(r.event_id for r in out) == [1, 2]
+        for r in out:
+            assert "<EMAIL>" in r.props and "bob@example.com" not in r.props
+    finally:
+        q.stop()
+
+
 def test_batch_degradation_equals_drop_duplicates(spark, sf_small):
     """Over a batch frame the same call is a plain key dedup: one row
     per event_id, all original ids preserved."""
