@@ -39,6 +39,7 @@ HEADLINE = [
     "session_event_attribution",
     "media_features",
     "lang_id",
+    "doc_decontamination",
     "streaming_session_rollup",
 ]
 
