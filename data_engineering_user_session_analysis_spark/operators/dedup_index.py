@@ -1,0 +1,188 @@
+"""Persistent MinHash index for INCREMENTAL near-dup detection.
+
+At corpus scale, dedup is not a one-shot batch job: shards arrive
+daily, and re-running pair detection over the full corpus per shard
+is O(corpus) every day.  The standard operational pattern — used
+here — persists the LSH state once and probes it per increment:
+
+* ``write_minhash_index`` — one batch pass over the corpus writing
+  two partition-friendly parquet tables: ``buckets/`` (band, bucket,
+  doc id — the LSH probe surface) and ``sets/`` (doc id, distinct
+  shingle array — the exact-verify surface).  Both are plain
+  columnar tables: bucket probes prune on the (band, bucket) join
+  keys, and the sets table is only ever joined by doc id for
+  candidates, never scanned whole.
+* ``incremental_neardup_pairs`` — shingle/sign the NEW shard only,
+  probe the stored buckets for new-vs-corpus candidates, self-join
+  the shard's buckets for new-vs-new, then exact-verify both
+  candidate classes against the stored + fresh shingle sets.  Cost
+  is O(shard + matched candidates), independent of corpus size.
+* ``append_to_minhash_index`` — after a shard is deduped, append its
+  buckets/sets so the next increment sees it.
+
+The banding, hashing, and verification are the SAME functions the
+batch path uses (`operators/dedup.py`), so incremental output is
+bit-identical to what a full-corpus batch run would emit for the
+same pairs — pinned by test: incremental pairs == batch pairs
+restricted to pairs touching the new shard.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.operators.dedup import (
+    minhash_signatures,
+    shingle_docs,
+)
+
+_BANDS = 16
+_ROWS_PER_BAND = 4
+
+
+def _bucket_table(shingles: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bucket) rows — the probe surface; identical
+    construction to ``minhash_candidate_pairs``."""
+    sig = minhash_signatures(shingles, _BANDS * _ROWS_PER_BAND, id_col)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    *[
+                        F.col(f"h{b * _ROWS_PER_BAND + r}")
+                        for r in range(_ROWS_PER_BAND)
+                    ]
+                ).alias("bucket"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        id_col, "e.band", "e.bucket"
+    )
+
+
+def _set_table(shingles: DataFrame, id_col: str) -> DataFrame:
+    return shingles.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("sh_set")
+    )
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Build the persistent index from a corpus batch (one shingle
+    pass feeds both tables)."""
+    sh = shingle_docs(docs, text_col, id_col, n).cache()
+    _bucket_table(sh, id_col).write.mode("overwrite").parquet(
+        os.path.join(path, "buckets")
+    )
+    _set_table(sh, id_col).write.mode("overwrite").parquet(
+        os.path.join(path, "sets")
+    )
+    sh.unpersist()
+
+
+def append_to_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Append a (deduped) shard to the index so later increments see
+    it.  Parquet append — no rewrite of existing index files."""
+    sh = shingle_docs(docs, text_col, id_col, n).cache()
+    _bucket_table(sh, id_col).write.mode("append").parquet(
+        os.path.join(path, "buckets")
+    )
+    _set_table(sh, id_col).write.mode("append").parquet(
+        os.path.join(path, "sets")
+    )
+    sh.unpersist()
+
+
+def incremental_neardup_pairs(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs touching the new shard: (doc_a, doc_b,
+    intersection, jaccard) where doc_b is a NEW doc and doc_a is
+    either a corpus doc (probe hit) or an earlier new doc
+    (shard self-join).  ``doc_a < doc_b`` within the shard; corpus
+    hits keep (corpus_id, new_id) orientation.
+
+    Plan shape: the shard's buckets join the stored buckets on
+    (band, bucket) — an equi-join that prunes to matching buckets —
+    and only candidates' shingle sets are fetched from ``sets/`` by
+    id.  Nothing scans the corpus text.
+    """
+    sh_new = shingle_docs(new_docs, text_col, id_col, n).cache()
+    b_new = _bucket_table(sh_new, id_col)
+    s_new = _set_table(sh_new, id_col)
+
+    b_old = spark.read.parquet(os.path.join(path, "buckets"))
+    s_old = spark.read.parquet(os.path.join(path, "sets"))
+
+    # new-vs-corpus candidates from the stored probe surface
+    cand_cross = (
+        b_old.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+        .join(
+            b_new.select(F.col(id_col).alias("doc_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # new-vs-new candidates from the shard alone
+    cand_self = (
+        b_new.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+        .join(
+            b_new.select(F.col(id_col).alias("doc_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets_a = s_old.unionByName(s_new).select(
+        F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a")
+    )
+    sets_b = s_new.select(
+        F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b")
+    )
+    return (
+        cand_cross.unionByName(cand_self)
+        .distinct()
+        .join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b"))
+            .cast("long")
+            .alias("intersection"),
+            F.size("set_a").alias("na"),
+            F.size("set_b").alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("na") + F.col("nb") - F.col("intersection")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection", "jaccard")
+    )
