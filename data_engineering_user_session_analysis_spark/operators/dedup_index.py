@@ -1,4 +1,5 @@
-"""Persistent MinHash index for INCREMENTAL near-dup detection.
+"""Persistent MinHash / vector-LSH indexes for INCREMENTAL near-dup
+detection.
 
 At corpus scale, dedup is not a one-shot batch job: shards arrive
 daily, and re-running pair detection over the full corpus per shard
@@ -25,6 +26,14 @@ batch path uses (`operators/dedup.py`), so incremental output is
 bit-identical to what a full-corpus batch run would emit for the
 same pairs — pinned by test: incremental pairs == batch pairs
 restricted to pairs touching the new shard.
+
+The EMBEDDING twin (`write_vector_index` / `append_to_vector_index`
+/ `incremental_vector_neardup`) persists the hyperplane-LSH bucket
+table and the vectors+norms; because the hyperplanes are
+deterministic (md5-derived, `operators/vector_lsh.py`), a probe
+shard's signatures land in the same buckets the corpus run produced
+— no weights file travels with the index.  Same equality pin vs the
+batch path.
 """
 
 from __future__ import annotations
@@ -185,4 +194,131 @@ def incremental_neardup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "intersection", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- #
+# Embedding twin: persistent hyperplane-LSH index                    #
+# ----------------------------------------------------------------- #
+
+_DIM = 64
+_TABLES = 8
+_PLANES = 4
+
+
+def _vector_bucket_table(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int, tables: int, planes: int
+) -> DataFrame:
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import signature_column
+
+    return emb.select(
+        F.col(id_col),
+        F.posexplode(signature_column(vec_col, dim, tables, planes)).alias(
+            "t", "sig"
+        ),
+    )
+
+
+def _vector_norm_table(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    from data_engineering_user_session_analysis_spark.queries.similarity_queries import dot_double
+
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot_double(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    )
+
+
+def write_vector_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = _DIM,
+    tables: int = _TABLES,
+    planes: int = _PLANES,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the hyperplane-LSH probe surface (id, table, sig) and
+    the vectors+norms for exact verification.  The hyperplanes are
+    md5-deterministic, so no weights accompany the index."""
+    _vector_bucket_table(emb, id_col, vec_col, dim, tables, planes).write.mode(
+        mode
+    ).parquet(os.path.join(path, "buckets"))
+    _vector_norm_table(emb, id_col, vec_col).write.mode(mode).parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def append_to_vector_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = _DIM,
+    tables: int = _TABLES,
+    planes: int = _PLANES,
+) -> None:
+    write_vector_index(
+        emb, path, id_col, vec_col, dim, tables, planes, mode="append"
+    )
+
+
+def incremental_vector_neardup(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    path: str,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = _DIM,
+    tables: int = _TABLES,
+    planes: int = _PLANES,
+) -> DataFrame:
+    """Cosine near-dup pairs touching the new shard: corpus hits via
+    the stored bucket probe, intra-shard hits via self-join, exact
+    cosine verification for both (precision 1.0) — O(shard +
+    candidates), never O(corpus)."""
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import foldl_dot_column
+
+    b_new = _vector_bucket_table(
+        new_emb, id_col, vec_col, dim, tables, planes
+    ).cache()
+    v_new = _vector_norm_table(new_emb, id_col, vec_col)
+    b_old = spark.read.parquet(os.path.join(path, "buckets"))
+    v_old = spark.read.parquet(os.path.join(path, "vectors"))
+
+    cand_cross = (
+        b_old.select(F.col(id_col).alias("vec_a"), "t", "sig")
+        .join(b_new.select(F.col(id_col).alias("vec_b"), "t", "sig"), ["t", "sig"])
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    cand_self = (
+        b_new.select(F.col(id_col).alias("vec_a"), "t", "sig")
+        .join(b_new.select(F.col(id_col).alias("vec_b"), "t", "sig"), ["t", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = v_old.unionByName(v_new).select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    vb = v_new.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cand_cross.unionByName(cand_self)
+        .distinct()
+        .join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine", foldl_dot_column("ea", "eb") / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
     )

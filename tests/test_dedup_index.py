@@ -70,3 +70,35 @@ def test_append_extends_probe_surface(spark, sf_small, tmp_path):
         r.doc_a == clone_src.doc_id and r.doc_b == 9_000_000 and r.jaccard == 1.0
         for r in rows
     ), rows
+
+
+def test_incremental_vector_equals_batch_restriction(spark, sf_small, tmp_path):
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        incremental_vector_neardup,
+        write_vector_index,
+    )
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        lsh_similarity_pairs,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    median = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    old = emb.filter(F.col("vec_id") <= median)
+    new = emb.filter(F.col("vec_id") > median)
+
+    idx = str(tmp_path / "vector_index")
+    write_vector_index(old, idx)
+    got = {
+        (frozenset((r.vec_a, r.vec_b)), round(r.cosine, 9))
+        for r in incremental_vector_neardup(
+            spark, new, idx, threshold=0.4
+        ).collect()
+    }
+    new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+    want = {
+        (frozenset((r.vec_a, r.vec_b)), round(r.cosine, 9))
+        for r in lsh_similarity_pairs(emb, threshold=0.4).collect()
+        if {r.vec_a, r.vec_b} & new_ids
+    }
+    assert got == want
+    assert len(got) > 0, "fixture has cross-shard near-dup vectors"
