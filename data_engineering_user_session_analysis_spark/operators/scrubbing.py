@@ -58,12 +58,13 @@ def repetition_signals(
     ``dup_line_char_frac`` (fraction of characters living in lines
     that occur more than once) — the Gopher repetition-filter pair.
 
-    Computed entirely with array expressions over the split lines:
-    ``array_distinct`` gives the unique set; the duplicated-char mass
-    is the total minus the sum of lengths of lines occurring exactly
-    once (a line occurs once iff removing one occurrence removes it
-    from the distinct set of the remainder — expressed via
-    ``aggregate`` over the distinct set counting occurrences).
+    Computed entirely with array expressions over the split lines,
+    O(L log L) per document: the duplicated-char mass is total chars
+    minus the chars of single-occurrence lines, and a line occurs
+    once iff, in the SORTED line array, it differs from both
+    neighbors — one sort + one linear pass, instead of the naive
+    count-each-distinct-line-against-all-lines O(L_distinct · L)
+    which melts on pathological many-line documents.
     """
     lines = F.split(F.col(text_col), F.lit(line_sep))
     n = F.size(lines)
@@ -71,15 +72,18 @@ def repetition_signals(
     total_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
-    # chars in lines whose occurrence count == 1: for each DISTINCT
-    # line, add its length iff it appears exactly once in the full
-    # line array
+    # single-occurrence chars via sorted adjacency; F.get returns
+    # NULL out of bounds, and NULL != x is NULL — coalesce(…, True)
+    # makes the array edges count as "differs"
+    s = F.sort_array(lines)
     uniq_chars = F.aggregate(
-        F.array_distinct(lines),
+        F.sequence(F.lit(0), n - 1),
         F.lit(0).cast("long"),
-        lambda a, x: a
+        lambda a, i: a
         + F.when(
-            F.size(F.filter(lines, lambda y: y == x)) == 1, F.length(x)
+            F.coalesce(F.get(s, i - 1) != F.get(s, i), F.lit(True))
+            & F.coalesce(F.get(s, i + 1) != F.get(s, i), F.lit(True)),
+            F.length(F.get(s, i)),
         ).otherwise(F.lit(0)),
     )
     return df.withColumns(

@@ -61,6 +61,31 @@ def test_repetition_signals_hand_computed(spark):
     assert row.dup_line_char_frac == 6 / 12
 
 
+def test_repetition_signals_adjacency_edge_cases(spark):
+    """Sorted-adjacency must handle: all-unique, all-same, dups at
+    the sorted array's edges, and shared-prefix lines that sort
+    adjacent but differ."""
+    cases = {
+        "a\nb\nc": (3, 0.0, 0.0),
+        "a\na\na": (3, 2 / 3, 1.0),
+        # sorted: [a, a, b] — dup pair at the left edge
+        "b\na\na": (3, 1 / 3, 2 / 3),
+        # sorted: [a, b, b] — dup pair at the right edge
+        "b\na\nb": (3, 1 / 3, 2 / 3),
+        # shared prefixes, all distinct
+        "ab\nabc\nabcd": (3, 0.0, 0.0),
+    }
+    for text, (n, frac, charfrac) in cases.items():
+        row = repetition_signals(
+            spark.createDataFrame([(text,)], "text string")
+        ).first()
+        assert (row.n_lines, row.dup_line_frac, row.dup_line_char_frac) == (
+            n,
+            frac,
+            charfrac,
+        ), text
+
+
 def test_repetition_signals_bounds_on_corpus(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     sig = repetition_signals(docs, line_sep=" ")  # word-grain repeats
