@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_engineering_user_session_analysis_spark.operators.sessionize import epoch_seconds
 from data_engineering_user_session_analysis_spark.queries import register
 from data_engineering_user_session_analysis_spark.sources.events import load_events
 from data_engineering_user_session_analysis_spark.sources.tables import load_table
@@ -194,7 +195,7 @@ def event_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_range = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(epoch_seconds(F.col("ts")))
         .rangeBetween(-3600, 0)
     )
     k = F.from_json("props", T.MapType(T.StringType(), T.StringType()))["k"].cast(

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_engineering_user_session_analysis_spark.operators.sessionize import epoch_seconds
 from data_engineering_user_session_analysis_spark.queries import register
 from data_engineering_user_session_analysis_spark.sources.events import load_events
 from data_engineering_user_session_analysis_spark.sources.tables import load_table
@@ -203,7 +204,7 @@ def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "last_view_ts",
-        (F.col("ts").cast("long") - F.col("last_view_ts").cast("long")).alias(
+        (epoch_seconds(F.col("ts")) - epoch_seconds(F.col("last_view_ts"))).alias(
             "seconds_since_view"
         ),
     )

@@ -33,6 +33,9 @@ def read_events_csv(spark: SparkSession, path: str) -> DataFrame:
     return (
         spark.read.option("header", "true")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        # NTZ columns parse via a separate option; pin it to the same
+        # wire format so a TIMESTAMP_NTZ schema variant round-trips too.
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .schema(CSV_EVENT_SCHEMA)
         .csv(path)
     )

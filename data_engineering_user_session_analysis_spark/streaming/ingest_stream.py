@@ -131,10 +131,26 @@ def read_file_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source twin of the Kafka source for tests/backfill: same
-    downstream plan, parquet directory in, stream out."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    downstream plan, parquet directory in, stream out.
+
+    The stream schema is inferred from the parquet footer of the input
+    (one batch-read of metadata, no data scan) rather than hardcoded:
+    fixtures have shipped both nanos-as-long (INT64 ``ts``) and native
+    microsecond TIMESTAMP/TIMESTAMP_NTZ, and assuming either corrupts
+    the other (a nanos ``div 1000`` applied to micros collapses a
+    7-day span into minutes).  Whatever the physical type, downstream
+    sees a true TimestampType ``ts``."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # No-op for micro/milli TIMESTAMP columns; lets TIMESTAMP(NANOS)
+    # fixtures surface as INT64 instead of failing the footer read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import os
+
+    # Footer-derived schema (required for file streams; also tells us
+    # which timestamp flavor the fixture uses).
+    batch_schema = spark.read.parquet(path).schema
+    ts_field = next((f for f in batch_schema.fields if f.name == "ts"), None)
+    ts_is_long = ts_field is not None and isinstance(ts_field.dataType, T.LongType)
 
     if os.path.isfile(path):
         # FileStreamSource wants a directory or glob; bracket-glob the
@@ -143,16 +159,12 @@ def read_file_stream(
     reader = spark.readStream.format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.schema(
-        T.StructType(
-            [
-                T.StructField("event_id", T.LongType(), True),
-                T.StructField("ts", T.LongType(), True),  # nanos-as-long
-                T.StructField("user_id", T.LongType(), True),
-                T.StructField("event_type", T.StringType(), True),
-                T.StructField("value", T.DoubleType(), True),
-                T.StructField("props", T.StringType(), True),
-            ]
-        )
-    ).load(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = reader.schema(batch_schema).load(path)
+    if ts_is_long:
+        # Legacy nanos-as-long fixtures (spark.sql.legacy.parquet.nanosAsLong)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_field is not None and isinstance(ts_field.dataType, T.TimestampNTZType):
+        # Normalize NTZ to the session-tz TimestampType the downstream
+        # plan (session_window, watermarks) expects; identity under UTC.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from data_engineering_user_session_analysis_spark.functions import split_category, time_derivations
 from data_engineering_user_session_analysis_spark.operators.rollup_full import session_rollup_full
-from data_engineering_user_session_analysis_spark.operators.sessionize import sessionize
+from data_engineering_user_session_analysis_spark.operators.sessionize import epoch_seconds, sessionize
 from data_engineering_user_session_analysis_spark.sources.events import load_events
 
 
@@ -57,7 +57,7 @@ def test_sessionize_invariants(spark, sf_small):
             "prev_session": F.lag("session_id").over(w),
         }
     ).filter(F.col("prev_ts").isNotNull())
-    gap = F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+    gap = epoch_seconds(F.col("ts")) - epoch_seconds(F.col("prev_ts"))
     same = flagged.filter(F.col("session_id") == F.col("prev_session"))
     diff = flagged.filter(F.col("session_id") != F.col("prev_session"))
     assert same.filter(gap > 1800).count() == 0

@@ -3,6 +3,8 @@ twin of the streaming ingest boundary (reference S2/S7)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_engineering_user_session_analysis_spark.sources.events import load_events
 from data_engineering_user_session_analysis_spark.sources.replay import (
     as_kafka_messages,
@@ -14,9 +16,14 @@ from data_engineering_user_session_analysis_spark.streaming.ingest_stream import
 def test_csv_replay_roundtrip(spark, sf_small, tmp_path):
     src = load_events(spark, sf_small)
     csv_dir = str(tmp_path / "csv")
+    # Spark routes TIMESTAMP columns through `timestampFormat` and
+    # TIMESTAMP_NTZ columns through `timestampNTZFormat`; fixtures have
+    # shipped both flavors, so pin both to the replay wire format.
     src.write.option("header", "true").option(
         "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    ).mode("overwrite").csv(csv_dir)
+    ).option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").mode(
+        "overwrite"
+    ).csv(csv_dir)
 
     replayed = read_events_csv(spark, csv_dir)
     assert replayed.count() == src.count()
@@ -26,6 +33,9 @@ def test_csv_replay_roundtrip(spark, sf_small, tmp_path):
     assert set(messages.columns) == {"key", "value"}
     decoded = decode_json_messages(messages)
     assert decoded.count() == src.count()
-    # decode(encode(x)) == x  on every column
-    assert decoded.exceptAll(src).count() == 0
-    assert src.exceptAll(decoded).count() == 0
+    # decode(encode(x)) == x  on every column.  Event time is tz-less
+    # UTC end-to-end; align NTZ source ts with the wire TimestampType
+    # (identity under the UTC session tz) before comparing.
+    src_t = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    assert decoded.exceptAll(src_t).count() == 0
+    assert src_t.exceptAll(decoded).count() == 0
