@@ -539,7 +539,12 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """Pigeonhole block candidate pairs from a fingerprint table —
     lossless for Hamming distance <= max_hamming (see
-    ``simhash_pairs``)."""
+    ``simhash_pairs``).  Doc-level candidate enumeration: quadratic in
+    duplicate-fingerprint group sizes, so the production path
+    (``simhash_pairs``) enumerates at the distinct-VALUE level via
+    ``simhash_value_candidate_pairs`` instead; this form remains the
+    simplest statement of the pigeonhole property and pins the
+    value-level path in tests."""
     n_blocks = max_hamming + 1
     block_entries = F.array(
         *[
@@ -561,6 +566,48 @@ def simhash_candidate_pairs(
         left.join(right, ["blk", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_value_candidate_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Pigeonhole block candidates over DISTINCT fingerprint values:
+    ``(fa, fb)`` with ``fa < fb``, superset of all value pairs within
+    ``max_hamming``.
+
+    This is the clone-robust candidate enumeration: on a re-crawl
+    corpus where every doc has k exact clones, all k share one
+    fingerprint value, so the block join's bucket sizes — and with
+    them Σ bucket², the enumerated width — are those of the ORIGINAL
+    corpus, not k× it (doc-level enumeration grows k² per group:
+    STRESS r03 measured 674k → 67.6M candidates for 10× clone
+    shards).  Expansion back to doc pairs happens only for VERIFIED
+    value pairs, so that stage is output-bounded."""
+    vals = fingerprints.select("fingerprint").distinct()
+    n_blocks = max_hamming + 1
+    block_entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("fingerprint"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for i, (off, width) in enumerate(_block_bounds(SIMHASH_BITS, n_blocks))
+        ]
+    )
+    blocks = vals.select(
+        F.col("fingerprint"), F.explode(block_entries).alias("e")
+    ).select("fingerprint", "e.blk", "e.val")
+    left = blocks.select(F.col("fingerprint").alias("fa"), "blk", "val")
+    right = blocks.select(F.col("fingerprint").alias("fb"), "blk", "val")
+    return (
+        left.join(right, ["blk", "val"])
+        .filter(F.col("fa") < F.col("fb"))
+        .select("fa", "fb")
         .distinct()
     )
 
@@ -598,21 +645,43 @@ def simhash_pairs(
     planted-vs-random gap the oracle row demonstrates.  Widen
     SIMHASH_BITS for real corpora.
     """
-    # fp enters the plan four times (block join left/right + verify
-    # a/b) but is NOT cached: the four subtrees are identical up to
-    # the fingerprint aggregation, so ReusedExchange computes it once
-    # — an explicit .cache() measured ~2x SLOWER (materialization
-    # barrier + cache scan replacing one whole-stage pipeline).
+    # Candidate enumeration runs at the distinct-fingerprint-VALUE
+    # level (clone-robust — see simhash_value_candidate_pairs), then
+    # expands verified value pairs to doc pairs:
+    #   - cross-value pairs: two output-bounded equi-joins on the
+    #     fingerprint value (each doc has exactly one fingerprint, so
+    #     no pair is produced twice; least/greatest restores the
+    #     doc_a < doc_b convention since value order != id order);
+    #   - same-value groups (hamming 0, where clone mass lives): one
+    #     self-equi-join on fingerprint — already output-sized, never
+    #     enumerated through the block join at all.
+    # fp enters the plan several times but is NOT cached: the
+    # subtrees are identical up to the fingerprint aggregation, so
+    # ReusedExchange computes it once — an explicit .cache() measured
+    # ~2x SLOWER (materialization barrier + cache scan replacing one
+    # whole-stage pipeline).
     fp = simhash_fingerprints(docs, text_col, id_col)
-    candidates = simhash_candidate_pairs(fp, max_hamming, id_col)
-    a = fp.select(F.col(id_col).alias("doc_a"), F.col("fingerprint").alias("fa"))
-    b = fp.select(F.col(id_col).alias("doc_b"), F.col("fingerprint").alias("fb"))
-    return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn(
-            "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    vver = simhash_value_candidate_pairs(fp, max_hamming).withColumn(
+        "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    ).filter(F.col("hamming") <= max_hamming)
+    a = fp.select(F.col(id_col).alias("ia"), F.col("fingerprint").alias("fa"))
+    b = fp.select(F.col(id_col).alias("ib"), F.col("fingerprint").alias("fb"))
+    cross = (
+        vver.join(a, "fa")
+        .join(b, "fb")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            F.col("hamming").cast("int").alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
+    same = (
+        a.join(b, F.col("fa") == F.col("fb"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)

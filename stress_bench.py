@@ -73,9 +73,9 @@ def measure(spark, sf_dir: str, label: str) -> dict:
         minhash_candidate_pairs,
         minhash_lsh_pairs,
         shingle_docs,
-        simhash_candidate_pairs,
         simhash_fingerprints,
         simhash_pairs,
+        simhash_value_candidate_pairs,
     )
     from data_engineering_user_session_analysis_spark.operators.sessionize import (
         session_rollup,
@@ -111,8 +111,13 @@ def measure(spark, sf_dir: str, label: str) -> dict:
     )
     fp = simhash_fingerprints(docs).cache()
     fp.count()
+    # Since r04 the engine enumerates SimHash candidates at the
+    # distinct-fingerprint-value level (clone-robust); this metric is
+    # that enumerated join width.  r03 measured doc-level candidates
+    # (674k base / 67.6M stress on this corpus).
+    res["simhash_candidates_kind"] = "fingerprint-value-level"
     res["simhash_candidates"], res["simhash_candidates_sec"] = timed(
-        lambda: simhash_candidate_pairs(fp).count()
+        lambda: simhash_value_candidate_pairs(fp).count()
     )
     res["simhash_pairs"], res["simhash_pairs_sec"] = timed(
         lambda: simhash_pairs(docs).count()
