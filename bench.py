@@ -91,6 +91,38 @@ def main() -> None:
         gc.collect()
         spark._jvm.System.gc()
 
+    # End-to-end streaming ingest throughput (events/sec through
+    # file-stream source -> enrichment -> partitioned parquet lake,
+    # availableNow).  The reference's measured envelope is ~14 rec/s
+    # end-to-end (BASELINE.md: producer-bound micro-batches); this
+    # number is the same pipeline stage on the same event shape.
+    import shutil
+    import tempfile
+
+    from data_engineering_user_session_analysis_spark.streaming.ingest_stream import (
+        enrich_events,
+        read_file_stream,
+        write_lake_stream,
+    )
+
+    ingest_events_per_sec = None
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        n_events = spark.read.parquet(src).count()
+        stream = enrich_events(read_file_stream(spark, src))
+        t0 = time.perf_counter()
+        q = write_lake_stream(
+            stream,
+            os.path.join(tmp, "lake"),
+            os.path.join(tmp, "ckpt"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+        ingest_events_per_sec = round(n_events / (time.perf_counter() - t0), 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     # Like-for-like subtotal over the query set shared with the r02
     # bench, so cross-round comparisons don't require manual
@@ -126,6 +158,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "shared_r02_subtotal": shared_total,
+                "ingest_events_per_sec": ingest_events_per_sec,
                 "sf": sf,
             }
         )

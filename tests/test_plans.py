@@ -123,3 +123,54 @@ def test_plan_audit_helpers(spark, sf_small):
     assert whole_stage_codegen_spans(li) >= 1  # scan+filter+project fused
     agg = li.groupBy("l_orderkey").count()
     assert count_exchanges(agg) == 1
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide plan lint: every registered query swept for the two
+# disqualifying-at-100TB shapes.  Per-query pins above check specific
+# good properties; this sweep guarantees NO query silently regresses
+# into a quadratic join or a row-at-a-time Python UDF.
+# ---------------------------------------------------------------------------
+
+# Queries whose plan legitimately contains a nested-loop/cartesian
+# operator — each with the reason it is scale-safe.
+_ALLOWED_NESTED_LOOP = {
+    # 1-row global-max aggregate broadcast-cross-joined back in
+    # (the in-plan alternative to a driver collect): |L|*1 loop.
+    "user_level": "broadcast cross join against a 1-row aggregate",
+    # Fixed-k anchor set (k=5) broadcast against the corpus: the loop
+    # is |corpus|*k, i.e. linear in data with a constant factor —
+    # the documented brute-force ANN baseline, not an N x N join.
+    "knn_brute_force": "broadcast of a constant-size anchor set",
+    # Constant-K centroid seeds (K=16) broadcast twice (assignment +
+    # probe): |corpus|*K per pass, linear in data.
+    "ann_ivf_topk": "broadcast of a constant-K centroid table",
+}
+
+# Streaming registry entries EXECUTE a stream on construction (memory
+# sink driven to completion) — their plan properties are pinned in
+# tests/test_streaming.py instead of swept here.
+_SWEEP_EXCLUDED = {"streaming_session_rollup", "streaming_hourly_counts"}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in QUERIES if n not in _SWEEP_EXCLUDED)
+)
+def test_registry_plan_lint(spark, sf_small, name):
+    plan = _plan(spark, sf_small, name)
+    quadratic = [
+        op
+        for op in ("BroadcastNestedLoopJoin", "CartesianProduct")
+        if op in plan
+    ]
+    if quadratic and name not in _ALLOWED_NESTED_LOOP:
+        raise AssertionError(
+            f"{name} plans a quadratic join ({quadratic}) without an "
+            "allowlist justification"
+        )
+    # Row-at-a-time Python UDFs are banned everywhere: every Python
+    # hop must be Arrow-batched (ArrowEvalPython / MapInPandas /
+    # FlatMapGroupsInPandas), which the lint does allow.
+    assert "BatchEvalPython" not in plan, (
+        f"{name} plans a row-at-a-time Python UDF"
+    )
