@@ -1,0 +1,159 @@
+"""Small-file compaction — the lake-maintenance job every streaming
+sink eventually needs.
+
+The ingest stream (``streaming/ingest_stream.py``) appends one-or-more
+files per micro-batch per partition; after days of 30-second triggers
+a date partition holds thousands of KB-sized files and every batch
+scan pays per-file open/footer costs (and, on object stores, per-file
+request latency) that dwarf the data read.  The reference never
+addresses this (its lake just accumulates — ``spark_jobs/
+spark_stream.py:170-176``); at 100 TB it is the difference between a
+scan bound by bytes and one bound by file count.
+
+Design:
+
+* ``partition_file_stats`` — per-leaf-directory (file count, bytes)
+  from the Hadoop FileSystem API: the measurement that decides WHAT
+  to compact (driver-side metadata listing only — no data read; the
+  listing is one RPC per directory, fine for daily-partitioned lakes;
+  catalogs with millions of partitions would push this into a
+  manifest table instead).
+* ``compact_partition`` — rewrite ONE partition's files into
+  ``ceil(bytes / target_file_bytes)`` outputs.  ``coalesce`` (narrow,
+  no shuffle) when only reducing file count; optional ``cluster_by``
+  columns switch to ``repartitionByRange + sortWithinPartitions`` —
+  one shuffle that buys min/max row-group locality on the cluster
+  keys, so later scans filtering on them skip whole files (the
+  Z-order-lite that covers the single-key case).
+* Swap is write-to-temp then two renames (old → trash, new → live,
+  then trash delete).  Each HDFS/posix rename is atomic but the pair
+  is not one transaction: a reader listing the table in the gap can
+  miss the partition, and a crash between the renames leaves the
+  partition in the trash dir (recoverable by hand, nothing lost).
+  That is the honest limit of compaction on a bare-directory lake —
+  a table format with a metadata pointer (Iceberg/Delta-class) is
+  the production answer when readers can't tolerate the gap; this
+  operator keeps the engine dependency-free.
+
+Only compact CLOSED partitions (e.g. yesterday's date once the
+watermark has passed): compacting a partition the stream is still
+appending to loses the append that lands between read and swap.
+"""
+
+from __future__ import annotations
+
+import math
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every visible data file directly under
+    ``path`` (Spark's convention: names starting with ``_`` or ``.``
+    are metadata — _SUCCESS, checksums — not data)."""
+    fs, hpath = _fs(spark, path)
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+def partition_file_stats(
+    spark: SparkSession, table_path: str
+) -> list[dict]:
+    """File count / byte totals per leaf partition directory of a
+    Hive-layout table (one level of ``col=value`` dirs, or the table
+    root itself when unpartitioned).  The output feeds the compaction
+    decision: ``needs_compaction`` flags partitions whose MEAN file
+    size sits under half the target — the standard trigger."""
+    fs, root = _fs(spark, table_path)
+    leaves = [
+        st.getPath().toString()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    ] or [table_path]
+    stats = []
+    for leaf in leaves:
+        files = _list_data_files(spark, leaf)
+        stats.append(
+            {
+                "partition": leaf.rsplit("/", 1)[-1],
+                "path": leaf,
+                "n_files": len(files),
+                "bytes": sum(b for _, b in files),
+            }
+        )
+    return stats
+
+
+def compact_partition(
+    spark: SparkSession,
+    partition_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+    cluster_by: tuple[str, ...] = (),
+) -> dict:
+    """Rewrite one partition directory's files into
+    ``ceil(bytes / target_file_bytes)`` files (at least 1), optionally
+    range-clustered on ``cluster_by``.  Returns a before/after report.
+
+    Reads the leaf directory directly (partition values live in the
+    directory name, not the files, so the rewrite reproduces the file
+    contents byte-for-byte up to row order — row order is only
+    changed when ``cluster_by`` asks for it)."""
+    before = _list_data_files(spark, partition_path)
+    bytes_before = sum(b for _, b in before)
+    n_out = max(1, math.ceil(bytes_before / target_file_bytes))
+
+    df = spark.read.format(fmt).load(partition_path)
+    if cluster_by:
+        # one shuffle, bought deliberately: range partitioning makes
+        # per-file min/max on the cluster keys near-disjoint, so
+        # later key-filtered scans skip whole files via footer stats.
+        cols = [df[c] for c in cluster_by]
+        df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+    else:
+        # narrow merge — no shuffle, no re-sort, just fewer files.
+        df = df.coalesce(n_out)
+
+    fs, live = _fs(spark, partition_path)
+    parent = live.getParent()
+    token = uuid.uuid4().hex[:8]
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(
+        parent, f".compact_tmp_{token}"
+    )
+    trash = spark._jvm.org.apache.hadoop.fs.Path(
+        parent, f".compact_trash_{token}"
+    )
+    df.write.format(fmt).mode("overwrite").save(tmp.toString())
+    # two atomic renames; see module docstring for the gap contract
+    if not fs.rename(live, trash):
+        raise IOError(f"compaction swap failed renaming {live} aside")
+    if not fs.rename(tmp, live):
+        # roll back so the partition never stays missing
+        fs.rename(trash, live)
+        raise IOError(f"compaction swap failed installing {tmp}")
+    fs.delete(trash, True)
+    # drop cached file listings so open DataFrames over the table
+    # re-list instead of failing on the replaced files
+    spark.catalog.refreshByPath(parent.toString())
+    spark.catalog.refreshByPath(partition_path)
+
+    after = _list_data_files(spark, partition_path)
+    return {
+        "path": partition_path,
+        "files_before": len(before),
+        "bytes_before": bytes_before,
+        "files_after": len(after),
+        "bytes_after": sum(b for _, b in after),
+        "clustered_by": list(cluster_by),
+    }
