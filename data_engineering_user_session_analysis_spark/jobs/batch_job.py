@@ -117,10 +117,38 @@ def run_daily_job(
     return results
 
 
+def compact_closed_partition(
+    spark: SparkSession,
+    lake_path: str,
+    ds: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Maintenance step for the daily cadence: once ``ds`` is closed
+    (the stream's watermark has passed it), merge its micro-batch
+    small files (sources/compaction.py).  Runs naturally right after
+    ``run_daily_job`` for the same ds — the day's partition has just
+    been read for the last time hot, and every later backfill scan
+    pays file-count costs forever if it stays shattered."""
+    from data_engineering_user_session_analysis_spark.sources.compaction import compact_partition
+
+    return compact_partition(
+        spark,
+        os.path.join(lake_path, f"date={ds}"),
+        target_file_bytes=target_file_bytes,
+    )
+
+
 def main(argv: list[str]) -> None:
-    """CLI contract of the reference batch job: ``job <ds>``."""
+    """CLI contract of the reference batch job: ``job <ds>`` (plus the
+    maintenance verb ``job compact <ds>``)."""
     from data_engineering_user_session_analysis_spark import get_spark
 
+    if argv[1] == "compact":
+        ds = argv[2]
+        lake = argv[3] if len(argv) > 3 else os.environ.get("LAKE_PATH", "/tmp/events_lake")
+        report = compact_closed_partition(get_spark("lake_compaction"), lake, ds)
+        print(report)
+        return
     ds = argv[1]
     lake = argv[2] if len(argv) > 2 else os.environ.get("LAKE_PATH", "/tmp/events_lake")
     out = argv[3] if len(argv) > 3 else os.environ.get("SERVING_PATH", "/tmp/serving")

@@ -76,3 +76,28 @@ def test_day_read_prunes_partitions(spark, sf_small, tmp_path):
     plan = day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert ds in plan
+
+
+def test_compact_verb_after_daily_job(spark, sf_small, tmp_path):
+    """Maintenance cadence: run the day, then compact its (closed)
+    partition — day results must be identical when recomputed from
+    the compacted lake."""
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import compact_closed_partition
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "serving")
+    build_lake(spark, sf_small, lake)
+    ds = "2024-01-05"
+    before = {
+        tuple(r)
+        for r in run_daily_job(spark, lake, ds, out)["user_level"].collect()
+    }
+    report = compact_closed_partition(spark, lake, ds)
+    assert report["files_after"] <= report["files_before"]
+    after = {
+        tuple(r)
+        for r in run_daily_job(spark, lake, ds, str(tmp_path / "serving2"))[
+            "user_level"
+        ].collect()
+    }
+    assert after == before

@@ -174,3 +174,62 @@ def test_registry_plan_lint(spark, sf_small, name):
     assert "BatchEvalPython" not in plan, (
         f"{name} plans a row-at-a-time Python UDF"
     )
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """Scale posture: the session's AQE skew-join setting actually
+    fires.  One hot key dominates the left side of a sort-merge join;
+    with the skew thresholds scaled down to fixture size, AQE must
+    mark the skewed partition split (``skew=true`` in the final
+    adaptive plan) — the runtime defense this engine relies on for
+    hot keys it did NOT pre-salt (operators/skew.py covers the ones
+    it did)."""
+    from pyspark.sql import functions as F
+
+    # parquet inputs: AQE skew stats come from shuffle map sizes, but
+    # in-memory ranges coalesce too evenly — files make it realistic
+    left_path, right_path = str(tmp_path / "l"), str(tmp_path / "r")
+    (
+        spark.range(300_000)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        .write.mode("overwrite")
+        .parquet(left_path)
+    )
+    spark.range(5_000).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).write.mode("overwrite").parquet(right_path)
+
+    scoped = {
+        # force SMJ (no broadcast) and make the thresholds fixture-sized
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    saved = {}
+    for k, v in scoped.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        joined = spark.read.parquet(left_path).join(
+            spark.read.parquet(right_path), "k"
+        )
+        # execute THIS DataFrame's own QueryExecution (count()/write
+        # spawn separate ones) so the adaptive plan finalizes
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, plan[:4000]
