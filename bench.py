@@ -123,6 +123,32 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # Composed corpus-prep pipeline throughput (docs/sec through
+    # scrub -> quality filter -> exact dedup -> near-dup cluster
+    # dedup -> pack) — the LLM-training-data tier exercised
+    # end-to-end rather than per-operator.
+    corpus_prep_docs_per_sec = None
+    try:
+        from data_engineering_user_session_analysis_spark.pipelines.corpus_prep import (
+            CorpusPrepConfig,
+            prepare_corpus,
+        )
+        from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        result, _report = prepare_corpus(
+            docs, config=CorpusPrepConfig(pack_budget=2048)
+        )
+        result.write.format("noop").mode("overwrite").save()
+        corpus_prep_docs_per_sec = round(
+            n_docs / (time.perf_counter() - t0), 1
+        )
+    except Exception:
+        pass
+    spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 4)
     # Like-for-like subtotal over the query set shared with the r02
     # bench, so cross-round comparisons don't require manual
@@ -159,6 +185,7 @@ def main() -> None:
                 "queries": timings,
                 "shared_r02_subtotal": shared_total,
                 "ingest_events_per_sec": ingest_events_per_sec,
+                "corpus_prep_docs_per_sec": corpus_prep_docs_per_sec,
                 "sf": sf,
             }
         )
