@@ -661,6 +661,30 @@ def simhash_pairs(
     # ~2x SLOWER (materialization barrier + cache scan replacing one
     # whole-stage pipeline).
     fp = simhash_fingerprints(docs, text_col, id_col)
+    return simhash_pairs_from_fingerprints(fp, max_hamming, id_col)
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hamming-verified near-dup pairs from an ``(id, fingerprint)``
+    table.  Candidate enumeration runs at the distinct-fingerprint-
+    VALUE level (clone-robust — see simhash_value_candidate_pairs),
+    then expands verified value pairs to doc pairs:
+
+    - cross-value pairs: two output-bounded equi-joins on the
+      fingerprint value (each doc has exactly one fingerprint, so no
+      pair is produced twice; least/greatest restores the
+      doc_a < doc_b convention since value order != id order);
+    - same-value groups (hamming 0, where clone mass lives): one
+      self-equi-join on fingerprint — already output-sized, never
+      enumerated through the block join at all.
+
+    Property-tested against brute-force all-pairs over synthetic
+    fingerprint tables (clone-heavy included) in tests/test_operators.py.
+    """
     vver = simhash_value_candidate_pairs(fp, max_hamming).withColumn(
         "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     ).filter(F.col("hamming") <= max_hamming)

@@ -79,3 +79,28 @@ def test_partition_pruning_carries_across_formats(spark, sf_small, tmp_path, fmt
     assert "PartitionFilters: [isnotnull(date" in plan, plan
     assert f"= {one_day})" in plan, plan
     assert q.count() == df.filter(F.col("date") == one_day).count()
+
+
+def test_schema_evolution_null_extends_old_files(spark, sf_small, tmp_path):
+    """Lake schema evolution: a column added mid-stream must not
+    break reads of the mixed lake.  The engine stance: read with an
+    EXPLICIT superset schema (deterministic; old files null-extend),
+    with option("mergeSchema") pinned as the equivalent discovery
+    path — relying on Spark's default single-footer schema pick is a
+    silent-column-loss hazard on mixed lakes."""
+    path = str(tmp_path / "evolving")
+    base = _sample(spark, sf_small).select("event_id", "user_id", "value")
+    base.limit(100).write.parquet(path)  # v1 writer
+    base.limit(50).withColumn(
+        "quality", F.lit(0.5)
+    ).write.mode("append").parquet(path)  # v2 writer adds a column
+
+    superset = "event_id long, user_id long, value double, quality double"
+    df = spark.read.schema(superset).parquet(path)
+    assert df.count() == 150
+    assert df.filter(F.col("quality").isNull()).count() == 100
+    assert df.filter(F.col("quality") == 0.5).count() == 50
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"event_id", "user_id", "value", "quality"}
+    assert merged.count() == 150

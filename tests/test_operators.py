@@ -645,3 +645,49 @@ def test_shingle_kernel_equals_hof_construction(spark, sf_small):
     assert kernel.count() == hof.count() > 0
     assert kernel.exceptAll(hof).count() == 0
     assert hof.exceptAll(kernel).count() == 0
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            # fingerprints from a deliberately tiny bit-neighborhood:
+            # a few base patterns x low-bit perturbations, so examples
+            # are dense in clones (same value), near pairs (hamming
+            # 1-2), and just-over-threshold pairs (hamming 3)
+            st.tuples(
+                st.sampled_from([0, 0xFFFFFFFF, 0x0F0F0F0F, 0x12345678]),
+                st.integers(min_value=0, max_value=7),
+                st.booleans(),
+            ).map(lambda t: (t[0] ^ t[1] ^ (0x80000000 if t[2] else 0))),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda e: e[0],
+    )
+)
+def test_simhash_value_level_pairs_property(spark, rows):
+    """The value-level candidate enumeration + expansion must equal
+    brute-force all-pairs Hamming on ANY (id, fingerprint) table —
+    clone groups, negative ids, and boundary hamming included."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import (
+        simhash_pairs_from_fingerprints,
+    )
+
+    fp = spark.createDataFrame(rows, "doc_id long, fingerprint long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_from_fingerprints(fp, max_hamming=2).collect()
+    }
+    expected = set()
+    for i, (ida, fa) in enumerate(rows):
+        for idb, fb in rows[i + 1 :]:
+            h = bin(fa ^ fb).count("1")
+            if h <= 2:
+                expected.add((min(ida, idb), max(ida, idb), h))
+    assert got == expected
