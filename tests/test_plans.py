@@ -233,3 +233,56 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
             else:
                 spark.conf.set(k, v)
     assert "skew=true" in plan, plan[:4000]
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """Scale posture: Spark's runtime bloom-filter join reduction
+    (on by default in the session) injects a ``might_contain``
+    filter on the big probe side when the build side is small and
+    selectively filtered — rows that cannot join die at the scan
+    instead of travelling through the shuffle.  Thresholds are
+    scaled to fixture size; the assertion is that the optimization
+    stays ON and actually plans for this shape."""
+    from pyspark.sql import functions as F
+
+    big_p, small_p = str(tmp_path / "big"), str(tmp_path / "small")
+    (
+        spark.range(500_000)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        .write.mode("overwrite")
+        .parquet(big_p)
+    )
+    (
+        spark.range(500_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 100).alias("grp"))
+        .filter(F.col("k") % 97 == 0)
+        .write.mode("overwrite")
+        .parquet(small_p)
+    )
+    scoped = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    saved = {}
+    for k, v in scoped.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        joined = spark.read.parquet(big_p).join(
+            spark.read.parquet(small_p).filter(F.col("grp") == 3), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, plan[:4000]
