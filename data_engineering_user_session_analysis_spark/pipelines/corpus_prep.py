@@ -52,6 +52,12 @@ class CorpusPrepConfig:
 
     min_tokens: int = 5
     min_quality: float = 0.0
+    #: adaptive quality floor: drop the bottom p-fraction of the
+    #: corpus by quality_score, computed with the deterministic
+    #: quantized quantile (operators/stats.py) so the survivor set is
+    #: stable under repartitioning (percentile_approx is not).
+    #: Composes with min_quality (both must pass).
+    min_quality_percentile: float | None = None
     max_dup_line_frac: float = 0.5
     neardup_threshold: float = 0.6
     decontaminate_ngram: int = 13
@@ -81,11 +87,22 @@ def prepare_corpus(
     quality = repetition_signals(
         quality_features(scrubbed, c.text_col), c.text_col, line_sep=" "
     )
-    filtered = quality.filter(
+    keep = (
         (F.col("n_tokens") >= c.min_tokens)
         & (F.col("quality_score") >= c.min_quality)
         & (F.col("dup_line_frac") <= c.max_dup_line_frac)
     )
+    if c.min_quality_percentile is not None:
+        from data_engineering_user_session_analysis_spark.operators.stats import quantized_quantile
+
+        # in-plan broadcast of the 1-row threshold (the user_level
+        # global-scalar pattern — no driver round-trip)
+        thr = quantized_quantile(
+            quality, "quality_score", c.min_quality_percentile
+        )
+        quality = quality.crossJoin(F.broadcast(thr))
+        keep = keep & (F.col("quality_score") >= F.col("threshold"))
+    filtered = quality.filter(keep).drop("threshold")
     report["quality_filtered"] = filtered.count()
 
     # exact dedup: keep the min-id doc per identical text

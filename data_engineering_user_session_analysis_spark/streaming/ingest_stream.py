@@ -86,6 +86,46 @@ def decode_json_messages(raw: DataFrame) -> DataFrame:
     )
 
 
+def decode_json_messages_with_quarantine(
+    raw: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Poison-message handling for the ingest boundary: decode like
+    ``decode_json_messages``, but SPLIT instead of silently nulling —
+    ``(valid, quarantine)``.
+
+    A malformed value (truncated JSON, wrong types, missing the
+    required ``event_id``) must neither kill the stream nor leak a
+    null-keyed row into the lake.  ``from_json`` yields a null struct
+    (or null required field) for such messages; the quarantine branch
+    keeps the RAW message text plus the decode-time context an
+    operator needs to replay it after a producer fix.  Both branches
+    come from one projection of the same source — under whole-stage
+    codegen the message is parsed once per branch consumer, with no
+    extra shuffle on either side (map-only, like the happy path).
+
+    The reference has no bad-message story at all (a malformed value
+    becomes an all-null row in its lake, ``spark_jobs/
+    spark_stream.py:57-64``); this is the production-shaped fix.
+    """
+    decoded = raw.selectExpr("CAST(value AS STRING) AS json_value").withColumn(
+        "data",
+        F.from_json(
+            "json_value",
+            EVENT_MESSAGE_SCHEMA,
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        ),
+    )
+    # isNotNull never evaluates to SQL NULL, so the negation below is
+    # an exact complement — every message lands in exactly one branch.
+    is_valid = F.col("data").isNotNull() & F.col("data.event_id").isNotNull()
+    valid = decoded.filter(is_valid).select("data.*")
+    quarantine = decoded.filter(~is_valid).select(
+        F.col("json_value").alias("raw_value"),
+        F.current_timestamp().alias("quarantined_at"),
+    )
+    return valid, quarantine
+
+
 def enrich_events(events: DataFrame) -> DataFrame:
     """Reference enrichment block (P4/F1-F4,
     ``spark_jobs/spark_stream.py:66-71``) as one projection."""

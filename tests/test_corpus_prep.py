@@ -90,3 +90,78 @@ def test_prepare_corpus_with_benchmark_and_packing(spark, sf_small):
     for r in rows:
         packs[r.pack_id] = packs.get(r.pack_id, 0) + r.n_tokens
     assert all(v <= 512 for v in packs.values())
+
+
+def test_quantized_quantile_exact_and_layout_stable(spark):
+    """The deterministic quantile: matches a pure-Python replay of the
+    same grid algorithm, and is identical under repartitioning (the
+    property percentile_approx does not guarantee)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.stats import quantized_quantile
+
+    vals = [i / 997.0 for i in range(997)] + [0.25] * 50 + [None] * 3
+    df = spark.createDataFrame([(v,) for v in vals], "score double")
+    for p in (0.0, 0.3, 0.5, 0.9, 1.0):
+        got = quantized_quantile(df, "score", p).collect()[0].threshold
+        got2 = (
+            quantized_quantile(df.repartition(13), "score", p)
+            .collect()[0]
+            .threshold
+        )
+        assert got == got2, f"layout-dependent at p={p}"
+        # pure-python replay of the grid definition
+        clean = sorted(v for v in vals if v is not None)
+        q = 1e-6
+        need = math.ceil(len(clean) * p)
+        cum, t = 0, None
+        from collections import Counter
+
+        hist = Counter(math.floor(v / q) for v in clean)
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum >= need:
+                t = b * q
+                break
+        assert got == t, (p, got, t)
+
+
+def test_percentile_quality_floor_in_pipeline(spark, sf_small):
+    """min_quality_percentile drops the bottom fraction by score —
+    survivor counts shrink monotonically with p and the kept docs are
+    exactly those at/above the quantized threshold."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.stats import quantized_quantile
+    from data_engineering_user_session_analysis_spark.operators.scrubbing import (
+        repetition_signals,
+        scrub_pii,
+    )
+    from data_engineering_user_session_analysis_spark.operators.text_analysis import quality_features
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    base_cfg = CorpusPrepConfig(pack_budget=None)
+    base, _ = prepare_corpus(docs, config=base_cfg)
+    n_base = base.count()
+
+    # p=0.9 must bite: the static filters already discard the
+    # low-quality mass (min_tokens/dup-line correlate with score), so
+    # only a high floor shrinks the survivor set further
+    cfg = CorpusPrepConfig(pack_budget=None, min_quality_percentile=0.9)
+    top, report = prepare_corpus(docs, config=cfg)
+    n_top = top.count()
+    assert 0 < n_top < n_base
+    assert report["quality_filtered"] < n_base
+
+    # kept set == docs whose score clears the same threshold the
+    # operator computes, applied to the same quality frame
+    quality = repetition_signals(
+        quality_features(scrub_pii(docs, "text"), "text"), "text", line_sep=" "
+    )
+    thr = quantized_quantile(quality, "quality_score", 0.9).collect()[0].threshold
+    scores = {r.doc_id: r.quality_score for r in quality.collect()}
+    survivors = {r.doc_id for r in top.collect()}
+    assert survivors and all(scores[d] >= thr for d in survivors)

@@ -373,3 +373,97 @@ def test_kafka_source_gate_is_informative(spark):
 
     with pytest.raises(RuntimeError, match="read_file_stream"):
         read_kafka_stream(spark, "broker:9092")
+
+
+def test_decode_quarantine_splits_poison_messages(spark, sf_small):
+    """Batch twin of the dead-letter decode: malformed message values
+    (truncated JSON, wrong types, missing event_id) land in the
+    quarantine branch with their raw text; every valid message decodes
+    exactly as the plain decoder would.  Branches partition the input:
+    counts add up, no row in both."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.sources.replay import as_kafka_messages
+    from data_engineering_user_session_analysis_spark.streaming.ingest_stream import (
+        decode_json_messages,
+        decode_json_messages_with_quarantine,
+    )
+
+    good = as_kafka_messages(
+        load_events(spark, sf_small).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+    )
+    poison = spark.createDataFrame(
+        [
+            ("k1", '{"event_id": 1, "user_id":'),  # truncated
+            ("k2", "not json at all"),
+            ("k3", '{"user_id": 7, "event_type": "view"}'),  # no event_id
+            ("k4", ""),  # empty value
+        ],
+        "key string, value string",
+    ).select(F.col("key").cast("binary"), F.col("value").cast("binary"))
+    messages = good.unionByName(poison)
+
+    valid, quarantine = decode_json_messages_with_quarantine(messages)
+    n_good = good.count()
+    assert valid.count() == n_good
+    assert quarantine.count() == 4
+    raws = {r.raw_value for r in quarantine.collect()}
+    assert "not json at all" in raws
+    # valid branch decodes identically to the plain decoder over the
+    # clean subset
+    plain = decode_json_messages(good)
+    assert valid.exceptAll(plain).count() == 0
+    assert plain.exceptAll(valid).count() == 0
+
+
+def test_streaming_quarantine_both_sinks(spark, sf_small, tmp_path):
+    """The split runs as a STREAM: one file-stream source feeds two
+    sinks (lake + quarantine) — poison messages reach the dead-letter
+    parquet, valid events reach the lake, exactly once each."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.sources.replay import as_kafka_messages
+    from data_engineering_user_session_analysis_spark.streaming.ingest_stream import (
+        decode_json_messages_with_quarantine,
+    )
+
+    src = tmp_path / "messages"
+    good = as_kafka_messages(
+        load_events(spark, sf_small).limit(200).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+    ).select(F.col("value").cast("string").alias("value"))
+    poison = spark.createDataFrame(
+        [("{bad",), ("also bad",)], "value string"
+    )
+    good.unionByName(poison).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("value string").parquet(str(src))
+    )
+    valid, quarantine = decode_json_messages_with_quarantine(stream)
+    lake = str(tmp_path / "lake")
+    dead = str(tmp_path / "dead")
+    q1 = (
+        valid.writeStream.format("parquet")
+        .option("path", lake)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        quarantine.writeStream.format("parquet")
+        .option("path", dead)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+    assert spark.read.parquet(lake).count() == 200
+    bad_rows = spark.read.parquet(dead).collect()
+    assert {r.raw_value for r in bad_rows} == {"{bad", "also bad"}
