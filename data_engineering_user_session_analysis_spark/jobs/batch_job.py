@@ -138,11 +138,47 @@ def compact_closed_partition(
     )
 
 
+def run_backfill(
+    spark: SparkSession,
+    lake_path: str,
+    ds_start: str,
+    ds_end: str,
+    out_dir: str,
+) -> dict[str, dict[str, DataFrame]]:
+    """Re-run the daily job over a closed date range (inclusive) —
+    the recovery path after a logic fix or late-landing data.  Days
+    run sequentially ON PURPOSE: each day's read is partition-pruned
+    and cached independently, so concurrency would only contend for
+    the same executors, and sequential days give monotonic,
+    resumable progress (re-running a subrange is idempotent because
+    every serving write is a per-day overwrite)."""
+    import datetime as _dt
+
+    start = _dt.date.fromisoformat(ds_start)
+    end = _dt.date.fromisoformat(ds_end)
+    if end < start:
+        raise ValueError(f"backfill range is empty: {ds_start}..{ds_end}")
+    out: dict[str, dict[str, DataFrame]] = {}
+    day = start
+    while day <= end:
+        ds = day.isoformat()
+        out[ds] = run_daily_job(spark, lake_path, ds, os.path.join(out_dir, ds))
+        day += _dt.timedelta(days=1)
+    return out
+
+
 def main(argv: list[str]) -> None:
     """CLI contract of the reference batch job: ``job <ds>`` (plus the
-    maintenance verb ``job compact <ds>``)."""
+    maintenance verbs ``job compact <ds>`` and
+    ``job backfill <ds_start> <ds_end>``)."""
     from data_engineering_user_session_analysis_spark import get_spark
 
+    if argv[1] == "backfill":
+        ds_start, ds_end = argv[2], argv[3]
+        lake = argv[4] if len(argv) > 4 else os.environ.get("LAKE_PATH", "/tmp/events_lake")
+        out = argv[5] if len(argv) > 5 else os.environ.get("SERVING_PATH", "/tmp/serving")
+        run_backfill(get_spark("backfill_job"), lake, ds_start, ds_end, out)
+        return
     if argv[1] == "compact":
         ds = argv[2]
         lake = argv[3] if len(argv) > 3 else os.environ.get("LAKE_PATH", "/tmp/events_lake")

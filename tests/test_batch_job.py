@@ -101,3 +101,26 @@ def test_compact_verb_after_daily_job(spark, sf_small, tmp_path):
         ].collect()
     }
     assert after == before
+
+
+def test_backfill_range_matches_daily_runs(spark, sf_small, tmp_path):
+    """backfill(ds1..ds2) == the per-day jobs run individually, and
+    re-running a subrange is idempotent (per-day overwrite)."""
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import run_backfill
+
+    lake = str(tmp_path / "lake")
+    build_lake(spark, sf_small, lake)
+    results = run_backfill(
+        spark, lake, "2024-01-05", "2024-01-06", str(tmp_path / "bf")
+    )
+    assert set(results) == {"2024-01-05", "2024-01-06"}
+    single = run_daily_job(spark, lake, "2024-01-05", str(tmp_path / "one"))
+    a = {tuple(r) for r in results["2024-01-05"]["user_level"].collect()}
+    b = {tuple(r) for r in single["user_level"].collect()}
+    assert a == b
+    # idempotent re-run of one day inside the range
+    again = run_backfill(
+        spark, lake, "2024-01-05", "2024-01-05", str(tmp_path / "bf")
+    )
+    c = {tuple(r) for r in again["2024-01-05"]["user_level"].collect()}
+    assert c == b
