@@ -95,6 +95,39 @@ def partition_file_stats(
     return stats
 
 
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+    cluster_by: tuple[str, ...] = (),
+) -> list[dict]:
+    """Sweep every leaf partition whose MEAN data-file size sits under
+    half the target (the standard fragmentation trigger) and compact
+    each; returns the per-partition reports.  Partitions already at
+    healthy file sizes are left byte-identical — re-running the sweep
+    is a no-op, so it can sit on a daily maintenance cadence without
+    churning the lake.  Sequential on purpose: each partition rewrite
+    is its own job using every executor; see ``compact_partition``
+    for the swap contract."""
+    reports = []
+    for s in partition_file_stats(spark, table_path):
+        if s["n_files"] <= 1:
+            continue
+        if s["bytes"] / s["n_files"] >= target_file_bytes / 2:
+            continue
+        reports.append(
+            compact_partition(
+                spark,
+                s["path"],
+                target_file_bytes=target_file_bytes,
+                fmt=fmt,
+                cluster_by=cluster_by,
+            )
+        )
+    return reports
+
+
 def compact_partition(
     spark: SparkSession,
     partition_path: str,

@@ -95,3 +95,19 @@ def _list(spark, path):
     from data_engineering_user_session_analysis_spark.sources.compaction import _list_data_files
 
     return _list_data_files(spark, path)
+
+
+def test_compact_table_sweeps_then_noops(spark, sf_small, tmp_path):
+    """The table sweep compacts every fragmented partition once and is
+    a no-op on the second pass (healthy partitions untouched)."""
+    from data_engineering_user_session_analysis_spark.sources.compaction import compact_table
+
+    lake = _fragmented_lake(spark, sf_small, tmp_path)
+    n_parts = len(partition_file_stats(spark, lake))
+    reports = compact_table(spark, lake, target_file_bytes=1 << 30)
+    assert len(reports) == n_parts  # everything was fragmented
+    assert all(r["files_after"] == 1 for r in reports)
+    # content preserved across the whole table
+    assert spark.read.parquet(lake).count() == 1000
+    # second sweep: nothing left to do
+    assert compact_table(spark, lake, target_file_bytes=1 << 30) == []
