@@ -120,6 +120,9 @@ def main() -> None:
         )
         q.awaitTermination()
         ingest_events_per_sec = round(n_events / (time.perf_counter() - t0), 1)
+    except Exception:
+        # auxiliary metric — never fail the headline bench over it
+        pass
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
