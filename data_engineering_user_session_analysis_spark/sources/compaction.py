@@ -38,6 +38,23 @@ Design:
 Only compact CLOSED partitions (e.g. yesterday's date once the
 watermark has passed): compacting a partition the stream is still
 appending to loses the append that lands between read and swap.
+
+FileStreamSink lakes: a ``writeStream.format("parquet")`` sink keeps
+a ``_spark_metadata`` transaction log at the table root, and batch
+reads of the root treat that log as the AUTHORITATIVE file list —
+not the directory listing.  Compaction renames files, so after a
+swap a log-backed read either fails (FileNotFoundException) or, with
+``ignoreMissingFiles``, silently drops the whole compacted partition
+while never seeing the new files.  Both entry points therefore probe
+for ``_spark_metadata`` (at the partition dir and its parents) and
+refuse to run by default.  Passing ``retire_sink_log=True`` deletes
+the log first, demoting the lake to plain-listing reads — correct
+for a lake the stream has finished with, but the streaming query
+must NOT keep appending afterwards: its sink would recreate the log
+containing only post-retirement batches, hiding everything older
+from log-backed reads again.  A live streaming lake that needs
+per-partition compaction is the cue to move to a table format with
+a real metadata pointer (Iceberg/Delta-class).
 """
 
 from __future__ import annotations
@@ -65,6 +82,46 @@ def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
         if st.isFile() and not name.startswith(("_", ".")):
             out.append((st.getPath().toString(), st.getLen()))
     return out
+
+
+def find_sink_log(spark: SparkSession, path: str, max_levels: int = 3) -> str | None:
+    """Path of a FileStreamSink ``_spark_metadata`` log governing
+    ``path``, or None.  Probes the directory itself and up to
+    ``max_levels`` parents: for ``table/ds=X`` the log lives at the
+    table root one level up; deeper partition layouts put it higher."""
+    fs, hpath = _fs(spark, path)
+    cur = hpath
+    for _ in range(max_levels + 1):
+        if cur is None:
+            break
+        cand = spark._jvm.org.apache.hadoop.fs.Path(cur, "_spark_metadata")
+        if fs.exists(cand):
+            return cand.toString()
+        cur = cur.getParent()
+    return None
+
+
+def _check_sink_log(
+    spark: SparkSession, path: str, retire_sink_log: bool
+) -> None:
+    log = find_sink_log(spark, path)
+    if log is None:
+        return
+    if not retire_sink_log:
+        raise RuntimeError(
+            f"refusing to compact {path}: a FileStreamSink log at {log} "
+            "is the authoritative file list for batch reads of this "
+            "lake, and compaction's renames would make those reads "
+            "fail or silently drop the partition. Stop the streaming "
+            "query and pass retire_sink_log=True to delete the log "
+            "and fall back to plain directory-listing reads (the "
+            "stream must not resume appending to this path), or move "
+            "the lake to a table format before compacting."
+        )
+    fs, _ = _fs(spark, path)
+    fs.delete(spark._jvm.org.apache.hadoop.fs.Path(log), True)
+    # log-backed reads may be cached as empty/stale relations
+    spark.catalog.refreshByPath(log.rsplit("/_spark_metadata", 1)[0])
 
 
 def partition_file_stats(
@@ -101,6 +158,7 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     fmt: str = "parquet",
     cluster_by: tuple[str, ...] = (),
+    retire_sink_log: bool = False,
 ) -> list[dict]:
     """Sweep every leaf partition whose MEAN data-file size sits under
     half the target (the standard fragmentation trigger) and compact
@@ -109,7 +167,9 @@ def compact_table(
     is a no-op, so it can sit on a daily maintenance cadence without
     churning the lake.  Sequential on purpose: each partition rewrite
     is its own job using every executor; see ``compact_partition``
-    for the swap contract."""
+    for the swap contract and the module docstring for the
+    ``retire_sink_log`` / FileStreamSink contract."""
+    _check_sink_log(spark, table_path, retire_sink_log)
     reports = []
     for s in partition_file_stats(spark, table_path):
         if s["n_files"] <= 1:
@@ -134,6 +194,7 @@ def compact_partition(
     target_file_bytes: int = 128 * 1024 * 1024,
     fmt: str = "parquet",
     cluster_by: tuple[str, ...] = (),
+    retire_sink_log: bool = False,
 ) -> dict:
     """Rewrite one partition directory's files into
     ``ceil(bytes / target_file_bytes)`` files (at least 1), optionally
@@ -142,7 +203,10 @@ def compact_partition(
     Reads the leaf directory directly (partition values live in the
     directory name, not the files, so the rewrite reproduces the file
     contents byte-for-byte up to row order — row order is only
-    changed when ``cluster_by`` asks for it)."""
+    changed when ``cluster_by`` asks for it).  Refuses to run under a
+    FileStreamSink ``_spark_metadata`` log unless ``retire_sink_log``
+    — see the module docstring."""
+    _check_sink_log(spark, partition_path, retire_sink_log)
     before = _list_data_files(spark, partition_path)
     bytes_before = sum(b for _, b in before)
     n_out = max(1, math.ceil(bytes_before / target_file_bytes))

@@ -97,6 +97,53 @@ def _list(spark, path):
     return _list_data_files(spark, path)
 
 
+def test_compact_refuses_then_retires_filestream_sink_log(spark, sf_small, tmp_path):
+    """A lake built by writeStream carries a _spark_metadata log that
+    batch root-reads treat as the authoritative file list; compaction
+    must refuse by default (its renames would orphan the log) and,
+    after retire_sink_log=True, the root re-read must see every row
+    via plain listing — the ADVICE-flagged silent-loss scenario."""
+    import pytest
+
+    from data_engineering_user_session_analysis_spark.sources.compaction import compact_table, find_sink_log
+    from data_engineering_user_session_analysis_spark.streaming.ingest_stream import (
+        enrich_events,
+        read_file_stream,
+        write_lake_stream,
+    )
+
+    lake = str(tmp_path / "stream_lake")
+    ckpt = str(tmp_path / "ckpt")
+    # shatter the source into several files so availableNow runs
+    # several micro-batches -> several files per lake partition
+    src = str(tmp_path / "src")
+    spark.read.parquet(os.path.join(sf_small, "events.parquet")).repartition(
+        4
+    ).write.parquet(src)
+    stream = read_file_stream(spark, src, max_files_per_trigger=1)
+    q = write_lake_stream(
+        enrich_events(stream), lake, ckpt, partition_col="date", trigger_available_now=True
+    )
+    q.awaitTermination(120)
+    assert find_sink_log(spark, lake) is not None
+    src_count = spark.read.parquet(lake).count()
+    target = max(partition_file_stats(spark, lake), key=lambda s: s["n_files"])
+
+    with pytest.raises(RuntimeError, match="_spark_metadata"):
+        compact_partition(spark, target["path"], target_file_bytes=1 << 30)
+    with pytest.raises(RuntimeError, match="_spark_metadata"):
+        compact_table(spark, lake, target_file_bytes=1 << 30)
+
+    reports = compact_table(
+        spark, lake, target_file_bytes=1 << 30, retire_sink_log=True
+    )
+    assert find_sink_log(spark, lake) is None
+    assert any(r["files_after"] < r["files_before"] for r in reports)
+    # the failure mode this guards: a stale sink log would make this
+    # root read miss the compacted partitions entirely
+    assert spark.read.parquet(lake).count() == src_count
+
+
 def test_compact_table_sweeps_then_noops(spark, sf_small, tmp_path):
     """The table sweep compacts every fragmented partition once and is
     a no-op on the second pass (healthy partitions untouched)."""
