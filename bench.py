@@ -61,7 +61,19 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    def _clear_caches() -> None:
+        # drop caches between queries: intra-query cache reuse stays
+        # within a trial, but one query's cached intermediates must
+        # not occupy memory (GC pressure) while another is timed.
+        # localCheckpoint RDDs (the iterative CC query) are released
+        # by the ContextCleaner only after their references are
+        # GC'd — nudge both runtimes so the next timing starts clean.
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
+
     timings: dict[str, float] = {}
+    timings_min3: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
@@ -70,7 +82,10 @@ def main() -> None:
         # see multi-second host-load noise on a shared box — the min
         # of N is the stable estimate of the plan's actual cost.
         # Sub-second queries get 2 extra trials: their signal is the
-        # most easily swamped by a single noisy window.
+        # most easily swamped by a single noisy window.  min-of-3 is
+        # tracked separately: earlier rounds measured min-of-3, and
+        # min over MORE trials is biased low, so the cross-round
+        # shared subtotal must stay on the 3-trial protocol.
         best = float("inf")
         runs = 0
         while runs < 5:
@@ -78,18 +93,28 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
             runs += 1
+            if runs == 3:
+                timings_min3[name] = round(best, 4)
             if runs >= 3 and best >= 2.0:
                 break
+        timings_min3.setdefault(name, round(best, 4))
         timings[name] = round(best, 4)
-        # drop caches between queries: intra-query cache reuse stays
-        # in the best-of-2, but one query's cached intermediates must
-        # not occupy memory (GC pressure) while another is timed.
-        # localCheckpoint RDDs (the iterative CC query) are released
-        # by the ContextCleaner only after their references are
-        # GC'd — nudge both runtimes so the next timing starts clean.
-        spark.catalog.clearCache()
-        gc.collect()
-        spark._jvm.System.gc()
+        _clear_caches()
+
+    # Full-registry sweep (min-of-2: regression visibility for the 27
+    # non-headline queries, not a headline-grade estimate — a real
+    # regression dwarfs the extra-trial delta).
+    registry_timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        if name in timings:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        registry_timings[name] = round(best, 4)
+        _clear_caches()
 
     # End-to-end streaming ingest throughput (events/sec through
     # file-stream source -> enrichment -> partitioned parquet lake,
@@ -120,9 +145,10 @@ def main() -> None:
         )
         q.awaitTermination()
         ingest_events_per_sec = round(n_events / (time.perf_counter() - t0), 1)
-    except Exception:
-        # auxiliary metric — never fail the headline bench over it
-        pass
+    except Exception as exc:
+        # auxiliary metric — never fail the headline bench over it,
+        # but a broken ingest path must not hide as a silent null
+        print(f"WARN: ingest throughput metric failed: {exc!r}", file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -148,8 +174,8 @@ def main() -> None:
         corpus_prep_docs_per_sec = round(
             n_docs / (time.perf_counter() - t0), 1
         )
-    except Exception:
-        pass
+    except Exception as exc:
+        print(f"WARN: corpus-prep throughput metric failed: {exc!r}", file=sys.stderr)
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
@@ -178,7 +204,21 @@ def main() -> None:
         "lang_id",
         "streaming_session_rollup",
     ]
-    shared_total = round(sum(timings.get(n, 0.0) for n in shared_r02), 4)
+    # min-of-3 on purpose: r02/r03 measured min-of-3, and min over
+    # more trials is monotonically non-increasing — mixing protocols
+    # would fake a speedup.  The headline per-query numbers (up to 5
+    # trials for sub-2s queries) are reported separately above.
+    shared_total = round(sum(timings_min3.get(n, 0.0) for n in shared_r02), 4)
+
+    # Per-family subtotals over the whole 50-query registry, family =
+    # defining module; a regression anywhere in the registry now moves
+    # a recorded number instead of being invisible outside the
+    # headline set.
+    all_timings = {**timings, **registry_timings}
+    family_subtotals: dict[str, float] = {}
+    for name, secs in all_timings.items():
+        fam = QUERIES[name].__module__.rsplit(".", 1)[-1].removesuffix("_queries")
+        family_subtotals[fam] = round(family_subtotals.get(fam, 0.0) + secs, 4)
     print(
         json.dumps(
             {
@@ -187,6 +227,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "shared_r02_subtotal": shared_total,
+                "shared_r02_protocol": "min-of-3",
+                "registry_queries": registry_timings,
+                "full_registry_total": round(sum(all_timings.values()), 4),
+                "family_subtotals": dict(sorted(family_subtotals.items())),
                 "ingest_events_per_sec": ingest_events_per_sec,
                 "corpus_prep_docs_per_sec": corpus_prep_docs_per_sec,
                 "sf": sf,

@@ -70,6 +70,15 @@ def run_daily_job(
     behaves identically for parquet and ORC — plan-pinned in
     tests/test_formats.py); only columnar formats are accepted —
     the raw read below carries no row-format header/schema options.
+
+    Serving layout: ``out_dir/<table>/ds=<ds>`` — each run overwrites
+    exactly its own day (idempotent re-runs, history preserved), the
+    table root reads as one ds-partitioned table, and ``run_backfill``
+    writes the SAME locations, so a backfill genuinely replaces what
+    the daily runs produced.  The JDBC path keeps the reference's
+    whole-table overwrite (``spark_jobs/spark_batch_job.py`` writes
+    each Postgres table in overwrite mode): a serving database holds
+    the latest state, the lake holds history.
     """
     from data_engineering_user_session_analysis_spark.sources.formats import COLUMNAR_FORMATS
 
@@ -112,7 +121,9 @@ def run_daily_job(
                 properties=jdbc_properties or {},
             )
         else:
-            df.write.mode("overwrite").format(fmt).save(os.path.join(out_dir, name))
+            df.write.mode("overwrite").format(fmt).save(
+                os.path.join(out_dir, name, f"ds={ds}")
+            )
     day.unpersist()
     return results
 
@@ -151,7 +162,11 @@ def run_backfill(
     and cached independently, so concurrency would only contend for
     the same executors, and sequential days give monotonic,
     resumable progress (re-running a subrange is idempotent because
-    every serving write is a per-day overwrite)."""
+    every serving write is a per-day overwrite).
+
+    Writes the SAME ``out_dir/<table>/ds=<ds>`` locations the daily
+    job writes — a backfill replaces the live serving output for the
+    range, which is the whole point of running one."""
     import datetime as _dt
 
     start = _dt.date.fromisoformat(ds_start)
@@ -162,7 +177,7 @@ def run_backfill(
     day = start
     while day <= end:
         ds = day.isoformat()
-        out[ds] = run_daily_job(spark, lake_path, ds, os.path.join(out_dir, ds))
+        out[ds] = run_daily_job(spark, lake_path, ds, out_dir)
         day += _dt.timedelta(days=1)
     return out
 

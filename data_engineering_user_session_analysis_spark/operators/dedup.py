@@ -335,28 +335,39 @@ def connected_components(
     tests/test_operators.py.
     """
     spark = pairs.sparkSession
-    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    if driver_max_edges > 0:
-        # size probe == collection: one pass over the pair pipeline.
-        # toPandas (Arrow when enabled) keeps the driver copy at raw
-        # value width — python Row objects would cost ~10x the bytes
-        # at the 5M-edge budget.
-        probe = raw.limit(driver_max_edges + 1).toPandas()
-        if len(probe) <= driver_max_edges:
-            return _driver_components(
-                spark,
-                zip(probe.iloc[:, 0].tolist(), probe.iloc[:, 1].tolist()),
-                raw.schema["u"].dataType,
-            )
-    edges = (
-        raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        # materialize ONCE: the edge table re-enters every round's
-        # neighbor join — without this, each round recomputes the
-        # whole upstream pair pipeline (e.g. the full MinHash+verify
-        # DAG when called from dedup_clusters)
-        .localCheckpoint(eager=True)
-    )
+    # Short-lived persist, owned HERE (callers must not persist the
+    # pair table themselves — a query-function persist with no
+    # consuming action to unpersist after is a session-lifetime cache
+    # leak): the pair pipeline is read up to three times below (size
+    # probe + both union branches), and the cache is dropped before
+    # returning either way — the returned plan never references it
+    # (driver path is built from collected edges, distributed path
+    # from an eager localCheckpoint).
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    try:
+        if driver_max_edges > 0:
+            # size probe == collection: one pass over the pair pipeline.
+            # toPandas (Arrow when enabled) keeps the driver copy at raw
+            # value width — python Row objects would cost ~10x the bytes
+            # at the 5M-edge budget.
+            probe = raw.limit(driver_max_edges + 1).toPandas()
+            if len(probe) <= driver_max_edges:
+                return _driver_components(
+                    spark,
+                    zip(probe.iloc[:, 0].tolist(), probe.iloc[:, 1].tolist()),
+                    raw.schema["u"].dataType,
+                )
+        edges = (
+            raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            # materialize ONCE: the edge table re-enters every round's
+            # neighbor join — without this, each round recomputes the
+            # whole upstream pair pipeline (e.g. the full MinHash+verify
+            # DAG when called from dedup_clusters)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        raw.unpersist()
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()

@@ -185,13 +185,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-anti consumer of this output, pinned end-to-end in
     tests/test_operators.py."""
     docs = load_table(spark, sf_dir, "documents")
-    # Persist the verified pair table: the shingle→band→verify DAG is
-    # the dominant cost, and the session-scoped cache lets any later
-    # consumer in the same session (repeat runs, dedup_canonical,
-    # cluster-size reports) reuse it instead of recomputing.  The
-    # pair table is orders of magnitude smaller than the corpus, so
-    # the cache is broadcast-class, not data-scale.
-    pairs = minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD).persist()
+    # No persist here: connected_components owns the pair-table cache
+    # lifecycle internally (persist for its probe + union reads, then
+    # unpersist).  A persist at this level has no consuming action
+    # left to unpersist after — it would cache for the session
+    # lifetime, leaking memory for every caller outside the bench.
+    pairs = minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD)
     comp = connected_components(pairs)
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "component").select(

@@ -112,11 +112,13 @@ def measure(spark, sf_dir: str, label: str) -> dict:
     fp = simhash_fingerprints(docs).cache()
     fp.count()
     # Since r04 the engine enumerates SimHash candidates at the
-    # distinct-fingerprint-value level (clone-robust); this metric is
-    # that enumerated join width.  r03 measured doc-level candidates
-    # (674k base / 67.6M stress on this corpus).
-    res["simhash_candidates_kind"] = "fingerprint-value-level"
-    res["simhash_candidates"], res["simhash_candidates_sec"] = timed(
+    # distinct-fingerprint-value level (clone-robust).  The metric
+    # lives under its OWN key: the doc-level `simhash_candidates`
+    # series (r03: 674k base / 67.6M stress on this corpus) measured
+    # a different quantity and is retired rather than silently
+    # redefined — comparing the raw keys across rounds would read as
+    # a massive spurious improvement.
+    res["simhash_value_candidates"], res["simhash_value_candidates_sec"] = timed(
         lambda: simhash_value_candidate_pairs(fp).count()
     )
     res["simhash_pairs"], res["simhash_pairs_sec"] = timed(
@@ -165,7 +167,7 @@ def main() -> None:
                 "session_rollup_sec",
                 "minhash_candidates",
                 "minhash_pairs_sec",
-                "simhash_candidates",
+                "simhash_value_candidates",
                 "simhash_pairs_sec",
                 "lsh_candidates",
                 "embedding_neardup_sec",

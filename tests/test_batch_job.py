@@ -124,3 +124,28 @@ def test_backfill_range_matches_daily_runs(spark, sf_small, tmp_path):
     )
     c = {tuple(r) for r in again["2024-01-05"]["user_level"].collect()}
     assert c == b
+
+
+def test_backfill_overwrites_daily_serving_location(spark, sf_small, tmp_path):
+    """Daily job and backfill must write the SAME per-(table, ds)
+    serving locations: a backfill that lands somewhere else leaves
+    the live serving output untouched — the ADVICE-flagged bug."""
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import run_backfill
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "serving")
+    build_lake(spark, sf_small, lake)
+    ds = "2024-01-05"
+    run_daily_job(spark, lake, ds, out)
+    day_path = os.path.join(out, "user_level", f"ds={ds}")
+    assert os.path.isdir(day_path)
+    before_files = set(os.listdir(day_path))
+
+    run_backfill(spark, lake, ds, ds, out)
+    # same location rewritten (overwrite -> fresh part files), and the
+    # table root still reads as one ds-partitioned serving table
+    assert os.path.isdir(day_path)
+    assert set(os.listdir(day_path)) != before_files or not before_files
+    tbl = spark.read.parquet(os.path.join(out, "user_level"))
+    assert "ds" in tbl.columns
+    assert tbl.filter(F.col("ds") == ds).count() > 0
