@@ -35,18 +35,30 @@ Scale shape: signatures are a map-only projection; bucketing is a
 groupBy on (table, signature); only bucket-mates are exact-scored.
 Candidates drop from N² to Σ bucket².
 
-Sizing rule: expected bucket size is N / 2^planes, so Σ bucket² stays
-near-linear only when `planes` grows with log2(N) (target bucket size
-B ⇒ planes = log2(N/B); at 10^9 vectors with B=256 that is ~22
-planes, recall recovered by raising `tables`).  The 4-plane/8-table
-default is tuned for the test corpus's weak 0.4-cosine threshold —
-production near-dup thresholds (≥0.9, θ≤26°, p≈0.86) keep good
-recall at much deeper planes.
+Sizing rule (``lsh_params``): random near-orthogonal pairs collide
+with probability ≈ tables/2^planes, so expected random candidates
+per vector ≈ N·tables/2^planes — planes must grow with log2(N) to
+keep the candidate set linear in N (a FIXED bucket-size target keeps
+Σ bucket² quadratic: bucket size B means B·tables candidates per
+vector, and r04's B=125 rule produced a 66× verify overhead at 20k
+vectors).  ``lsh_params`` derives planes from an explicit
+candidates-per-vector budget, then raises tables to hold recall at
+NEAR-DUP cosine (≥0.95); the closed forms are in its docstring.
+What deep planes give up is the weak-similarity tail (cos 0.4-0.7,
+θ≈50-66°, per-table p^planes collapses) — the production near-dup
+posture, stated rather than hidden: exact clones (cos 1.0) are
+caught at ANY depth (identical signatures), and the stress bench
+records measured clone-pair recall alongside the candidate counts.
+The 4-plane/8-table default is tuned for the tiny test corpus's
+weak 0.4-cosine threshold (the registered query pins it so its
+DuckDB oracle replays a fixed construction); scale-sensitive
+callers derive both knobs from ``lsh_params``.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -54,6 +66,78 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 QUANT_SCALE = 1_000_000  # signature quantization: floor(x * 1e6)
+
+#: Cosine at which `lsh_params` holds its recall target: true
+#: near-duplicates (re-crawls, boilerplate copies) sit at ≥0.95.
+NEARDUP_COS = 0.95
+
+
+def lsh_params(
+    n_vectors: int,
+    threshold: float = 0.4,
+    candidates_per_vector: float = 32.0,
+    recall_target: float = 0.9,
+    min_planes: int = 4,
+    max_planes: int = 24,
+    min_tables: int = 8,
+    max_tables: int = 64,
+) -> dict:
+    """Scale-aware (planes, tables) for the hyperplane LSH.
+
+    Closed forms (p = 1 - θ/π is the per-plane agreement probability
+    at angle θ):
+
+    - **planes from the candidate budget**: random pairs collide per
+      table with probability ≈ 2^-planes, so expected random
+      candidates per vector ≈ N·tables/2^planes; solving for the
+      budget gives ``planes = ceil(log2(N·tables / budget))``.
+      This is what keeps the candidate set LINEAR in N — any fixed
+      bucket-size target keeps it quadratic.
+    - **tables from near-dup recall**: a pair at cosine c matches one
+      table with probability p(c)^planes, so
+      ``tables = ceil(ln(1-recall) / ln(1-p^planes))`` holds the
+      recall target at ``NEARDUP_COS``.  (Holding recall at a WEAK
+      threshold like 0.4 is provably unaffordable: recall/selectivity
+      scales as (2p)^planes, and p(66°)=0.63 needs thousands of
+      tables — the returned ``predicted_recall_at_threshold`` states
+      the achieved number instead of pretending otherwise.  Exact
+      clones, cos 1.0, have identical signatures and recall 1.0 at
+      any setting.)
+
+    The two interact only through log2(tables), so one fixpoint pass
+    suffices.  Returns the params plus the predictions a caller
+    should log next to measured counts."""
+    n = max(int(n_vectors), 2)
+
+    def _p(cos: float) -> float:
+        return 1.0 - math.acos(min(max(cos, -1.0), 1.0)) / math.pi
+
+    p_dup = _p(NEARDUP_COS)
+    tables = min_tables
+    planes = min_planes
+    for _ in range(4):  # fixpoint: planes↔tables couple via log2
+        planes = math.ceil(
+            math.log2(max(n * tables / max(candidates_per_vector, 1e-9), 2.0))
+        )
+        planes = min(max(planes, min_planes), max_planes)
+        miss = 1.0 - p_dup**planes
+        want = (
+            math.ceil(math.log(1.0 - recall_target) / math.log(miss))
+            if miss < 1.0
+            else max_tables
+        )
+        new_tables = min(max(want, min_tables), max_tables)
+        if new_tables == tables:
+            break
+        tables = new_tables
+    p_thr = _p(threshold)
+    return {
+        "planes": planes,
+        "tables": tables,
+        "expected_random_candidates_per_vector": n * tables / 2.0**planes,
+        "predicted_recall_at_threshold": 1.0 - (1.0 - p_thr**planes) ** tables,
+        "predicted_neardup_recall": 1.0 - (1.0 - p_dup**planes) ** tables,
+    }
 
 
 def _plane_sign(table: int, plane: int, dim: int) -> int:

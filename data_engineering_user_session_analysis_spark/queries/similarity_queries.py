@@ -260,54 +260,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a full cross join — candidates drop from N to
     nprobe*N/K per query.  Recall vs brute force is the probe
     tradeoff (recall@3 = 0.70 at nprobe=2 on the clusterless
-    synthetic set, tested)."""
+    synthetic set, tested).
+
+    The FIXED literal seed list is what lets the DuckDB oracle replay
+    the construction; it is an sf0.01 fixture, not a scaling rule —
+    a growing corpus uses ``operators/ivf.py`` ``ivf_topk_auto``
+    (K ≈ √N from the measured count, deterministic md5-sample seeds),
+    whose clone-corpus recall at derived K is pinned in
+    tests/test_similarity.py."""
+    from data_engineering_user_session_analysis_spark.operators.ivf import ivf_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
     )
-    scored_assign = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "sid",
-        dot_double(F.col("embedding"), F.col("se")).alias("dot"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("dot").desc(), F.col("sid").asc()
-    )
-    cells = (
-        scored_assign.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("sid").alias("cell"))
-    )
-    anchor_cells = (
-        scored_assign.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("vec_id").isin(*ANCHOR_IDS) & (F.col("rn") <= 2))
-        .select(F.col("vec_id").alias("q_id"), F.col("sid").alias("cell"))
-    )
-    anchors = anchor_cells.join(
-        emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")),
-        "q_id",
-    )
-    members = emb.join(cells, "vec_id").select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
-        "cell",
-    )
-    w_rank = Window.partitionBy("q_id").orderBy(
-        F.col("dot").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        F.broadcast(anchors)
-        .join(members, "cell")
-        .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "neighbor_id",
-            dot_double(F.col("q_emb"), F.col("n_emb")).alias("dot"),
-        )
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 3)
-        .select("q_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return ivf_topk(emb, ANCHOR_IDS, seeds, nprobe=2, topk=3)
 
 
 @register(

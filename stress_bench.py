@@ -6,9 +6,13 @@ the pair-generating queries and log their CANDIDATE counts alongside
 wall time.  The scaling curve of candidates — not wall-clock alone —
 is what predicts 100 TB behavior.
 
-Embedding LSH applies the documented sizing rule (vector_lsh.py):
-``planes = max(4, ceil(log2(N / 125)))`` so expected bucket size
-stays ~125 and Σ bucket² stays near-linear as N grows; tables stay 8.
+Embedding LSH applies the documented sizing rule (vector_lsh.py
+``lsh_params``): planes from an explicit candidates-per-vector
+budget (keeps the candidate set LINEAR in N — r04's fixed
+bucket-size-125 rule kept it quadratic and produced a 66× verify
+overhead at 20k vectors), tables raised to hold near-dup recall.
+Measured clone-pair recall (exact clones sit at cosine 1.0) is
+recorded next to the candidate counts.
 
 Usage: ``python stress_bench.py`` — prints one JSON line per scale
 plus a summary line.  Output is committed as STRESS_sf1_r{N}.json.
@@ -17,7 +21,6 @@ plus a summary line.  Output is committed as STRESS_sf1_r{N}.json.
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import time
@@ -66,7 +69,7 @@ def timed(fn):
     return out, round(time.perf_counter() - t0, 3)
 
 
-def measure(spark, sf_dir: str, label: str) -> dict:
+def measure(spark, sf_dir: str, label: str, replicas: int | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from data_engineering_user_session_analysis_spark.operators.dedup import (
@@ -83,6 +86,7 @@ def measure(spark, sf_dir: str, label: str) -> dict:
     )
     from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
         lsh_candidate_pairs,
+        lsh_params,
         lsh_similarity_pairs,
     )
     from data_engineering_user_session_analysis_spark.sources.events import load_events
@@ -130,15 +134,98 @@ def measure(spark, sf_dir: str, label: str) -> dict:
     emb = load_table(spark, sf_dir, "embeddings")
     n_vec = emb.count()
     res["n_vectors"] = n_vec
-    # sizing rule: keep expected bucket size ~125
-    planes = max(4, math.ceil(math.log2(max(n_vec, 1) / 125)))
+    # scale-aware sizing: planes from the candidate budget, tables
+    # from the near-dup recall target (vector_lsh.lsh_params)
+    params = lsh_params(n_vec, threshold=0.4)
+    planes, tables = params["planes"], params["tables"]
     res["lsh_planes"] = planes
+    res["lsh_tables"] = tables
+    res["lsh_sizing"] = {
+        k: round(v, 4) if isinstance(v, float) else v for k, v in params.items()
+    }
     res["lsh_candidates"], res["lsh_candidates_sec"] = timed(
-        lambda: lsh_candidate_pairs(emb, planes=planes).count()
+        lambda: lsh_candidate_pairs(emb, planes=planes, tables=tables).count()
     )
+    pairs_df = lsh_similarity_pairs(emb, planes=planes, tables=tables).cache()
     res["embedding_neardup_pairs"], res["embedding_neardup_sec"] = timed(
-        lambda: lsh_similarity_pairs(emb, planes=planes).count()
+        lambda: pairs_df.count()
     )
+    res["lsh_candidate_to_pair_ratio"] = (
+        round(res["lsh_candidates"] / res["embedding_neardup_pairs"], 2)
+        if res["embedding_neardup_pairs"]
+        else None
+    )
+    if replicas:
+        # exact clones share an origin id modulo the shard shift and
+        # sit at cosine 1.0 — identical signatures, so a correct
+        # pipeline recovers every such pair at ANY plane depth.
+        shift = SHIFTS["embeddings"]["vec_id"]
+        caught = pairs_df.filter(
+            (F.col("vec_a") % shift) == (F.col("vec_b") % shift)
+        ).count()
+        expected = (n_vec // replicas) * (replicas * (replicas - 1) // 2)
+        res["clone_pair_recall"] = round(caught / expected, 4) if expected else None
+    pairs_df.unpersist()
+
+    # Derived-K IVF recall@3 vs brute force for the fixed anchors —
+    # the scale check that K ≈ √N keeps probes useful as N grows.
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf_cells_for_n,
+        ivf_topk_auto,
+    )
+    from data_engineering_user_session_analysis_spark.queries.similarity_queries import (
+        ANCHOR_IDS,
+        dot_double,
+    )
+    from pyspark.sql import Window
+
+    res["ivf_k_cells"] = ivf_cells_for_n(n_vec)
+    emb_c = emb.cache()
+    (ivf3, res["ivf_topk_sec"]) = timed(
+        lambda: {
+            (r.q_id, r.neighbor_id)
+            for r in ivf_topk_auto(emb_c, ANCHOR_IDS, nprobe=2, topk=3).collect()
+        }
+    )
+    q = emb_c.filter(F.col("vec_id").isin(*ANCHOR_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    true3 = {
+        (r.q_id, r.neighbor_id)
+        for r in F.broadcast(q)
+        .crossJoin(emb_c.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            dot_double(F.col("q_emb"), F.col("embedding")).alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    emb_c.unpersist()
+    res["ivf_recall_at_3"] = round(len(true3 & ivf3) / len(true3), 4) if true3 else None
+
+    # Composed corpus-prep pipeline at this scale: docs/s plus the
+    # per-stage survivor counts (the report IS the count chain, so a
+    # stage that degrades at 10x is named, not inferred).
+    from data_engineering_user_session_analysis_spark.pipelines.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    def _run_prep():
+        result, report = prepare_corpus(docs, config=CorpusPrepConfig(pack_budget=2048))
+        result.write.format("noop").mode("overwrite").save()
+        return report
+
+    report, prep_sec = timed(_run_prep)
+    res["corpus_prep_sec"] = prep_sec
+    res["corpus_prep_docs_per_sec"] = round(res["n_docs"] / prep_sec, 1) if prep_sec else None
+    res["corpus_prep_stages"] = report
+    spark.catalog.clearCache()
     return res
 
 
@@ -149,7 +236,7 @@ def main() -> None:
     build(spark)
     base = measure(spark, BASE, "sf0.1")
     print(json.dumps(base))
-    stress = measure(spark, OUT, f"sf1.0 ({REPLICAS}x clone shards)")
+    stress = measure(spark, OUT, f"sf1.0 ({REPLICAS}x clone shards)", replicas=REPLICAS)
     print(json.dumps(stress))
 
     def ratio(k: str) -> float | None:
@@ -171,6 +258,7 @@ def main() -> None:
                 "simhash_pairs_sec",
                 "lsh_candidates",
                 "embedding_neardup_sec",
+                "corpus_prep_docs_per_sec",
             )
         },
         "base": base,

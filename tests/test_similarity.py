@@ -85,6 +85,125 @@ def test_vector_lsh_recall_and_precision(spark, sf_small):
     assert recall >= 0.3, f"LSH recall collapsed: {recall:.3f}"
 
 
+def test_ivf_cells_scale_rule():
+    """K ≈ √N bounded: a fixed K degenerates probes into scans at
+    100×; K ~ N makes assignment quadratic."""
+    from data_engineering_user_session_analysis_spark.operators.ivf import ivf_cells_for_n
+
+    assert ivf_cells_for_n(100) == 16  # clamp floor
+    assert ivf_cells_for_n(20_000) == 142
+    assert ivf_cells_for_n(10**9) == 4096  # clamp ceiling
+    assert ivf_cells_for_n(2_000_000) == 1415
+
+
+def test_ivf_auto_recall_on_clone_corpus(spark, sf_small):
+    """The stress-scale recall check for derived-K IVF: on a cloned
+    corpus (the near-dup retrieval regime IVF exists for), an
+    anchor's clones share its cell, so recall@3 vs brute force must
+    stay high at K ≈ √N — the fixture-constant-K failure this guards
+    against is cells degenerating into scans at scale."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf_cells_for_n,
+        ivf_topk_auto,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_small, "embeddings")
+    shift = 1_000_000
+    clones = base
+    for r in range(1, 8):  # 8 shards -> 4000 vectors
+        clones = clones.unionByName(
+            base.withColumn("vec_id", F.col("vec_id") + r * shift)
+        )
+    clones = clones.cache()
+    n = clones.count()
+    assert ivf_cells_for_n(n) > 16  # genuinely derived, not the floor
+
+    anchors = tuple(range(0, 500, 50))
+    ivf3 = {
+        (r.q_id, r.neighbor_id)
+        for r in ivf_topk_auto(clones, anchors, nprobe=2, topk=3).collect()
+    }
+
+    # brute-force ground truth, same tie-break (dot desc, id asc)
+    from pyspark.sql import Window
+
+    from data_engineering_user_session_analysis_spark.queries.similarity_queries import dot_double
+
+    q = clones.filter(F.col("vec_id").isin(*anchors)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    true3 = {
+        (r.q_id, r.neighbor_id)
+        for r in F.broadcast(q)
+        .crossJoin(clones.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", dot_double(F.col("q_emb"), F.col("embedding")).alias("dot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    clones.unpersist()
+    recall = len(true3 & ivf3) / len(true3)
+    assert recall >= 0.9, f"derived-K IVF recall collapsed on clones: {recall:.3f}"
+
+
+def test_lsh_params_scale_aware_sizing():
+    """The sizing math that keeps candidates linear in N: planes grow
+    with log2(N) under a fixed per-vector budget, tables rise to hold
+    near-dup recall, and the weak-threshold recall loss is REPORTED
+    rather than hidden."""
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import lsh_params
+
+    small = lsh_params(2_000, threshold=0.4)
+    big = lsh_params(20_000, threshold=0.4)
+    huge = lsh_params(1_000_000_000, threshold=0.4)
+    # planes grow with log2(N); the budget bounds candidates per vector
+    assert small["planes"] < big["planes"] < huge["planes"] <= 24
+    for p in (small, big):
+        assert p["expected_random_candidates_per_vector"] <= 32.0
+    # near-dup recall held at the target wherever planes aren't clamped
+    assert big["predicted_neardup_recall"] >= 0.9
+    assert small["predicted_neardup_recall"] >= 0.9
+    # honesty: weak-threshold recall at depth is LOW and said so
+    assert big["predicted_recall_at_threshold"] < big["predicted_neardup_recall"]
+
+
+def test_lsh_exact_clone_recall_at_depth(spark, sf_small):
+    """Exact clones have identical signatures, so deep (scale-sized)
+    planes must still catch every clone pair — the recall that matters
+    for near-dup dedup, pinned end-to-end."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        lsh_params,
+        lsh_similarity_pairs,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.limit(40)
+    shift = 1_000_000
+    clones = base.unionByName(
+        base.withColumn("vec_id", F.col("vec_id") + shift)
+    ).unionByName(base.withColumn("vec_id", F.col("vec_id") + 2 * shift))
+    n = clones.count()
+    params = lsh_params(n, threshold=0.4)
+    pairs = lsh_similarity_pairs(
+        clones,
+        threshold=0.4,
+        planes=params["planes"],
+        tables=params["tables"],
+    )
+    caught = pairs.filter(
+        (F.col("vec_a") % shift) == (F.col("vec_b") % shift)
+    ).count()
+    assert caught == 40 * 3, f"clone pairs lost at depth: {caught}/120"
+
+
 def test_foldl_dot_udf_bit_exact_vs_aggregate_fold(spark):
     """The Arrow-batched exact-scoring kernel must be bit-identical to
     the F.aggregate fold it replaces — same products, same left-to-
