@@ -38,7 +38,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_engineering_user_session_analysis_spark.queries.similarity_queries import dot_double
+from data_engineering_user_session_analysis_spark.operators.vector_lsh import foldl_dot_column
 
 IVF_MIN_CELLS = 16
 IVF_MAX_CELLS = 4096
@@ -84,10 +84,15 @@ def ivf_topk(
     top-1 window per vector (map-side dots, one shuffle on vec_id);
     the search join is cell-equi against broadcast anchors — no
     all-pairs anything.  Output: (q_id, neighbor_id, rank)."""
+    # Arrow-batched dot kernel, not the interpreted F.aggregate fold:
+    # assignment computes N·K dots (2.8M at the 20k-vector stress) and
+    # higher-order functions never enter whole-stage codegen.  The
+    # kernel is pinned bit-identical to the fold
+    # (tests/test_similarity.py), so oracle-checked callers are safe.
     scored_assign = emb.crossJoin(F.broadcast(seeds)).select(
         id_col,
         "sid",
-        dot_double(F.col(vec_col), F.col("se")).alias("dot"),
+        foldl_dot_column(vec_col, "se").alias("dot"),
     )
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("dot").desc(), F.col("sid").asc()
@@ -118,7 +123,7 @@ def ivf_topk(
         .select(
             "q_id",
             "neighbor_id",
-            dot_double(F.col("q_emb"), F.col("n_emb")).alias("dot"),
+            foldl_dot_column("q_emb", "n_emb").alias("dot"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= topk)
