@@ -133,6 +133,12 @@ def user_level_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of max-per-user == global max.  agg feeds two branches (the
     # 1-row reduce and the probe side), so cache it — the reference's
     # missing-cache fan-out bug, fixed (SURVEY.md §4 caching row).
+    # Cache lifecycle (deliberate, unlike the r05-fixed dedup leak):
+    # the entry is keyed by canonicalized plan (repeat calls reuse ONE
+    # entry per sf_dir), holds n_users aggregate rows (not event
+    # rows), and is evictable LRU storage.  Measured: AQE does NOT
+    # give the two branches a ReusedExchange here, and dropping the
+    # cache costs ~20% (0.57 -> 0.69 s at sf0.1).
     agg = agg.cache()
     maxd = agg.agg(F.max(F.to_date("last_event_ts")).alias("global_max_date"))
     agg = agg.drop("last_event_ts")
