@@ -188,7 +188,11 @@ def ngram_jaccard_pairs(
     over the DF-capped shingle universe (see ``shingle_docs``: the
     cap bounds the quadratic inverted-index join at corpus scale)."""
     # shingles feed the pair join twice (both sides) + the size agg:
-    # cache once instead of re-shingling per branch.
+    # cache once instead of re-shingling per branch.  Lifecycle: the
+    # consuming action is the CALLER's, so the entry must outlive this
+    # function; it is plan-keyed (repeat calls share ONE entry per
+    # input), MEMORY_AND_DISK, LRU-evictable — at true corpus scale
+    # prefer recomputation (uncached shingling is map-only).
     sh = shingle_docs(docs, text_col, id_col, n, max_shingle_df).cache()
     return (
         _pair_jaccard(sh, id_col)
@@ -277,7 +281,11 @@ def minhash_lsh_pairs(
     makes the *output* exact for every emitted pair (precision 1.0;
     recall is the LSH catch probability).
     """
-    # shingles feed signatures + the verify set-collection.
+    # shingles feed signatures + the verify set-collection; the
+    # consuming action is the caller's, so the plan-keyed entry
+    # outlives this function (one entry per input, MEMORY_AND_DISK,
+    # LRU-evictable) — the same deliberate-lifecycle note as
+    # ngram_jaccard_pairs above.
     sh = shingle_docs(docs, text_col, id_col, n).cache()
     candidates = minhash_candidate_pairs(sh, bands, rows_per_band, id_col)
     return (

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -78,32 +80,60 @@ def ivf_topk(
 ) -> DataFrame:
     """Exact top-``topk`` by dot product within each anchor's top
     ``nprobe`` cells.  ``seeds`` is a ``(sid, se)`` DataFrame (O(K)
-    rows — broadcast).
+    rows — collected once into the assignment kernel; the same
+    bounded-size argument that justifies broadcasting it).
 
-    Plan shape: centroid assignment is a broadcast cross join + one
-    top-1 window per vector (map-side dots, one shuffle on vec_id);
-    the search join is cell-equi against broadcast anchors — no
-    all-pairs anything.  Output: (q_id, neighbor_id, rank)."""
-    # Arrow-batched dot kernel, not the interpreted F.aggregate fold:
-    # assignment computes N·K dots (2.8M at the 20k-vector stress) and
-    # higher-order functions never enter whole-stage codegen.  The
-    # kernel is pinned bit-identical to the fold
-    # (tests/test_similarity.py), so oracle-checked callers are safe.
-    scored_assign = emb.crossJoin(F.broadcast(seeds)).select(
-        id_col,
-        "sid",
-        foldl_dot_column(vec_col, "se").alias("dot"),
-    )
-    w_assign = Window.partitionBy(id_col).orderBy(
+    Plan shape: centroid assignment is MAP-ONLY (one Arrow kernel
+    hop per vector — no N·K crossJoin rows, no assignment shuffle);
+    anchor multiprobe ranks only the O(anchors·K) slice; the search
+    join is cell-equi against broadcast anchors — no all-pairs
+    anything.  Output: (q_id, neighbor_id, rank)."""
+    # Corpus-wide assignment is MAP-ONLY: the O(K) seed set is
+    # collected once (broadcast-class — the same bound that justifies
+    # F.broadcast on it) and embedded in an Arrow kernel that scores
+    # each vector against ALL seeds per batch.  The naive alternative
+    # — crossJoin(seeds) then per-pair dots — ships N·K row-pairs
+    # through Arrow (89.6M pairs / ~91 GB at the 200k-vector, K=448
+    # stress; it was 6× the whole query) and then needs an N·K-row
+    # aggregation to pick the argmax; this kernel moves each vector
+    # ONCE and does the argmax in-batch.  Accumulation runs
+    # per-dimension in the fold's exact left-to-right IEEE order, so
+    # assignment is bit-identical to the crossJoin+fold construction
+    # the DuckDB oracle replays (ties then break to the smallest seed
+    # id: seeds are scored in sid order and argmax takes the first
+    # maximum).
+    seed_rows = seeds.orderBy("sid").collect()
+    seed_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
+    seed_mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
+
+    @F.pandas_udf("long")
+    def best_cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=np.int64)
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        acc = np.zeros((len(v), len(seed_ids)), dtype=np.float64)
+        for d in range(x.shape[1]):  # foldl order: ((0 + p0) + p1) + ...
+            acc = acc + x[:, d : d + 1] * seed_mat[np.newaxis, :, d].reshape(1, -1)
+        return pd.Series(seed_ids[np.argmax(acc, axis=1)])
+
+    cells = emb.select(id_col, best_cell(F.col(vec_col)).alias("cell"))
+    # Only the O(anchors · K) slice needs real top-nprobe ranking —
+    # filter FIRST, then score: anchors·K pairs, not N·K.
+    w_assign = Window.partitionBy("q_id").orderBy(
         F.col("dot").desc(), F.col("sid").asc()
     )
-    ranked_assign = scored_assign.withColumn("rn", F.row_number().over(w_assign))
-    cells = ranked_assign.filter(F.col("rn") == 1).select(
-        id_col, F.col("sid").alias("cell")
+    anchor_cells = (
+        emb.filter(F.col(id_col).isin(*anchor_ids))
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            F.col(id_col).alias("q_id"),
+            "sid",
+            foldl_dot_column(vec_col, "se").alias("dot"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", F.col("sid").alias("cell"))
     )
-    anchor_cells = ranked_assign.filter(
-        F.col(id_col).isin(*anchor_ids) & (F.col("rn") <= nprobe)
-    ).select(F.col(id_col).alias("q_id"), F.col("sid").alias("cell"))
     anchors = anchor_cells.join(
         emb.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")),
         "q_id",

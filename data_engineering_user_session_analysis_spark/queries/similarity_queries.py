@@ -259,11 +259,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid id); each anchor searches its top-2 cells (nprobe=2),
     exact top-3 by dot.
 
-    Scale shape: centroids broadcast (K vectors, O(K) bytes),
-    assignment is one map-side pass + a top-1 window per vector; the
-    search join is cell-equi (shuffle on cell id, cells ~N/K vectors)
-    instead of a full cross join — candidates drop from N to
-    nprobe*N/K per query.  Recall vs brute force is the probe
+    Scale shape: centroids are an O(K) constant embedded in a
+    map-only Arrow assignment kernel (no N·K crossJoin, no
+    assignment shuffle — the kernel accumulates in the fold's exact
+    IEEE order, so the oracle's crossJoin+fold replay is bit-equal);
+    the search join is cell-equi (shuffle on cell id, cells ~N/K
+    vectors) instead of a full cross join — candidates drop from N
+    to nprobe*N/K per query.  Recall vs brute force is the probe
     tradeoff (recall@3 = 0.70 at nprobe=2 on the clusterless
     synthetic set, tested).
 

@@ -15,7 +15,11 @@ Measured clone-pair recall (exact clones sit at cosine 1.0) is
 recorded next to the candidate counts.
 
 Usage: ``python stress_bench.py`` — prints one JSON line per scale
-plus a summary line.  Output is committed as STRESS_sf1_r{N}.json.
+plus a summary line.  ``--emb-100x`` (or SPARK_GRAFT_EMB_100X=1)
+adds a second scaling decade for the vector tier only: 100 clone
+shards = 200k vectors, checking that the budget-sized LSH keeps
+random-candidate load per vector flat across 2k -> 20k -> 200k while
+clone recall stays 1.0.  Output is committed as STRESS_sf1_r{N}.json.
 """
 
 from __future__ import annotations
@@ -69,6 +73,97 @@ def timed(fn):
     return out, round(time.perf_counter() - t0, 3)
 
 
+def measure_vectors(spark, emb, replicas: int | None = None) -> dict:
+    """The vector tier (LSH near-dup + derived-K IVF) over any
+    embeddings DataFrame — shared by the sf-dir measurement and the
+    100x embeddings-only pass."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf_cells_for_n,
+        ivf_topk_auto,
+    )
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        foldl_dot_column,
+        lsh_candidate_pairs,
+        lsh_params,
+        lsh_similarity_pairs,
+    )
+    from data_engineering_user_session_analysis_spark.queries.similarity_queries import ANCHOR_IDS
+
+    res: dict = {}
+    n_vec = emb.count()
+    res["n_vectors"] = n_vec
+    # scale-aware sizing: planes from the candidate budget, tables
+    # from the near-dup recall target (vector_lsh.lsh_params)
+    params = lsh_params(n_vec, threshold=0.4)
+    planes, tables = params["planes"], params["tables"]
+    res["lsh_planes"] = planes
+    res["lsh_tables"] = tables
+    res["lsh_sizing"] = {
+        k: round(v, 4) if isinstance(v, float) else v for k, v in params.items()
+    }
+    res["lsh_candidates"], res["lsh_candidates_sec"] = timed(
+        lambda: lsh_candidate_pairs(emb, planes=planes, tables=tables).count()
+    )
+    pairs_df = lsh_similarity_pairs(emb, planes=planes, tables=tables).cache()
+    res["embedding_neardup_pairs"], res["embedding_neardup_sec"] = timed(
+        lambda: pairs_df.count()
+    )
+    res["lsh_candidate_to_pair_ratio"] = (
+        round(res["lsh_candidates"] / res["embedding_neardup_pairs"], 2)
+        if res["embedding_neardup_pairs"]
+        else None
+    )
+    if replicas:
+        # exact clones share an origin id modulo the shard shift and
+        # sit at cosine 1.0 — identical signatures, so a correct
+        # pipeline recovers every such pair at ANY plane depth.
+        shift = SHIFTS["embeddings"]["vec_id"]
+        caught = pairs_df.filter(
+            (F.col("vec_a") % shift) == (F.col("vec_b") % shift)
+        ).count()
+        expected = (n_vec // replicas) * (replicas * (replicas - 1) // 2)
+        res["clone_true_pairs"] = expected
+        res["clone_pair_recall"] = round(caught / expected, 4) if expected else None
+    pairs_df.unpersist()
+
+    # Derived-K IVF recall@3 vs brute force for the fixed anchors —
+    # the scale check that K ≈ √N keeps probes useful as N grows.
+    # Ground truth scores with the Arrow dot kernel (bit-identical to
+    # the fold — 10 anchors x N dots is itself fold-hostile at 100x).
+    res["ivf_k_cells"] = ivf_cells_for_n(n_vec)
+    emb_c = emb.cache()
+    (ivf3, res["ivf_topk_sec"]) = timed(
+        lambda: {
+            (r.q_id, r.neighbor_id)
+            for r in ivf_topk_auto(emb_c, ANCHOR_IDS, nprobe=2, topk=3).collect()
+        }
+    )
+    q = emb_c.filter(F.col("vec_id").isin(*ANCHOR_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    true3 = {
+        (r.q_id, r.neighbor_id)
+        for r in F.broadcast(q)
+        .crossJoin(emb_c.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            foldl_dot_column("q_emb", "embedding").alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    emb_c.unpersist()
+    res["ivf_recall_at_3"] = round(len(true3 & ivf3) / len(true3), 4) if true3 else None
+    return res
+
+
 def measure(spark, sf_dir: str, label: str, replicas: int | None = None) -> dict:
     from pyspark.sql import functions as F
 
@@ -83,11 +178,6 @@ def measure(spark, sf_dir: str, label: str, replicas: int | None = None) -> dict
     from data_engineering_user_session_analysis_spark.operators.sessionize import (
         session_rollup,
         sessionize,
-    )
-    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
-        lsh_candidate_pairs,
-        lsh_params,
-        lsh_similarity_pairs,
     )
     from data_engineering_user_session_analysis_spark.sources.events import load_events
     from data_engineering_user_session_analysis_spark.sources.tables import load_table
@@ -132,81 +222,7 @@ def measure(spark, sf_dir: str, label: str, replicas: int | None = None) -> dict
     fp.unpersist()
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_vec = emb.count()
-    res["n_vectors"] = n_vec
-    # scale-aware sizing: planes from the candidate budget, tables
-    # from the near-dup recall target (vector_lsh.lsh_params)
-    params = lsh_params(n_vec, threshold=0.4)
-    planes, tables = params["planes"], params["tables"]
-    res["lsh_planes"] = planes
-    res["lsh_tables"] = tables
-    res["lsh_sizing"] = {
-        k: round(v, 4) if isinstance(v, float) else v for k, v in params.items()
-    }
-    res["lsh_candidates"], res["lsh_candidates_sec"] = timed(
-        lambda: lsh_candidate_pairs(emb, planes=planes, tables=tables).count()
-    )
-    pairs_df = lsh_similarity_pairs(emb, planes=planes, tables=tables).cache()
-    res["embedding_neardup_pairs"], res["embedding_neardup_sec"] = timed(
-        lambda: pairs_df.count()
-    )
-    res["lsh_candidate_to_pair_ratio"] = (
-        round(res["lsh_candidates"] / res["embedding_neardup_pairs"], 2)
-        if res["embedding_neardup_pairs"]
-        else None
-    )
-    if replicas:
-        # exact clones share an origin id modulo the shard shift and
-        # sit at cosine 1.0 — identical signatures, so a correct
-        # pipeline recovers every such pair at ANY plane depth.
-        shift = SHIFTS["embeddings"]["vec_id"]
-        caught = pairs_df.filter(
-            (F.col("vec_a") % shift) == (F.col("vec_b") % shift)
-        ).count()
-        expected = (n_vec // replicas) * (replicas * (replicas - 1) // 2)
-        res["clone_pair_recall"] = round(caught / expected, 4) if expected else None
-    pairs_df.unpersist()
-
-    # Derived-K IVF recall@3 vs brute force for the fixed anchors —
-    # the scale check that K ≈ √N keeps probes useful as N grows.
-    from data_engineering_user_session_analysis_spark.operators.ivf import (
-        ivf_cells_for_n,
-        ivf_topk_auto,
-    )
-    from data_engineering_user_session_analysis_spark.queries.similarity_queries import (
-        ANCHOR_IDS,
-        dot_double,
-    )
-    from pyspark.sql import Window
-
-    res["ivf_k_cells"] = ivf_cells_for_n(n_vec)
-    emb_c = emb.cache()
-    (ivf3, res["ivf_topk_sec"]) = timed(
-        lambda: {
-            (r.q_id, r.neighbor_id)
-            for r in ivf_topk_auto(emb_c, ANCHOR_IDS, nprobe=2, topk=3).collect()
-        }
-    )
-    q = emb_c.filter(F.col("vec_id").isin(*ANCHOR_IDS)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
-    true3 = {
-        (r.q_id, r.neighbor_id)
-        for r in F.broadcast(q)
-        .crossJoin(emb_c.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
-        .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "neighbor_id",
-            dot_double(F.col("q_emb"), F.col("embedding")).alias("dot"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .collect()
-    }
-    emb_c.unpersist()
-    res["ivf_recall_at_3"] = round(len(true3 & ivf3) / len(true3), 4) if true3 else None
+    res.update(measure_vectors(spark, emb, replicas))
 
     # Composed corpus-prep pipeline at this scale: docs/s plus the
     # per-stage survivor counts (the report IS the count chain, so a
@@ -229,6 +245,33 @@ def measure(spark, sf_dir: str, label: str, replicas: int | None = None) -> dict
     return res
 
 
+def measure_embeddings_100x(spark, replicas: int = 100) -> dict:
+    """Second scaling decade for the vector tier only: 100 clone
+    shards of the sf0.1 embeddings (200k vectors) built in-plan via a
+    broadcast replica-range cross join.  The doc tier is excluded on
+    purpose — 100x clone groups make its candidate set quadratic in
+    group size BY CORRECTNESS (every clone pair is a true pair), so
+    only the vector tier has a linearity claim to test at this
+    scale."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    shift = SHIFTS["embeddings"]["vec_id"]
+    emb = (
+        base.crossJoin(
+            F.broadcast(
+                spark.range(replicas).select(F.col("id").alias("_r"))
+            )
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * F.lit(shift))
+        .drop("_r")
+        .localCheckpoint(eager=True)  # materialize once (~50 MB)
+    )
+    res = {"label": f"embeddings 100x ({replicas} clone shards)"}
+    res.update(measure_vectors(spark, emb, replicas))
+    return res
+
+
 def main() -> None:
     from data_engineering_user_session_analysis_spark import get_spark
 
@@ -238,6 +281,11 @@ def main() -> None:
     print(json.dumps(base))
     stress = measure(spark, OUT, f"sf1.0 ({REPLICAS}x clone shards)", replicas=REPLICAS)
     print(json.dumps(stress))
+
+    emb100 = None
+    if "--emb-100x" in sys.argv or os.environ.get("SPARK_GRAFT_EMB_100X"):
+        emb100 = measure_embeddings_100x(spark)
+        print(json.dumps(emb100))
 
     def ratio(k: str) -> float | None:
         try:
@@ -264,6 +312,26 @@ def main() -> None:
         "base": base,
         "stress": stress,
     }
+    if emb100 is not None:
+        # two-decade linearity check: RANDOM-candidate load per vector
+        # (total candidates minus the true clone-pair mass, which
+        # grows quadratically in clone-group size BY CORRECTNESS —
+        # every clone pair is a true near-dup) should stay ~flat at
+        # the lsh_params budget from 2k -> 20k -> 200k vectors.
+        def _rand_per_vec(r: dict) -> float:
+            rand = r["lsh_candidates"] - r.get("clone_true_pairs", 0)
+            return round(rand / r["n_vectors"], 2)
+
+        summary["emb_100x"] = {
+            "random_candidates_per_vector": {
+                "base": _rand_per_vec(base),
+                "10x": _rand_per_vec(stress),
+                "100x": _rand_per_vec(emb100),
+            },
+            "candidate_to_pair_ratio_100x": emb100["lsh_candidate_to_pair_ratio"],
+            "clone_pair_recall_100x": emb100["clone_pair_recall"],
+            "ivf_recall_at_3_100x": emb100["ivf_recall_at_3"],
+        }
     print(json.dumps(summary))
 
 

@@ -151,6 +151,64 @@ def test_ivf_auto_recall_on_clone_corpus(spark, sf_small):
     assert recall >= 0.9, f"derived-K IVF recall collapsed on clones: {recall:.3f}"
 
 
+def test_ivf_kernel_assignment_equals_fold_construction(spark, sf_small):
+    """The map-only Arrow assignment kernel must reproduce the
+    crossJoin + fold + top-1-window construction EXACTLY (same dots
+    in the same IEEE order, argmax ties to smallest seed id) — this
+    equality is what lets the registered query's DuckDB oracle replay
+    assignment with a plain fold."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import ivf_topk
+    from data_engineering_user_session_analysis_spark.queries.similarity_queries import (
+        ANCHOR_IDS,
+        IVF_SEED_IDS,
+        dot_double,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    seeds = emb.filter(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
+    )
+    got = {
+        tuple(r)
+        for r in ivf_topk(emb, ANCHOR_IDS, seeds, nprobe=2, topk=3).collect()
+    }
+
+    # reference construction: crossJoin + interpreted fold + windows
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "sid", dot_double(F.col("embedding"), F.col("se")).alias("dot")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("sid").asc())
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    cells = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("sid").alias("cell"))
+    anchor_cells = ranked.filter(
+        F.col("vec_id").isin(*ANCHOR_IDS) & (F.col("rn") <= 2)
+    ).select(F.col("vec_id").alias("q_id"), F.col("sid").alias("cell"))
+    anchors = anchor_cells.join(
+        emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")),
+        "q_id",
+    )
+    members = emb.join(cells, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), "cell"
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    want = {
+        tuple(r)
+        for r in F.broadcast(anchors)
+        .join(members, "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", dot_double(F.col("q_emb"), F.col("n_emb")).alias("dot"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_lsh_params_scale_aware_sizing():
     """The sizing math that keeps candidates linear in N: planes grow
     with log2(N) under a fixed per-vector budget, tables rise to hold
