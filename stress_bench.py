@@ -19,7 +19,9 @@ plus a summary line.  ``--emb-100x`` (or SPARK_GRAFT_EMB_100X=1)
 adds a second scaling decade for the vector tier only: 100 clone
 shards = 200k vectors, checking that the budget-sized LSH keeps
 random-candidate load per vector flat across 2k -> 20k -> 200k while
-clone recall stays 1.0.  Output is committed as STRESS_sf1_r{N}.json.
+clone recall stays 1.0.  ``--events-100x`` (SPARK_GRAFT_EVENTS_100X)
+does the same for the core sessionization workload: 10M events, 100×
+the users.  Output is committed as STRESS_sf1_r{N}.json.
 """
 
 from __future__ import annotations
@@ -71,6 +73,18 @@ def timed(fn):
     t0 = time.perf_counter()
     out = fn()
     return out, round(time.perf_counter() - t0, 3)
+
+
+def _quiesce(spark) -> None:
+    """Drop caches and nudge both GCs before a recorded pass — the
+    prior tier's shuffle files, cache entries, and unreferenced
+    localCheckpoint RDDs otherwise bleed memory pressure into the
+    next timing (observed: 3× on the 100x neardup verify)."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    spark._jvm.System.gc()
 
 
 def measure_vectors(spark, emb, replicas: int | None = None) -> dict:
@@ -255,6 +269,7 @@ def measure_embeddings_100x(spark, replicas: int = 100) -> dict:
     scale."""
     from pyspark.sql import functions as F
 
+    _quiesce(spark)
     base = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
     shift = SHIFTS["embeddings"]["vec_id"]
     emb = (
@@ -272,6 +287,50 @@ def measure_embeddings_100x(spark, replicas: int = 100) -> dict:
     return res
 
 
+def measure_events_100x(spark, replicas: int = 100) -> dict:
+    """Second scaling decade for the CORE reference workload:
+    gap-sessionization + rollup over 100 clone shards of the sf0.1
+    events (10M rows, 100× the users — the id shifts preserve
+    per-user session structure, so work scales with events while the
+    per-key state does not grow).  One in-plan build, best-of-2
+    timing (one-shot timings at this scale are dominated by the
+    cold first stage)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.sessionize import (
+        session_rollup,
+        sessionize,
+    )
+    from data_engineering_user_session_analysis_spark.sources.events import load_events
+
+    _quiesce(spark)
+    base = load_events(spark, BASE)
+    shifts = SHIFTS["events"]
+    ev = (
+        base.crossJoin(
+            F.broadcast(spark.range(replicas).select(F.col("id").alias("_r")))
+        )
+        .withColumn("event_id", F.col("event_id") + F.col("_r") * F.lit(shifts["event_id"]))
+        .withColumn("user_id", F.col("user_id") + F.col("_r") * F.lit(shifts["user_id"]))
+        .drop("_r")
+        .localCheckpoint(eager=True)
+    )
+    res = {"label": f"events 100x ({replicas} clone shards)"}
+    n = ev.count()
+    res["n_events"] = n
+    best = float("inf")
+    rows = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rolled = session_rollup(sessionize(ev, order_cols=("event_id",)))
+        rows = rolled.count()
+        best = min(best, time.perf_counter() - t0)
+    res["session_rollup_sec"] = round(best, 3)
+    res["session_rollup_rows"] = rows
+    res["session_events_per_sec"] = round(n / best, 1)
+    return res
+
+
 def main() -> None:
     from data_engineering_user_session_analysis_spark import get_spark
 
@@ -286,6 +345,10 @@ def main() -> None:
     if "--emb-100x" in sys.argv or os.environ.get("SPARK_GRAFT_EMB_100X"):
         emb100 = measure_embeddings_100x(spark)
         print(json.dumps(emb100))
+    ev100 = None
+    if "--events-100x" in sys.argv or os.environ.get("SPARK_GRAFT_EVENTS_100X"):
+        ev100 = measure_events_100x(spark)
+        print(json.dumps(ev100))
 
     def ratio(k: str) -> float | None:
         try:
@@ -331,6 +394,12 @@ def main() -> None:
             "candidate_to_pair_ratio_100x": emb100["lsh_candidate_to_pair_ratio"],
             "clone_pair_recall_100x": emb100["clone_pair_recall"],
             "ivf_recall_at_3_100x": emb100["ivf_recall_at_3"],
+        }
+    if ev100 is not None:
+        summary["events_100x"] = {
+            "n_events": ev100["n_events"],
+            "session_rollup_sec": ev100["session_rollup_sec"],
+            "session_events_per_sec": ev100["session_events_per_sec"],
         }
     print(json.dumps(summary))
 
