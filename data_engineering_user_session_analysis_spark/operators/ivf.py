@@ -77,46 +77,65 @@ def ivf_topk(
     topk: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignment: str = "auto",
 ) -> DataFrame:
     """Exact top-``topk`` by dot product within each anchor's top
     ``nprobe`` cells.  ``seeds`` is a ``(sid, se)`` DataFrame (O(K)
-    rows — collected once into the assignment kernel; the same
-    bounded-size argument that justifies broadcasting it).
+    rows).  Output: (q_id, neighbor_id, rank).
 
-    Plan shape: centroid assignment is MAP-ONLY (one Arrow kernel
-    hop per vector — no N·K crossJoin rows, no assignment shuffle);
-    anchor multiprobe ranks only the O(anchors·K) slice; the search
-    join is cell-equi against broadcast anchors — no all-pairs
-    anything.  Output: (q_id, neighbor_id, rank)."""
-    # Corpus-wide assignment is MAP-ONLY: the O(K) seed set is
-    # collected once (broadcast-class — the same bound that justifies
-    # F.broadcast on it) and embedded in an Arrow kernel that scores
-    # each vector against ALL seeds per batch.  The naive alternative
-    # — crossJoin(seeds) then per-pair dots — ships N·K row-pairs
-    # through Arrow (89.6M pairs / ~91 GB at the 200k-vector, K=448
-    # stress; it was 6× the whole query) and then needs an N·K-row
-    # aggregation to pick the argmax; this kernel moves each vector
-    # ONCE and does the argmax in-batch.  Accumulation runs
-    # per-dimension in the fold's exact left-to-right IEEE order, so
-    # assignment is bit-identical to the crossJoin+fold construction
-    # the DuckDB oracle replays (ties then break to the smallest seed
-    # id: seeds are scored in sid order and argmax takes the first
-    # maximum).
-    seed_rows = seeds.orderBy("sid").collect()
-    seed_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
-    seed_mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
+    Two assignment strategies, IDENTICAL output (pinned by
+    ``test_ivf_kernel_assignment_equals_fold_construction``):
 
-    @F.pandas_udf("long")
-    def best_cell(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=np.int64)
-        x = np.stack(v.to_numpy()).astype(np.float64)
-        acc = np.zeros((len(v), len(seed_ids)), dtype=np.float64)
-        for d in range(x.shape[1]):  # foldl order: ((0 + p0) + p1) + ...
-            acc = acc + x[:, d : d + 1] * seed_mat[np.newaxis, :, d].reshape(1, -1)
-        return pd.Series(seed_ids[np.argmax(acc, axis=1)])
+    - ``assignment="join"``: broadcast crossJoin + per-pair fold dots
+      + top-1 window.  No driver round-trip, lowest fixed overhead —
+      right when N·K is small (the registered fixture query).
+    - ``assignment="kernel"``: the O(K) seed set is collected once
+      (broadcast-class — the same bound that justifies F.broadcast on
+      it) and embedded in a MAP-ONLY Arrow kernel scoring each vector
+      against ALL seeds per batch.  The join path ships N·K row-pairs
+      through Arrow (89.6M pairs / ~91 GB at the 200k-vector, K=448
+      stress — 6× the whole query) and then aggregates N·K rows for
+      the argmax; the kernel moves each vector ONCE and does the
+      argmax in-batch (329 s → 31 s at that stress).  Accumulation
+      runs per-dimension in the fold's exact left-to-right IEEE
+      order, so assignment is bit-identical (ties break to the
+      smallest seed id: seeds scored in sid order, argmax takes the
+      first maximum).  Costs one extra tiny Spark job (the seed
+      collect) — measurable at fixture scale, noise at real scale.
+    - ``assignment="auto"`` (default): "kernel" when the seed set
+      says the corpus is derived-K-sized (K > 64 ⇒ N ≳ 4k), else
+      "join"."""
+    if assignment == "auto":
+        assignment = "kernel" if seeds.limit(65).count() > 64 else "join"
 
-    cells = emb.select(id_col, best_cell(F.col(vec_col)).alias("cell"))
+    if assignment == "kernel":
+        seed_rows = seeds.orderBy("sid").collect()
+        seed_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
+        seed_mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
+
+        @F.pandas_udf("long")
+        def best_cell(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype=np.int64)
+            x = np.stack(v.to_numpy()).astype(np.float64)
+            acc = np.zeros((len(v), len(seed_ids)), dtype=np.float64)
+            for d in range(x.shape[1]):  # foldl order: ((0 + p0) + p1) + ...
+                acc = acc + x[:, d : d + 1] * seed_mat[np.newaxis, :, d].reshape(1, -1)
+            return pd.Series(seed_ids[np.argmax(acc, axis=1)])
+
+        cells = emb.select(id_col, best_cell(F.col(vec_col)).alias("cell"))
+    else:
+        scored = emb.crossJoin(F.broadcast(seeds)).select(
+            id_col, "sid", foldl_dot_column(vec_col, "se").alias("dot")
+        )
+        w_cells = Window.partitionBy(id_col).orderBy(
+            F.col("dot").desc(), F.col("sid").asc()
+        )
+        cells = (
+            scored.withColumn("rn", F.row_number().over(w_cells))
+            .filter(F.col("rn") == 1)
+            .select(id_col, F.col("sid").alias("cell"))
+        )
     # Only the O(anchors · K) slice needs real top-nprobe ranking —
     # filter FIRST, then score: anchors·K pairs, not N·K.
     w_assign = Window.partitionBy("q_id").orderBy(
@@ -178,5 +197,12 @@ def ivf_topk_auto(
     k_cells = ivf_cells_for_n(emb.count())
     seeds = select_seeds(emb, k_cells, id_col=id_col, vec_col=vec_col)
     return ivf_topk(
-        emb, anchor_ids, seeds, nprobe=nprobe, topk=topk, id_col=id_col, vec_col=vec_col
+        emb,
+        anchor_ids,
+        seeds,
+        nprobe=nprobe,
+        topk=topk,
+        id_col=id_col,
+        vec_col=vec_col,
+        assignment="kernel",
     )

@@ -281,7 +281,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = emb.filter(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
     )
-    return ivf_topk(emb, ANCHOR_IDS, seeds, nprobe=2, topk=3)
+    # K=5 fixture seeds: the join assignment has the lowest fixed
+    # overhead at this size (no seed-collect job); the kernel path is
+    # for derived-K scale (see ivf_topk docstring — outputs pinned
+    # identical).
+    return ivf_topk(emb, ANCHOR_IDS, seeds, nprobe=2, topk=3, assignment="join")
 
 
 @register(

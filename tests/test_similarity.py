@@ -172,9 +172,13 @@ def test_ivf_kernel_assignment_equals_fold_construction(spark, sf_small):
     seeds = emb.filter(F.col("vec_id").isin(*IVF_SEED_IDS)).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
     )
+    # assignment="kernel" explicitly: auto picks "join" at this scale,
+    # which would make the comparison vacuous (join vs join)
     got = {
         tuple(r)
-        for r in ivf_topk(emb, ANCHOR_IDS, seeds, nprobe=2, topk=3).collect()
+        for r in ivf_topk(
+            emb, ANCHOR_IDS, seeds, nprobe=2, topk=3, assignment="kernel"
+        ).collect()
     }
 
     # reference construction: crossJoin + interpreted fold + windows
