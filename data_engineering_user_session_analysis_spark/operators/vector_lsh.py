@@ -213,6 +213,37 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_similarity_pairs_auto(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates_per_vector: float = 32.0,
+) -> DataFrame:
+    """Scale-aware near-dup pairs: (planes, tables) derived from the
+    MEASURED corpus size via ``lsh_params`` (one count() job — the
+    same measured-sizing pattern as ``connected_components`` and
+    ``ivf_topk_auto``), then the standard bucket→verify pipeline.
+    This is the entry point a growing corpus should use; the
+    registered query's fixed 4/8 knobs are an oracle-parity fixture.
+    Validated at 20k and 200k vectors in STRESS_sf1_r05: random
+    candidates per vector flat at the budget, exact-clone recall
+    1.0."""
+    p = lsh_params(
+        emb.count(), threshold=threshold, candidates_per_vector=candidates_per_vector
+    )
+    return lsh_similarity_pairs(
+        emb,
+        threshold=threshold,
+        dim=dim,
+        tables=p["tables"],
+        planes=p["planes"],
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def foldl_dot_column(a_col: str, b_col: str) -> F.Column:
     """Exact-fold dot product as an Arrow-batched numpy kernel.
 

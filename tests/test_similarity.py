@@ -234,6 +234,22 @@ def test_lsh_params_scale_aware_sizing():
     assert big["predicted_recall_at_threshold"] < big["predicted_neardup_recall"]
 
 
+def test_lsh_auto_entry_point(spark, sf_small):
+    """lsh_similarity_pairs_auto derives its knobs from the measured
+    count and still emits a subset of the exact ground truth."""
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        lsh_similarity_pairs_auto,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = _exact_cosine_pairs(spark, sf_small, threshold=0.4)
+    auto = {
+        (r.vec_a, r.vec_b) for r in lsh_similarity_pairs_auto(emb).collect()
+    }
+    assert auto <= exact  # precision 1.0 (exact verify tier)
+
+
 def test_lsh_exact_clone_recall_at_depth(spark, sf_small):
     """Exact clones have identical signatures, so deep (scale-sized)
     planes must still catch every clone pair — the recall that matters
