@@ -139,6 +139,10 @@ def incremental_neardup_pairs(
     and only candidates' shingle sets are fetched from ``sets/`` by
     id.  Nothing scans the corpus text.
     """
+    # cache lifecycle: consumed by the CALLER's action (the returned
+    # pairs are lazy), so the entry outlives this function — it is
+    # SHARD-scale (the daily increment, not the corpus), plan-keyed,
+    # and LRU-evictable.
     sh_new = shingle_docs(new_docs, text_col, id_col, n).cache()
     b_new = _bucket_table(sh_new, id_col)
     s_new = _set_table(sh_new, id_col)
@@ -281,6 +285,8 @@ def incremental_vector_neardup(
     candidates), never O(corpus)."""
     from data_engineering_user_session_analysis_spark.operators.vector_lsh import foldl_dot_column
 
+    # shard-scale cache, caller-consumed — same lifecycle note as
+    # incremental_neardup_pairs above.
     b_new = _vector_bucket_table(
         new_emb, id_col, vec_col, dim, tables, planes
     ).cache()
