@@ -21,7 +21,11 @@ shards = 200k vectors, checking that the budget-sized LSH keeps
 random-candidate load per vector flat across 2k -> 20k -> 200k while
 clone recall stays 1.0.  ``--events-100x`` (SPARK_GRAFT_EVENTS_100X)
 does the same for the core sessionization workload: 10M events, 100×
-the users.  Output is committed as STRESS_sf1_r{N}.json.
+the users.  ``--tpch-100x`` (SPARK_GRAFT_TPCH_100X) adds a 100×
+decade for the relational/join tier (60M-row lineitem on disk).  The
+relational tier itself (registered TPC-H-shape queries over 10×
+clone-grown facts with fixed dims) always runs.  Output is committed
+as STRESS_sf1_r{N}.json.
 """
 
 from __future__ import annotations
@@ -44,29 +48,70 @@ SHIFTS = {
     "embeddings": {"vec_id": 1_000_000},
 }
 
+# relational (TPC-H-ish) fact growth: orders/lineitem/customer clone
+# with consistent key shifts (clone orders keep their clone customer
+# and their clone lineitems), while part/supplier/nation/region stay
+# FIXED — the realistic shape of a growing warehouse, and the one
+# that stresses joins: fact×fact co-growth plus fact→fixed-dim fanout.
+TPCH_SHIFTS = {
+    "lineitem": {"l_orderkey": 1_000_000},
+    "orders": {"o_orderkey": 1_000_000, "o_custkey": 100_000},
+    "customer": {"c_custkey": 100_000},
+}
+TPCH_DIMS = ("region", "nation", "supplier", "part")
 
-def build(spark) -> None:
+
+def _build_clone_table(spark, src_path: str, dst_path: str, shifts: dict, replicas: int) -> None:
+    """Clone one table `replicas`× with per-shard key shifts, in-plan
+    via a broadcast replica-range cross join (linear, no N-way union)."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(OUT, "_built.json")
-    if os.path.exists(marker):
-        return
-    os.makedirs(OUT, exist_ok=True)
+    df = spark.read.parquet(src_path)
+    rep = df.crossJoin(
+        F.broadcast(spark.range(replicas).select(F.col("id").alias("_r")))
+    )
+    for col, step in shifts.items():
+        rep = rep.withColumn(col, F.col(col) + F.col("_r") * F.lit(step))
+    # File count must grow with the data: the crossJoin keeps the
+    # source's partition count, so a 10x clone of a 2-file table
+    # would land in 2 files and serialize every downstream scan to 2
+    # threads — an artifact no real warehouse table has.  Match the
+    # box's parallelism (floor) and scale with replicas.
+    n_files = max(spark.sparkContext.defaultParallelism, replicas)
+    rep.drop("_r").repartition(n_files).write.mode("overwrite").parquet(dst_path)
+
+
+def build(
+    spark,
+    out: str | None = None,
+    replicas: int = REPLICAS,
+    only: tuple[str, ...] | None = None,
+) -> None:
+    """Idempotent per-table: each table is (re)built only if its
+    output dir is missing, so a stress dir built by an earlier round
+    gains the relational tier without rebuilding the rest.  `only`
+    restricts the clone set (the 100x relational dir skips the
+    event/doc/vector tiers it never reads)."""
+    out = out or OUT
+    os.makedirs(out, exist_ok=True)
     # events.parquet carries TIMESTAMP(NANOS): surface as nano-longs
     # (the clone shards re-write them as plain longs; load_events
     # converts to TimestampType at the boundary either way)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for table, shifts in SHIFTS.items():
-        df = spark.read.parquet(os.path.join(BASE, f"{table}.parquet"))
-        out = None
-        for r in range(REPLICAS):
-            rep = df
-            for col, step in shifts.items():
-                rep = rep.withColumn(col, F.col(col) + F.lit(r * step))
-            out = rep if out is None else out.unionByName(rep)
-        out.write.mode("overwrite").parquet(os.path.join(OUT, f"{table}.parquet"))
-    with open(marker, "w") as fh:
-        json.dump({"replicas": REPLICAS, "base": BASE}, fh)
+    for table, shifts in {**SHIFTS, **TPCH_SHIFTS}.items():
+        if only is not None and table not in only:
+            continue
+        dst = os.path.join(out, f"{table}.parquet")
+        if not os.path.exists(dst):
+            _build_clone_table(
+                spark, os.path.join(BASE, f"{table}.parquet"), dst, shifts, replicas
+            )
+    for table in TPCH_DIMS:  # fixed dims: copy once, unshifted
+        dst = os.path.join(out, f"{table}.parquet")
+        if not os.path.exists(dst):
+            spark.read.parquet(os.path.join(BASE, f"{table}.parquet")).write.mode(
+                "overwrite"
+            ).parquet(dst)
 
 
 def timed(fn):
@@ -259,6 +304,40 @@ def measure(spark, sf_dir: str, label: str, replicas: int | None = None) -> dict
     return res
 
 
+RELATIONAL_QUERIES = (
+    "q1_pricing_summary",          # scan + 8-agg hash aggregation
+    "top_customers",               # fact⋈dim + agg + deterministic top-k
+    "q3_shipping_priority",        # 3-way join + agg + top-k
+    "q5_local_supplier_volume",    # 6-way join (2 growing facts, 4 fixed dims)
+    "order_fulfillment_full_outer",  # full-outer fact⋈fact (output grows with data)
+)
+
+
+def measure_relational(spark, sf_dir: str, label: str) -> dict:
+    """The relational/join tier over any sf-style directory — the
+    registered TPC-H-shape queries run verbatim (same code path the
+    driver correctness-checks), timed to a noop sink so every output
+    column is materialized.  Best-of-2: one-shot timings at clone
+    scale are dominated by the cold first scan."""
+    from data_engineering_user_session_analysis_spark.queries import QUERIES
+
+    _quiesce(spark)
+    res: dict = {"label": label}
+    res["n_lineitem"] = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    )
+    res["n_orders"] = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+    for name in RELATIONAL_QUERIES:
+        res[f"{name}_rows"] = QUERIES[name](spark, sf_dir).count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        res[f"{name}_sec"] = round(best, 3)
+    return res
+
+
 def measure_embeddings_100x(spark, replicas: int = 100) -> dict:
     """Second scaling decade for the vector tier only: 100 clone
     shards of the sf0.1 embeddings (200k vectors) built in-plan via a
@@ -341,6 +420,20 @@ def main() -> None:
     stress = measure(spark, OUT, f"sf1.0 ({REPLICAS}x clone shards)", replicas=REPLICAS)
     print(json.dumps(stress))
 
+    rel_base = measure_relational(spark, BASE, "relational sf0.1")
+    print(json.dumps(rel_base))
+    rel_stress = measure_relational(
+        spark, OUT, f"relational sf1.0 ({REPLICAS}x clone shards)"
+    )
+    print(json.dumps(rel_stress))
+
+    rel100 = None
+    if "--tpch-100x" in sys.argv or os.environ.get("SPARK_GRAFT_TPCH_100X"):
+        out100 = OUT + "_tpch100"
+        build(spark, out=out100, replicas=100, only=tuple(TPCH_SHIFTS))
+        rel100 = measure_relational(spark, out100, "relational 100x (100 clone shards)")
+        print(json.dumps(rel100))
+
     emb100 = None
     if "--emb-100x" in sys.argv or os.environ.get("SPARK_GRAFT_EMB_100X"):
         emb100 = measure_embeddings_100x(spark)
@@ -394,6 +487,28 @@ def main() -> None:
             "candidate_to_pair_ratio_100x": emb100["lsh_candidate_to_pair_ratio"],
             "clone_pair_recall_100x": emb100["clone_pair_recall"],
             "ivf_recall_at_3_100x": emb100["ivf_recall_at_3"],
+        }
+    summary["relational"] = {
+        "base": rel_base,
+        "stress": rel_stress,
+        "sec_ratios_10x": {
+            q: (
+                round(rel_stress[f"{q}_sec"] / rel_base[f"{q}_sec"], 2)
+                if rel_base.get(f"{q}_sec")
+                else None
+            )
+            for q in RELATIONAL_QUERIES
+        },
+    }
+    if rel100 is not None:
+        summary["relational"]["stress_100x"] = rel100
+        summary["relational"]["sec_ratios_100x"] = {
+            q: (
+                round(rel100[f"{q}_sec"] / rel_base[f"{q}_sec"], 2)
+                if rel_base.get(f"{q}_sec")
+                else None
+            )
+            for q in RELATIONAL_QUERIES
         }
     if ev100 is not None:
         summary["events_100x"] = {
