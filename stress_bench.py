@@ -24,8 +24,14 @@ does the same for the core sessionization workload: 10M events, 100×
 the users.  ``--tpch-100x`` (SPARK_GRAFT_TPCH_100X) adds a 100×
 decade for the relational/join tier (60M-row lineitem on disk).  The
 relational tier itself (registered TPC-H-shape queries over 10×
-clone-grown facts with fixed dims) always runs.  Output is committed
-as STRESS_sf1_r{N}.json.
+clone-grown facts with fixed dims) always runs.  ``--ingest``
+(SPARK_GRAFT_INGEST_STRESS) adds the streaming file-stream→lake
+ingest throughput twin at base and 10×.
+
+Each tier runs in its OWN JVM (``--tier <name>`` subprocess): a
+single long-lived session accumulates shuffle/code-cache/old-gen
+pressure that inflates later tiers 2-4× versus isolated runs.
+Output is committed as STRESS_sf1_r{N}.json.
 """
 
 from __future__ import annotations
@@ -310,7 +316,11 @@ RELATIONAL_QUERIES = (
     "q3_shipping_priority",        # 3-way join + agg + top-k
     "q5_local_supplier_volume",    # 6-way join (2 growing facts, 4 fixed dims)
     "order_fulfillment_full_outer",  # full-outer fact⋈fact (output grows with data)
+    "customer_running_total",      # window frame: partitions grow in COUNT not size
 )
+# event-grain window sweep (ranking family + time-range frame); only
+# measured where the dir carries an events clone
+EVENT_WINDOW_QUERY = "event_window_functions"
 
 
 def measure_relational(spark, sf_dir: str, label: str) -> dict:
@@ -327,7 +337,10 @@ def measure_relational(spark, sf_dir: str, label: str) -> dict:
         spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     )
     res["n_orders"] = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
-    for name in RELATIONAL_QUERIES:
+    names = list(RELATIONAL_QUERIES)
+    if os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        names.append(EVENT_WINDOW_QUERY)
+    for name in names:
         res[f"{name}_rows"] = QUERIES[name](spark, sf_dir).count()
         best = float("inf")
         for _ in range(2):
@@ -336,6 +349,45 @@ def measure_relational(spark, sf_dir: str, label: str) -> dict:
             best = min(best, time.perf_counter() - t0)
         res[f"{name}_sec"] = round(best, 3)
     return res
+
+
+def measure_ingest(spark, sf_dir: str, label: str) -> dict:
+    """Streaming ingest throughput twin: the same file-stream →
+    enrich → partitioned-lake pipeline bench.py measures at sf0.1,
+    run against a clone-grown events table — the check that the
+    STREAMING path (micro-batch planning, partitioned parquet sink)
+    scales with data and not just the batch plans."""
+    import shutil
+    import tempfile
+
+    from data_engineering_user_session_analysis_spark.streaming.ingest_stream import (
+        enrich_events,
+        read_file_stream,
+        write_lake_stream,
+    )
+
+    _quiesce(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    n = spark.read.parquet(src).count()
+    tmp = tempfile.mkdtemp(prefix="stress_ingest_")
+    try:
+        t0 = time.perf_counter()
+        q = write_lake_stream(
+            enrich_events(read_file_stream(spark, src)),
+            os.path.join(tmp, "lake"),
+            os.path.join(tmp, "ckpt"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+        sec = time.perf_counter() - t0
+        return {
+            "label": label,
+            "n_events": n,
+            "ingest_sec": round(sec, 3),
+            "ingest_events_per_sec": round(n / sec, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def measure_embeddings_100x(spark, replicas: int = 100) -> dict:
@@ -410,38 +462,108 @@ def measure_events_100x(spark, replicas: int = 100) -> dict:
     return res
 
 
-def main() -> None:
+def run_tier(tier: str) -> list[dict]:
+    """One measurement tier in THIS process.  Tiers are designed to
+    run in separate JVMs: a single long-lived session accumulates
+    shuffle files, code-cache, and old-gen pressure that inflate
+    later tiers 2-4× versus an isolated run (measured: q5@100x 48 s
+    in-session vs 11.6 s isolated; embedding-neardup@100x 144 s vs
+    61 s) — `_quiesce` between passes is not enough at decade scale."""
     from data_engineering_user_session_analysis_spark import get_spark
 
-    spark = get_spark("stress-bench")
-    build(spark)
-    base = measure(spark, BASE, "sf0.1")
-    print(json.dumps(base))
-    stress = measure(spark, OUT, f"sf1.0 ({REPLICAS}x clone shards)", replicas=REPLICAS)
-    print(json.dumps(stress))
-
-    rel_base = measure_relational(spark, BASE, "relational sf0.1")
-    print(json.dumps(rel_base))
-    rel_stress = measure_relational(
-        spark, OUT, f"relational sf1.0 ({REPLICAS}x clone shards)"
-    )
-    print(json.dumps(rel_stress))
-
-    rel100 = None
-    if "--tpch-100x" in sys.argv or os.environ.get("SPARK_GRAFT_TPCH_100X"):
+    spark = get_spark(f"stress-{tier}")
+    if tier == "base":
+        build(spark)
+        return [measure(spark, BASE, "sf0.1")]
+    if tier == "stress":
+        build(spark)
+        return [
+            measure(
+                spark, OUT, f"sf1.0 ({REPLICAS}x clone shards)", replicas=REPLICAS
+            )
+        ]
+    if tier == "relational":
+        build(spark)
+        return [
+            measure_relational(spark, BASE, "relational sf0.1"),
+            measure_relational(
+                spark, OUT, f"relational sf1.0 ({REPLICAS}x clone shards)"
+            ),
+        ]
+    if tier == "tpch100":
         out100 = OUT + "_tpch100"
         build(spark, out=out100, replicas=100, only=tuple(TPCH_SHIFTS))
-        rel100 = measure_relational(spark, out100, "relational 100x (100 clone shards)")
-        print(json.dumps(rel100))
+        return [
+            measure_relational(spark, out100, "relational 100x (100 clone shards)")
+        ]
+    if tier == "emb100":
+        return [measure_embeddings_100x(spark)]
+    if tier == "events100":
+        return [measure_events_100x(spark)]
+    if tier == "ingest":
+        build(spark)
+        return [
+            measure_ingest(spark, BASE, "ingest sf0.1"),
+            measure_ingest(spark, OUT, f"ingest sf1.0 ({REPLICAS}x clone shards)"),
+        ]
+    raise SystemExit(f"unknown tier: {tier}")
 
-    emb100 = None
+
+def main() -> None:
+    if "--tier" in sys.argv:
+        for d in run_tier(sys.argv[sys.argv.index("--tier") + 1]):
+            print(json.dumps(d))
+        return
+
+    # Orchestrator: one subprocess (fresh JVM) per tier, stdout JSON
+    # lines collected and re-emitted, then the cross-tier summary.
+    import subprocess
+
+    tiers = ["base", "stress", "relational"]
+    if "--ingest" in sys.argv or os.environ.get("SPARK_GRAFT_INGEST_STRESS"):
+        tiers.append("ingest")
+    if "--tpch-100x" in sys.argv or os.environ.get("SPARK_GRAFT_TPCH_100X"):
+        tiers.append("tpch100")
     if "--emb-100x" in sys.argv or os.environ.get("SPARK_GRAFT_EMB_100X"):
-        emb100 = measure_embeddings_100x(spark)
-        print(json.dumps(emb100))
-    ev100 = None
+        tiers.append("emb100")
     if "--events-100x" in sys.argv or os.environ.get("SPARK_GRAFT_EVENTS_100X"):
-        ev100 = measure_events_100x(spark)
-        print(json.dumps(ev100))
+        tiers.append("events100")
+
+    me = os.path.abspath(__file__)
+    results: dict[str, list[dict]] = {}
+    for tier in tiers:
+        proc = subprocess.run(
+            [sys.executable, me, "--tier", tier], capture_output=True, text=True
+        )
+        if proc.returncode != 0:
+            print(
+                f"WARN: tier {tier} failed rc={proc.returncode}:\n"
+                f"{proc.stderr[-2000:]}",
+                file=sys.stderr,
+            )
+            continue
+        docs = []
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    docs.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+        results[tier] = docs
+        for d in docs:
+            print(json.dumps(d), flush=True)
+
+    base = results.get("base", [None])[0]
+    stress = results.get("stress", [None])[0]
+    if base is None or stress is None:
+        print("WARN: base/stress tier missing — no summary", file=sys.stderr)
+        return
+    rel_base, rel_stress = results.get("relational", [None, None])
+    rel100 = results.get("tpch100", [None])[0]
+    emb100 = results.get("emb100", [None])[0]
+    ev100 = results.get("events100", [None])[0]
+    ing_base, ing_stress = results.get("ingest", [None, None])
 
     def ratio(k: str) -> float | None:
         try:
@@ -488,27 +610,35 @@ def main() -> None:
             "clone_pair_recall_100x": emb100["clone_pair_recall"],
             "ivf_recall_at_3_100x": emb100["ivf_recall_at_3"],
         }
-    summary["relational"] = {
-        "base": rel_base,
-        "stress": rel_stress,
-        "sec_ratios_10x": {
-            q: (
-                round(rel_stress[f"{q}_sec"] / rel_base[f"{q}_sec"], 2)
-                if rel_base.get(f"{q}_sec")
+    def _sec_ratios(hi: dict, lo: dict) -> dict:
+        return {
+            k.removesuffix("_sec"): round(hi[k] / lo[k], 2)
+            for k in hi
+            if k.endswith("_sec") and lo.get(k)
+        }
+
+    if rel_base is not None and rel_stress is not None:
+        summary["relational"] = {
+            "base": rel_base,
+            "stress": rel_stress,
+            "sec_ratios_10x": _sec_ratios(rel_stress, rel_base),
+        }
+        if rel100 is not None:
+            summary["relational"]["stress_100x"] = rel100
+            summary["relational"]["sec_ratios_100x"] = _sec_ratios(rel100, rel_base)
+    if ing_base is not None and ing_stress is not None:
+        summary["ingest"] = {
+            "base_events_per_sec": ing_base["ingest_events_per_sec"],
+            "stress_events_per_sec": ing_stress["ingest_events_per_sec"],
+            "throughput_ratio_10x": (
+                round(
+                    ing_stress["ingest_events_per_sec"]
+                    / ing_base["ingest_events_per_sec"],
+                    2,
+                )
+                if ing_base["ingest_events_per_sec"]
                 else None
-            )
-            for q in RELATIONAL_QUERIES
-        },
-    }
-    if rel100 is not None:
-        summary["relational"]["stress_100x"] = rel100
-        summary["relational"]["sec_ratios_100x"] = {
-            q: (
-                round(rel100[f"{q}_sec"] / rel_base[f"{q}_sec"], 2)
-                if rel_base.get(f"{q}_sec")
-                else None
-            )
-            for q in RELATIONAL_QUERIES
+            ),
         }
     if ev100 is not None:
         summary["events_100x"] = {
