@@ -342,11 +342,18 @@ def measure_relational(spark, sf_dir: str, label: str) -> dict:
         names.append(EVENT_WINDOW_QUERY)
     for name in names:
         res[f"{name}_rows"] = QUERIES[name](spark, sf_dir).count()
+        # best-of-2, plus a third trial for sub-2s queries: their
+        # signal is the most easily swamped by one noisy window
+        # (observed: a 0.9s query measuring 7.0s once in best-of-2)
         best = float("inf")
-        for _ in range(2):
+        trials = 0
+        while trials < 3:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            trials += 1
+            if trials >= 2 and best >= 2.0:
+                break
         res[f"{name}_sec"] = round(best, 3)
     return res
 
