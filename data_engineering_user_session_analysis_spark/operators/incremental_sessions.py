@@ -1,0 +1,291 @@
+"""Incremental sessionization — day-over-day session stitching.
+
+The batch path (``sessionize`` + ``session_rollup``) recomputes
+sessions from ALL events it is given.  A daily job at 100 TB cannot
+re-read history, and sessionizing one day in isolation silently
+splits every session that crosses midnight (the reference's daily
+job, ``spark_jobs/spark_batch_job.py``, has exactly this bug — it
+sessionizes the single day partition it reads).  This module is the
+incremental twin: process day N's events plus an O(active users)
+carry state, emit every session that can no longer grow, and carry
+each user's still-open tail session forward.
+
+Design — mergeable partial aggregates, not event retention:
+
+* The carry state holds ONE row per user seen so far: the partial
+  ``session_rollup`` aggregates of their last (open) session plus
+  its global ordinal.  Every ``session_rollup`` output is mergeable
+  across a day boundary: min/max/sum/count combine directly,
+  ``distinct_event_types`` is carried as the value set
+  (``array_union`` then ``size`` — event types are low-cardinality
+  by schema), and first/last event types combine POSITIONALLY
+  because every carried event strictly precedes every day-N event
+  (day partitions are disjoint, half-open time ranges).
+* Day N's events are sessionized locally (one user-partitioned
+  window over ONE day), rolled up to per-session partials, and the
+  user's first local session merges into the carried session iff
+  its first event is within ``gap_seconds`` of the carried
+  ``last_ts`` — the same strict-``>`` boundary rule as
+  ``sessionize``, so the stitched result is event-identical to
+  batch sessionization of the union.
+* Sessions emitted = closed forever; the invariant (pinned in
+  ``tests/test_incremental_sessions.py``) is that replaying days in
+  order and concatenating emissions + ``finalize_sessions`` equals
+  ``session_rollup(sessionize(all_events))`` EXACTLY — ids,
+  ordinals, aggregates, types.
+
+Scale shape: per day, one user-partitioned window over that day's
+events, one hash aggregation, and two hash joins against a state
+table of O(active users) rows — never O(history).  All joins and
+aggs share the ``user_id`` hash partitioning.  State lives as a
+parquet table keyed by user, written at the end of each step and
+read back at the start of the next — do NOT chain daily steps
+through ``localCheckpoint`` instead: eagerly-checkpointed blocks pin
+memory across steps and the measured per-day cost degrades from
+~2 s to 16+ s by day 15 of a 30-day replay, while the parquet
+round-trip stays flat (and is what a restartable daily job needs
+anyway).  Days MUST be processed in ascending date order (the
+positional merge rule assumes carried events precede today's).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.operators.sessionize import (
+    _event_order,
+    epoch_micros,
+    epoch_seconds,
+    sessionize,
+)
+
+# carried partial-aggregate columns (state table schema, keyed by user)
+_STATE_COLS = (
+    "session_seq",
+    "session_start_time",
+    "last_ts",
+    "number_of_events",
+    "session_value",
+    "is_purchase",
+    "event_types",
+    "first_event_type",
+    "last_event_type",
+)
+
+
+def _local_partials(
+    day: DataFrame,
+    gap_seconds: int,
+    user_col: str,
+    ts_col: str,
+    event_type_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    purchase_value: str,
+) -> DataFrame:
+    """Per-(user, local session) mergeable partials for one day."""
+    s = sessionize(
+        day,
+        user_col=user_col,
+        ts_col=ts_col,
+        gap_seconds=gap_seconds,
+        order_cols=(tiebreak_col,),
+    )
+    order = _event_order(ts_col, tiebreak_col)
+    return s.groupBy(user_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start_time"),
+        F.max(ts_col).alias("last_ts"),
+        F.count("*").alias("number_of_events"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("session_value"),
+        F.max(
+            F.when(F.col(event_type_col) == purchase_value, 1).otherwise(0)
+        ).alias("is_purchase"),
+        F.collect_set(event_type_col).alias("event_types"),
+        F.min_by(event_type_col, order).alias("first_event_type"),
+        F.max_by(event_type_col, order).alias("last_event_type"),
+    )
+
+
+def _to_rollup(partials: DataFrame, user_col: str) -> DataFrame:
+    """Project carried/merged partials to the exact ``session_rollup``
+    output schema (same names, same types, same column order)."""
+    return partials.select(
+        F.col(user_col),
+        F.concat_ws(
+            "-", F.col(user_col).cast("string"), F.col("session_seq")
+        ).alias("session_id"),
+        F.col("session_start_time"),
+        F.col("last_ts").alias("session_end_time"),
+        (
+            epoch_seconds(F.col("last_ts"))
+            - epoch_seconds(F.col("session_start_time"))
+        ).alias("session_duration_seconds"),
+        F.col("number_of_events"),
+        F.size("event_types").cast("long").alias("distinct_event_types"),
+        F.col("is_purchase"),
+        F.col("session_value").cast("decimal(28,2)").alias("session_value"),
+        F.col("first_event_type"),
+        F.col("last_event_type"),
+    )
+
+
+def advance_sessions(
+    day: DataFrame,
+    state: DataFrame | None = None,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_type_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    purchase_value: str = "purchase",
+) -> tuple[DataFrame, DataFrame]:
+    """One incremental step: fold one day of events into the carry.
+
+    Returns ``(closed, new_state)``: ``closed`` has the
+    ``session_rollup`` schema and contains every session that ended
+    within this day (a later day can no longer extend it);
+    ``new_state`` is the full carry to pass to the next day.  Pass
+    ``state=None`` on the first day.  Both outputs are plain
+    DataFrames — persist/write them before the next step if the
+    lineage chain would otherwise grow across many days.
+    """
+    loc = _local_partials(
+        day,
+        gap_seconds,
+        user_col,
+        ts_col,
+        event_type_col,
+        value_col,
+        tiebreak_col,
+        purchase_value,
+    )
+
+    if state is None:
+        state = loc.sparkSession.createDataFrame(
+            [], _to_state(loc.limit(0), user_col).schema
+        )
+
+    st = state.select(
+        F.col(user_col), *[F.col(c).alias(f"_st_{c}") for c in _STATE_COLS]
+    )
+
+    # Per-user merge flag: does the first local session continue the
+    # carried open session?  Strict-> gap rule matches `sessionize`:
+    # delta <= gap extends, delta > gap opens a new session.
+    flags = (
+        loc.filter(F.col("session_seq") == 1)
+        .select(user_col, "session_start_time")
+        .join(st.select(user_col, "_st_last_ts"), user_col, "inner")
+        .select(
+            user_col,
+            (
+                epoch_micros(F.col("session_start_time"))
+                - epoch_micros(F.col("_st_last_ts"))
+                <= F.lit(gap_seconds) * 1_000_000
+            ).alias("_merged"),
+        )
+    )
+
+    j = (
+        loc.join(st, user_col, "left")
+        .join(flags, user_col, "left")
+        .withColumn("_merged", F.coalesce(F.col("_merged"), F.lit(False)))
+        .withColumn(
+            "_glob_seq",
+            F.coalesce(F.col("_st_session_seq"), F.lit(0))
+            + F.col("session_seq")
+            - F.when(F.col("_merged"), 1).otherwise(0),
+        )
+    )
+
+    # Merge the carried partial into the user's FIRST local session
+    # when stitching.  Positional combine: carried events all precede
+    # today's (disjoint ascending day partitions), so start/first
+    # come from the carry and end/last from today.
+    is_stitch = F.col("_merged") & (F.col("session_seq") == 1)
+    combined = j.select(
+        F.col(user_col),
+        F.col("_glob_seq").alias("session_seq"),
+        F.when(is_stitch, F.col("_st_session_start_time"))
+        .otherwise(F.col("session_start_time"))
+        .alias("session_start_time"),
+        F.col("last_ts"),
+        F.when(
+            is_stitch, F.col("_st_number_of_events") + F.col("number_of_events")
+        )
+        .otherwise(F.col("number_of_events"))
+        .alias("number_of_events"),
+        F.when(
+            is_stitch,
+            (F.col("_st_session_value") + F.col("session_value")).cast(
+                "decimal(28,2)"
+            ),
+        )
+        .otherwise(F.col("session_value").cast("decimal(28,2)"))
+        .alias("session_value"),
+        F.when(
+            is_stitch, F.greatest(F.col("_st_is_purchase"), F.col("is_purchase"))
+        )
+        .otherwise(F.col("is_purchase"))
+        .alias("is_purchase"),
+        F.when(
+            is_stitch, F.array_union(F.col("_st_event_types"), F.col("event_types"))
+        )
+        .otherwise(F.col("event_types"))
+        .alias("event_types"),
+        F.when(is_stitch, F.col("_st_first_event_type"))
+        .otherwise(F.col("first_event_type"))
+        .alias("first_event_type"),
+        F.col("last_event_type"),
+    )
+
+    # The user's LAST global session stays open (carried forward);
+    # everything before it is closed.  Window max over user — no
+    # ordering needed, unbounded frame.
+    w = Window.partitionBy(user_col)
+    combined = combined.withColumn(
+        "_is_open", F.col("session_seq") == F.max("session_seq").over(w)
+    )
+
+    closed_today = combined.filter(~F.col("_is_open")).drop("_is_open")
+
+    # A carried session that did NOT merge closes now (the user came
+    # back after the gap, so the old session can never grow again).
+    closed_carry = (
+        st.join(flags.filter(~F.col("_merged")), user_col, "inner")
+        .select(
+            F.col(user_col),
+            *[F.col(f"_st_{c}").alias(c) for c in _STATE_COLS],
+        )
+        .drop("_merged")
+    )
+
+    closed = _to_rollup(closed_today, user_col).unionByName(
+        _to_rollup(closed_carry, user_col)
+    )
+
+    # New carry: today's open tail per active user + untouched state
+    # rows for users with no events today (their sessions stay open
+    # until finalize — an absent user costs one anti-join probe, not
+    # a rescan).
+    open_today = _to_state(
+        combined.filter(F.col("_is_open")).drop("_is_open"), user_col
+    )
+    untouched = state.join(
+        loc.select(user_col).distinct(), user_col, "left_anti"
+    )
+    new_state = open_today.unionByName(untouched)
+    return closed, new_state
+
+
+def _to_state(partials: DataFrame, user_col: str) -> DataFrame:
+    """Normalize partials to the state-table column set/order."""
+    return partials.select(F.col(user_col), *[F.col(c) for c in _STATE_COLS])
+
+
+def finalize_sessions(state: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Emit every still-open carried session as a final rollup row
+    (end of stream / end of backfill)."""
+    return _to_rollup(state, user_col)
