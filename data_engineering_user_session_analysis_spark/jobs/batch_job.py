@@ -128,6 +128,72 @@ def run_daily_job(
     return results
 
 
+def run_incremental_sessions(
+    spark: SparkSession,
+    lake_path: str,
+    ds: str,
+    out_dir: str,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Daily incremental sessionization step (the 100 TB-shaped
+    alternative to ``run_daily_job``'s within-day sessionize, which
+    splits sessions crossing midnight): fold day ``ds`` into the
+    session carry state (``operators/incremental_sessions.py``).
+
+    Layout under ``out_dir``:
+
+    * ``session_closed/ds=<ds>`` — sessions that ended within ds
+      (append-only serving history; each run overwrites exactly its
+      own day, so re-runs are idempotent);
+    * ``session_state/ds=<ds>`` — the carry AFTER folding ds.  The
+      step reads the latest state partition with ds' < ds, so
+      re-running day N reads N-1's state and overwrites N's —
+      idempotent — and a backfill from day 1 just replays the verbs
+      in order.  (Partition discovery is a local listing here; a
+      cluster deployment lists via the Hadoop FileSystem API.)
+
+    Returns closed/open row counts for observability.
+    """
+    from data_engineering_user_session_analysis_spark.operators.incremental_sessions import (
+        advance_sessions,
+    )
+
+    state_root = os.path.join(out_dir, "session_state")
+    prev = None
+    if os.path.isdir(state_root):
+        priors = sorted(
+            p.split("=", 1)[1]
+            for p in os.listdir(state_root)
+            if p.startswith("ds=") and p.split("=", 1)[1] < ds
+        )
+        prev = priors[-1] if priors else None
+    state = (
+        spark.read.format(fmt).load(os.path.join(state_root, f"ds={prev}"))
+        if prev
+        else None
+    )
+    day = (
+        spark.read.format(fmt)
+        .load(lake_path)
+        .filter(F.col("date") == ds)  # partition-pruned day read
+    )
+    closed, new_state = advance_sessions(day, state)
+    closed.write.mode("overwrite").format(fmt).save(
+        os.path.join(out_dir, "session_closed", f"ds={ds}")
+    )
+    new_state.write.mode("overwrite").format(fmt).save(
+        os.path.join(state_root, f"ds={ds}")
+    )
+    return {
+        "closed": spark.read.format(fmt)
+        .load(os.path.join(out_dir, "session_closed", f"ds={ds}"))
+        .count(),
+        "open": spark.read.format(fmt)
+        .load(os.path.join(state_root, f"ds={ds}"))
+        .count(),
+    }
+
+
 def compact_closed_partition(
     spark: SparkSession,
     lake_path: str,
@@ -184,10 +250,20 @@ def run_backfill(
 
 def main(argv: list[str]) -> None:
     """CLI contract of the reference batch job: ``job <ds>`` (plus the
-    maintenance verbs ``job compact <ds>`` and
-    ``job backfill <ds_start> <ds_end>``)."""
+    maintenance verbs ``job compact <ds>``,
+    ``job backfill <ds_start> <ds_end>``, and the incremental
+    sessionization step ``job sessions <ds>``)."""
     from data_engineering_user_session_analysis_spark import get_spark
 
+    if argv[1] == "sessions":
+        ds = argv[2]
+        lake = argv[3] if len(argv) > 3 else os.environ.get("LAKE_PATH", "/tmp/events_lake")
+        out = argv[4] if len(argv) > 4 else os.environ.get("SERVING_PATH", "/tmp/serving")
+        report = run_incremental_sessions(
+            get_spark("incremental_sessions_job"), lake, ds, out
+        )
+        print(report)
+        return
     if argv[1] == "backfill":
         ds_start, ds_end = argv[2], argv[3]
         lake = argv[4] if len(argv) > 4 else os.environ.get("LAKE_PATH", "/tmp/events_lake")

@@ -162,3 +162,43 @@ def test_incremental_plan_is_user_partitioned(spark):
     plan = closed2._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_run_incremental_sessions_job(spark, sf_small, tmp_path):
+    """The job verb end-to-end over a real partitioned lake: replaying
+    `job sessions <ds>` for every day then finalizing the last state
+    equals batch sessionization of the whole lake; re-running the
+    last day is idempotent (same outputs, no duplicates)."""
+    import os
+
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import (
+        build_lake,
+        run_incremental_sessions,
+    )
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "serving")
+    build_lake(spark, sf_small, lake)
+    ev = load_events(spark, sf_small)
+    days = sorted(
+        r["d"]
+        for r in ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d")).distinct().collect()
+    )[:6]
+    for ds in days:
+        report = run_incremental_sessions(spark, lake, ds, out)
+        assert report["open"] > 0
+    rerun = run_incremental_sessions(spark, lake, days[-1], out)  # idempotent
+    assert rerun == report
+
+    closed = spark.read.parquet(os.path.join(out, "session_closed"))
+    state = spark.read.parquet(os.path.join(out, "session_state", f"ds={days[-1]}"))
+    inc = finalize_sessions(state).unionByName(
+        closed.drop("ds") if "ds" in closed.columns else closed
+    )
+    batch = session_rollup(
+        sessionize(
+            ev.filter(F.date_format("ts", "yyyy-MM-dd") <= days[-1]),
+            order_cols=("event_id",),
+        )
+    )
+    _assert_equal(inc, batch)
