@@ -397,6 +397,58 @@ def measure_ingest(spark, sf_dir: str, label: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def measure_incremental_sessions(spark, sf_dir: str, label: str) -> dict:
+    """Day-by-day incremental sessionization replay over a whole
+    events directory — the check that the daily step's cost tracks
+    the DAY's size (events/s roughly flat per day) while state stays
+    O(active users).  State round-trips through parquet per day, the
+    documented production pattern."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.incremental_sessions import (
+        advance_sessions,
+        finalize_sessions,
+    )
+    from data_engineering_user_session_analysis_spark.sources.events import load_events
+
+    _quiesce(spark)
+    ev = load_events(spark, sf_dir).localCheckpoint(eager=True)
+    n = ev.count()
+    days = [
+        r["d"]
+        for r in ev.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="stress_incsessions_")
+    try:
+        state = None
+        t0 = time.perf_counter()
+        for i, d in enumerate(days):
+            day = ev.filter(F.to_date("ts") == F.lit(d))
+            closed, state = advance_sessions(day, state)
+            closed.write.mode("append").parquet(os.path.join(tmp, "closed"))
+            sp = os.path.join(tmp, f"state_{i % 2}")  # ping-pong, bounded disk
+            state.write.mode("overwrite").parquet(sp)
+            state = spark.read.parquet(sp)
+        closed_rows = spark.read.parquet(os.path.join(tmp, "closed")).count()
+        open_rows = finalize_sessions(state).count()
+        sec = time.perf_counter() - t0
+        return {
+            "label": label,
+            "n_events": n,
+            "n_days": len(days),
+            "sessions_closed": closed_rows,
+            "sessions_open": open_rows,
+            "replay_sec": round(sec, 3),
+            "sec_per_day": round(sec / len(days), 3) if days else None,
+            "events_per_sec": round(n / sec, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def measure_embeddings_100x(spark, replicas: int = 100) -> dict:
     """Second scaling decade for the vector tier only: 100 clone
     shards of the sf0.1 embeddings (200k vectors) built in-plan via a
@@ -513,6 +565,14 @@ def run_tier(tier: str) -> list[dict]:
             measure_ingest(spark, BASE, "ingest sf0.1"),
             measure_ingest(spark, OUT, f"ingest sf1.0 ({REPLICAS}x clone shards)"),
         ]
+    if tier == "incsessions":
+        build(spark)
+        return [
+            measure_incremental_sessions(spark, BASE, "incremental sessions sf0.1"),
+            measure_incremental_sessions(
+                spark, OUT, f"incremental sessions sf1.0 ({REPLICAS}x clone shards)"
+            ),
+        ]
     raise SystemExit(f"unknown tier: {tier}")
 
 
@@ -529,6 +589,8 @@ def main() -> None:
     tiers = ["base", "stress", "relational"]
     if "--ingest" in sys.argv or os.environ.get("SPARK_GRAFT_INGEST_STRESS"):
         tiers.append("ingest")
+    if "--incsessions" in sys.argv or os.environ.get("SPARK_GRAFT_INCSESSIONS"):
+        tiers.append("incsessions")
     if "--tpch-100x" in sys.argv or os.environ.get("SPARK_GRAFT_TPCH_100X"):
         tiers.append("tpch100")
     if "--emb-100x" in sys.argv or os.environ.get("SPARK_GRAFT_EMB_100X"):
@@ -633,6 +695,14 @@ def main() -> None:
         if rel100 is not None:
             summary["relational"]["stress_100x"] = rel100
             summary["relational"]["sec_ratios_100x"] = _sec_ratios(rel100, rel_base)
+    inc_base, inc_stress = results.get("incsessions", [None, None])
+    if inc_base is not None and inc_stress is not None:
+        summary["incremental_sessions"] = {
+            "base_sec_per_day": inc_base["sec_per_day"],
+            "stress_sec_per_day": inc_stress["sec_per_day"],
+            "base_events_per_sec": inc_base["events_per_sec"],
+            "stress_events_per_sec": inc_stress["events_per_sec"],
+        }
     if ing_base is not None and ing_stress is not None:
         summary["ingest"] = {
             "base_events_per_sec": ing_base["ingest_events_per_sec"],
