@@ -64,6 +64,14 @@ def run_daily_job(
 ) -> dict[str, DataFrame]:
     """Compute and persist the day's serving tables.
 
+    Sessionization here is WITHIN-day (the reference's semantics —
+    its daily job sessionizes the one partition it reads), so a
+    session crossing midnight appears once per day it touches.  When
+    cross-day sessions must be exact, run the incremental verb
+    (``job sessions <ds>`` → ``run_incremental_sessions``) instead:
+    it stitches boundary sessions through an O(active users) carry
+    and is pinned equal to batch sessionization of the full history.
+
     Returns the result DataFrames keyed by table name (also written
     to ``out_dir`` in the lake format, or to JDBC when ``jdbc_url``
     given).  ``fmt`` must match the lake's format (partition pruning
