@@ -202,3 +202,52 @@ def test_run_incremental_sessions_job(spark, sf_small, tmp_path):
         )
     )
     _assert_equal(inc, batch)
+
+
+def test_late_data_replay_from_affected_day(spark, tmp_path):
+    """Late-landing data recovery: when an event lands late in an
+    already-processed day K, replaying the verbs from K forward (each
+    run overwrites its own closed/state partitions) converges to the
+    batch result over the corrected history — no day-1 restart."""
+    import os
+
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import (
+        run_incremental_sessions,
+    )
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "serving")
+    base_rows = [
+        (1, "2024-03-01 10:00:00", 1, "view", 1.0),
+        (1, "2024-03-02 23:55:00", 2, "view", 1.0),
+        (1, "2024-03-03 00:10:00", 3, "view", 1.0),  # stitches into day-2 session
+        (2, "2024-03-01 09:00:00", 4, "view", 1.0),
+        (2, "2024-03-03 09:00:00", 5, "view", 1.0),
+    ]
+    late_row = (2, "2024-03-02 09:00:00", 6, "purchase", 5.0)  # lands late in day 2
+
+    def _write_lake(rows):
+        _mk_events(spark, rows).withColumn(
+            "date", F.date_format("ts", "yyyy-MM-dd")
+        ).write.mode("overwrite").partitionBy("date").parquet(lake)
+
+    days = ("2024-03-01", "2024-03-02", "2024-03-03")
+    _write_lake(base_rows)
+    for ds in days:
+        run_incremental_sessions(spark, lake, ds, out)
+
+    # the late event arrives; day 2 and everything after replays
+    _write_lake(base_rows + [late_row])
+    for ds in days[1:]:
+        run_incremental_sessions(spark, lake, ds, out)
+
+    closed = spark.read.parquet(os.path.join(out, "session_closed")).drop("ds")
+    state = spark.read.parquet(os.path.join(out, "session_state", f"ds={days[-1]}"))
+    inc = finalize_sessions(state).unionByName(closed)
+    batch = session_rollup(
+        sessionize(_mk_events(spark, base_rows + [late_row]), order_cols=("event_id",))
+    )
+    _assert_equal(inc, batch)
+    # the late purchase is now inside user 2's day-2 session
+    got = {r["session_id"]: r for r in inc.collect()}
+    assert got["2-2"]["is_purchase"] == 1
