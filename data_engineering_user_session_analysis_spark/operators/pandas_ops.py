@@ -18,8 +18,6 @@ shape only when the per-session logic outgrows SQL.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

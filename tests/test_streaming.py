@@ -422,7 +422,6 @@ def test_streaming_quarantine_both_sinks(spark, sf_small, tmp_path):
     """The split runs as a STREAM: one file-stream source feeds two
     sinks (lake + quarantine) — poison messages reach the dead-letter
     parquet, valid events reach the lake, exactly once each."""
-    import json as _json
 
     from pyspark.sql import functions as F
 
