@@ -26,7 +26,9 @@ decade for the relational/join tier (60M-row lineitem on disk).  The
 relational tier itself (registered TPC-H-shape queries over 10×
 clone-grown facts with fixed dims) always runs.  ``--ingest``
 (SPARK_GRAFT_INGEST_STRESS) adds the streaming file-stream→lake
-ingest throughput twin at base and 10×.
+ingest throughput twin at base and 10×.  ``--incsessions``
+(SPARK_GRAFT_INCSESSIONS) adds the day-by-day incremental
+sessionization replay at base and 10×.
 
 Each tier runs in its OWN JVM (``--tier <name>`` subprocess): a
 single long-lived session accumulates shuffle/code-cache/old-gen
