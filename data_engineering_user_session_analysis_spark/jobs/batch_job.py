@@ -103,7 +103,10 @@ def run_daily_job(
 
     sessionized = sessionize(day, order_cols=("event_id",))
     session_level = session_rollup(sessionized)
-    session_full = session_rollup_full(sessionized)
+    # serving posture: bound the per-session event trace so one bot
+    # key cannot OOM an aggregation buffer (operators/rollup_full.py
+    # hot-key policy); 10k events is far above any human session.
+    session_full = session_rollup_full(sessionized, max_events=10_000)
 
     purchase = F.col("event_type") == "purchase"
     user_level = day.groupBy("user_id").agg(
@@ -223,6 +226,69 @@ def compact_closed_partition(
     )
 
 
+def run_daily_pipeline(
+    spark: SparkSession,
+    lake_path: str,
+    ds: str,
+    out_dir: str,
+    fmt: str = "parquet",
+    compact_previous: bool = True,
+) -> dict:
+    """The composed daily operational verb (``job daily <ds>``) — the
+    sequence a real deployment runs once per day, chaining the
+    individually-tested steps in dependency order:
+
+    1. **ingest hygiene**: count the day's rows, quarantine
+       structurally bad ones (null user/ts — rows sessionization
+       cannot key) to ``out_dir/quarantine/ds=<ds>``;
+    2. **incremental session stitch** (``run_incremental_sessions``):
+       fold the day into the carry state, emit closed sessions —
+       the midnight-exact path;
+    3. **serving tables** (``run_daily_job``): session/user-level
+       aggregates for the day, written to the serving layout;
+    4. **compact <ds-1>** (``compact_closed_partition``): the
+       previous day's partition is now closed (the stream's
+       watermark has passed it), so merge its micro-batch small
+       files before backfills pay file-count costs forever.
+
+    Every step is an idempotent per-day overwrite, so re-running any
+    day replaces exactly that day's outputs (pinned by
+    ``tests/test_batch_job.py`` with a 3-day replay + day-2 re-run).
+    Returns a per-step report dict for observability.
+    """
+    import datetime as _dt
+
+    report: dict = {"ds": ds}
+
+    day = (
+        spark.read.format(fmt)
+        .load(lake_path)
+        .filter(F.col("date") == ds)  # partition-pruned
+    )
+    bad = day.filter(F.col("user_id").isNull() | F.col("ts").isNull())
+    n_bad = bad.count()
+    if n_bad:
+        bad.write.mode("overwrite").format(fmt).save(
+            os.path.join(out_dir, "quarantine", f"ds={ds}")
+        )
+    report["hygiene"] = {"rows": day.count(), "quarantined": n_bad}
+
+    report["sessions"] = run_incremental_sessions(
+        spark, lake_path, ds, out_dir, fmt=fmt
+    )
+
+    serving = run_daily_job(spark, lake_path, ds, out_dir, fmt=fmt)
+    report["serving_tables"] = sorted(serving)
+
+    if compact_previous:
+        prev = (_dt.date.fromisoformat(ds) - _dt.timedelta(days=1)).isoformat()
+        if os.path.isdir(os.path.join(lake_path, f"date={prev}")):
+            report["compacted_previous"] = compact_closed_partition(
+                spark, lake_path, prev
+            )
+    return report
+
+
 def run_backfill(
     spark: SparkSession,
     lake_path: str,
@@ -259,10 +325,18 @@ def run_backfill(
 def main(argv: list[str]) -> None:
     """CLI contract of the reference batch job: ``job <ds>`` (plus the
     maintenance verbs ``job compact <ds>``,
-    ``job backfill <ds_start> <ds_end>``, and the incremental
-    sessionization step ``job sessions <ds>``)."""
+    ``job backfill <ds_start> <ds_end>``, the incremental
+    sessionization step ``job sessions <ds>``, and the composed
+    operational pipeline ``job daily <ds>``)."""
     from data_engineering_user_session_analysis_spark import get_spark
 
+    if argv[1] == "daily":
+        ds = argv[2]
+        lake = argv[3] if len(argv) > 3 else os.environ.get("LAKE_PATH", "/tmp/events_lake")
+        out = argv[4] if len(argv) > 4 else os.environ.get("SERVING_PATH", "/tmp/serving")
+        report = run_daily_pipeline(get_spark("daily_pipeline"), lake, ds, out)
+        print(report)
+        return
     if argv[1] == "sessions":
         ds = argv[2]
         lake = argv[3] if len(argv) > 3 else os.environ.get("LAKE_PATH", "/tmp/events_lake")

@@ -140,6 +140,7 @@ def advance_sessions(
     value_col: str = "value",
     tiebreak_col: str = "event_id",
     purchase_value: str = "purchase",
+    materialize_partials: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One incremental step: fold one day of events into the carry.
 
@@ -150,6 +151,17 @@ def advance_sessions(
     ``state=None`` on the first day.  Both outputs are plain
     DataFrames — persist/write them before the next step if the
     lineage chain would otherwise grow across many days.
+
+    Both outputs share one expensive upstream — the day scan + the
+    sessionize window + the partial aggregation — so a caller that
+    writes both would trigger that DAG twice.  With
+    ``materialize_partials`` (default) the per-day partials are
+    eagerly ``localCheckpoint``-ed ONCE: O(sessions-per-day) rows,
+    released by the ContextCleaner when the step's references die.
+    This is a within-step materialization — the module-docstring
+    warning about localCheckpoint is about chaining the carried STATE
+    through it across many days, which pins blocks for the whole
+    replay; a per-day block dropped at step end does not.
     """
     loc = _local_partials(
         day,
@@ -161,6 +173,8 @@ def advance_sessions(
         tiebreak_col,
         purchase_value,
     )
+    if materialize_partials:
+        loc = loc.localCheckpoint(eager=True)
 
     if state is None:
         state = loc.sparkSession.createDataFrame(

@@ -149,3 +149,52 @@ def test_backfill_overwrites_daily_serving_location(spark, sf_small, tmp_path):
     tbl = spark.read.parquet(os.path.join(out, "user_level"))
     assert "ds" in tbl.columns
     assert tbl.filter(F.col("ds") == ds).count() > 0
+
+
+def test_daily_pipeline_three_day_replay_idempotent(spark, sf_small, tmp_path):
+    """The composed operational verb (`job daily <ds>`): replay three
+    days end-to-end, then re-run day 2 — every day-2 output (closed
+    sessions, carry state, serving tables) must be byte-identical,
+    and day 3 must still stitch correctly off day 2's re-written
+    state."""
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import run_daily_pipeline
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "serving")
+    build_lake(spark, sf_small, lake)
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    reports = {ds: run_daily_pipeline(spark, lake, ds, out) for ds in days}
+    for ds in days:
+        assert reports[ds]["hygiene"]["rows"] > 0
+        assert reports[ds]["hygiene"]["quarantined"] == 0
+        assert reports[ds]["serving_tables"] == [
+            "session_full",
+            "session_level",
+            "user_level",
+        ]
+    # day 1 has no predecessor partition to compact; days 2-3 do
+    assert "compacted_previous" not in reports["2024-01-01"]
+    assert "compacted_previous" in reports["2024-01-02"]
+
+    def _hashable(r):
+        return tuple(
+            tuple(sorted(x)) if isinstance(x, list) else x for x in r
+        )
+
+    def _snap(ds):
+        closed = spark.read.parquet(f"{out}/session_closed/ds={ds}")
+        state = spark.read.parquet(f"{out}/session_state/ds={ds}")
+        lvl = spark.read.parquet(f"{out}/session_level/ds={ds}")
+        return (
+            {_hashable(r) for r in closed.collect()},
+            {_hashable(r) for r in state.collect()},
+            {_hashable(r) for r in lvl.collect()},
+        )
+
+    before = _snap("2024-01-02")
+    rerun = run_daily_pipeline(spark, lake, "2024-01-02", out)
+    assert rerun["sessions"] == reports["2024-01-02"]["sessions"]
+    assert _snap("2024-01-02") == before
+    # day 3's outputs are untouched by the day-2 re-run
+    d3 = _snap("2024-01-03")
+    assert all(len(s) > 0 for s in d3)

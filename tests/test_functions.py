@@ -78,3 +78,51 @@ def test_events_json_roundtrip(spark, sf_small):
         assert ts_list == sorted(ts_list)
         assert events[0]["event_id"] == r.first_event_id
         assert events[-1]["event_id"] == r.last_event_id
+
+
+def test_rollup_full_cap_equals_uncapped_when_under(spark, sf_small):
+    """With every fixture session far below the cap, the capped plan
+    (window-bounded trace + co-partitioned join) must produce exactly
+    the uncapped single-aggregation result, plus an all-false
+    events_truncated flag."""
+    s = sessionize(load_events(spark, sf_small), order_cols=("event_id",))
+    uncapped = session_rollup_full(s)
+    capped = session_rollup_full(s, max_events=10_000)
+    assert capped.filter(F.col("events_truncated")).count() == 0
+    cols = uncapped.columns
+    a = {tuple(r) for r in uncapped.select(*cols).collect()}
+    b = {tuple(r) for r in capped.select(*cols).collect()}
+    assert a == b
+
+
+def test_rollup_full_hot_key_bounded(spark):
+    """Hot-key policy: one bot session with 200k events must complete
+    with a bounded trace — first ceil(K/2) + last floor(K/2) event
+    ids, truncation flagged, scalar aggregates still exact over the
+    FULL set."""
+    import datetime
+
+    n, cap = 200_000, 100
+    base = datetime.datetime(2024, 1, 1)
+    ev = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.lit(base) + F.make_interval(secs=F.col("id") * 0.001)).alias("ts"),
+            F.lit(7).alias("user_id"),
+            F.lit("view").alias("event_type"),
+        )
+        .withColumn("session_id", F.lit("7-1"))
+    )
+    out = session_rollup_full(ev, max_events=cap).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.number_of_events == n
+    assert bool(r.events_truncated) is True
+    events = json.loads(r.events_json)
+    assert len(events) == cap
+    ids = [e["event_id"] for e in events]
+    assert ids == list(range(50)) + list(range(n - 50, n))
+    # scalar aggregates come from the full set, not the clipped trace
+    assert r.first_event_id == 0 and r.last_event_id == n - 1
+    assert r.events_trace.count(":") == cap
