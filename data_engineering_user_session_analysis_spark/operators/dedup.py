@@ -295,6 +295,84 @@ def minhash_lsh_pairs(
     )
 
 
+def exact_dup_star_edges(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate groups as STAR edges: ``(doc_a=rep, doc_b=member)``
+    with rep = min id per identical-content group — g-1 edges per
+    group instead of the g²/2 all-pairs a near-dup pair join emits.
+
+    Returns ``(edges, representatives)`` where ``representatives`` is
+    one ``(id_col)`` row per distinct content (the min-id member).
+    This is the linearizing pre-pass for every near-dup pipeline on a
+    re-crawl corpus: run the (approximate) near-dup stage on the
+    representatives only, union its pairs with these star edges, and
+    feed ``connected_components`` / ``dedup_canonical`` unchanged.
+    Connectivity — and therefore clusters and canonical ids — is
+    IDENTICAL to the all-pairs form: members of an exact group are
+    connected through their rep, and a rep's near-dup relations equal
+    any member's because their text is identical (equality pinned in
+    tests/test_operators.py, clone-heavy corpus included).  Cost: one
+    hash groupBy on a 16-byte digest + one output-sized join; no
+    stage is quadratic in clone-group size.
+    """
+    digests = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_digest")
+    )
+    reps = digests.groupBy("_digest").agg(F.min(id_col).alias("_rep"))
+    edges = (
+        digests.join(reps, "_digest")
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+    representatives = reps.select(F.col("_rep").alias(id_col))
+    return edges, representatives
+
+
+def minhash_dedup_edges(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear-output near-dup edge set: exact-dup star edges UNION
+    MinHash/LSH pairs over the exact-dup REPRESENTATIVES only.
+
+    Same connected components as ``minhash_lsh_pairs`` over the full
+    corpus (see ``exact_dup_star_edges`` for the argument; pinned in
+    tests), but edge count is O(N + near-dup pairs among distinct
+    texts) instead of quadratic in clone-group size — the production
+    form for re-crawl corpora, and the pipeline the 100× doc-tier
+    stress measures.  Recall is unchanged: exact clones are caught
+    deterministically by the digest groupBy (better than the LSH
+    catch probability), and cross-group recall is the same because
+    identical texts have identical signatures.
+
+    Output columns: ``doc_a, doc_b, edge_type`` (``exact`` star edge
+    or ``neardup`` verified pair).  ``connected_components`` ignores
+    the extra column.
+    """
+    star, reps = exact_dup_star_edges(docs, text_col, id_col)
+    rep_docs = docs.join(reps, id_col, "left_semi")
+    near = minhash_lsh_pairs(
+        rep_docs,
+        threshold=threshold,
+        n=n,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    return near.select("doc_a", "doc_b").withColumn(
+        "edge_type", F.lit("neardup")
+    ).unionByName(star.withColumn("edge_type", F.lit("exact")))
+
+
 #: Edge-count budget under which components are solved on the driver.
 #: 5M (u, v) longs ≈ 80 MB — the same order as Spark's own
 #: driver-collect budget for broadcast-join sides.  Above it, the
@@ -738,3 +816,54 @@ def simhash_pairs_from_fingerprints(
         )
     )
     return cross.unionByName(same)
+
+
+def simhash_dedup_edges(
+    docs: DataFrame,
+    max_hamming: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear-output SimHash dedup edge set — the star-edge twin of
+    ``simhash_pairs`` for cluster/canonical consumption.
+
+    ``simhash_pairs`` is clone-robust in its CANDIDATE enumeration
+    (distinct-value blocks) but its OUTPUT is still every true pair:
+    g²/2 rows per identical-fingerprint group and |A|·|B| rows per
+    verified cross-value group pair.  For dedup clustering only
+    connectivity matters, so this form emits, per distinct
+    fingerprint value, g-1 star edges to the min-id member, and one
+    rep-to-rep edge per verified value pair — O(N + distinct-value
+    pairs) total.  Components equal the all-pairs form's (every
+    member reaches its value rep; value reps carry the cross edges) —
+    pinned in tests/test_operators.py on a clone-heavy corpus.
+
+    Output: ``doc_a, doc_b, edge_type`` (``exact`` = same
+    fingerprint, ``neardup`` = Hamming 1..max_hamming value pair).
+    """
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    reps = fp.groupBy("fingerprint").agg(F.min(id_col).alias("_rep"))
+    star = (
+        fp.join(reps, "fingerprint")
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("doc_a"),
+            F.col(id_col).alias("doc_b"),
+            F.lit("exact").alias("edge_type"),
+        )
+    )
+    vver = simhash_value_candidate_pairs(fp, max_hamming).withColumn(
+        "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    ).filter(F.col("hamming") <= max_hamming)
+    ra = reps.select(F.col("fingerprint").alias("fa"), F.col("_rep").alias("_ra"))
+    rb = reps.select(F.col("fingerprint").alias("fb"), F.col("_rep").alias("_rb"))
+    cross = (
+        vver.join(ra, "fa")
+        .join(rb, "fb")
+        .select(
+            F.least("_ra", "_rb").alias("doc_a"),
+            F.greatest("_ra", "_rb").alias("doc_b"),
+            F.lit("neardup").alias("edge_type"),
+        )
+    )
+    return cross.unionByName(star)

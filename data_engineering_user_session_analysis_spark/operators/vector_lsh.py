@@ -274,6 +274,73 @@ def foldl_dot_column(a_col: str, b_col: str) -> F.Column:
     return dots(F.col(a_col), F.col(b_col))
 
 
+def exact_vector_star_edges(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate vector groups as STAR edges: ``(vec_a=rep,
+    vec_b=member)`` with rep = min id per bitwise-identical embedding
+    — g-1 edges per clone group instead of the g²/2 all-pairs the
+    similarity join emits (the 100× stress spent 127 s emitting 9.97M
+    such pairs).  Returns ``(edges, representatives)``.
+
+    Grouping is on the raw array column (Spark hashes/compares arrays
+    element-wise), so \"exact\" means bit-identical floats — precisely
+    the re-crawl clone case.  Star edges carry ``cosine = 1.0``
+    literally: identical vectors are definitionally at cosine 1, and
+    emitting the literal avoids a spurious float divide."""
+    reps = emb.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
+    edges = (
+        emb.join(reps, vec_col)
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("vec_a"),
+            F.col(id_col).alias("vec_b"),
+            F.lit(1.0).alias("cosine"),
+        )
+    )
+    representatives = reps.select(F.col("_rep").alias(id_col))
+    return edges, representatives
+
+
+def lsh_dedup_edges(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    tables: int = 8,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Linear-output embedding near-dup edge set: exact-clone star
+    edges UNION LSH-verified cosine pairs over the distinct-vector
+    REPRESENTATIVES only.
+
+    Connected components equal ``lsh_similarity_pairs`` over the full
+    corpus: clone-group members reach their rep via star edges, and a
+    rep's candidate/verify behavior is identical to any member's
+    (identical vectors → identical signatures → same buckets), so
+    cross-group connectivity is preserved with the same recall
+    (within-group recall improves to 1.0 — the digest groupBy is
+    deterministic where bucketing is probabilistic).  Pinned against
+    the all-pairs form in tests/test_similarity.py.  Output:
+    ``vec_a, vec_b, cosine`` — the same shape ``lsh_similarity_pairs``
+    emits, so cluster consumers swap in unchanged."""
+    star, reps = exact_vector_star_edges(emb, id_col, vec_col)
+    rep_emb = emb.join(reps, id_col, "left_semi")
+    near = lsh_similarity_pairs(
+        rep_emb,
+        threshold=threshold,
+        dim=dim,
+        tables=tables,
+        planes=planes,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return near.unionByName(star)
+
+
 def lsh_similarity_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from data_engineering_user_session_analysis_spark.operators.decontamination import (
     decontaminate,
 )
-from data_engineering_user_session_analysis_spark.operators.dedup import dedup_canonical, minhash_lsh_pairs
+from data_engineering_user_session_analysis_spark.operators.dedup import (
+    dedup_canonical,
+    exact_dup_star_edges,
+    minhash_lsh_pairs,
+)
 from data_engineering_user_session_analysis_spark.operators.packing import pack_sequences
 from data_engineering_user_session_analysis_spark.operators.sampling import weighted_sample
 from data_engineering_user_session_analysis_spark.operators.scrubbing import (
@@ -105,12 +109,9 @@ def prepare_corpus(
     filtered = quality.filter(keep).drop("threshold")
     report["quality_filtered"] = filtered.count()
 
-    # exact dedup: keep the min-id doc per identical text
-    canonical_ids = (
-        filtered.groupBy(F.md5(F.col(c.text_col)).alias("_digest"))
-        .agg(F.min(c.id_col).alias(c.id_col))
-        .select(c.id_col)
-    )
+    # exact dedup: keep the min-id doc per identical text (the reps
+    # side of the star-edge construction — operators/dedup.py)
+    _, canonical_ids = exact_dup_star_edges(filtered, c.text_col, c.id_col)
     exact = filtered.join(canonical_ids, c.id_col, "left_semi")
     report["exact_deduped"] = exact.count()
 

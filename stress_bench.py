@@ -22,7 +22,12 @@ random-candidate load per vector flat across 2k -> 20k -> 200k while
 clone recall stays 1.0.  ``--events-100x`` (SPARK_GRAFT_EVENTS_100X)
 does the same for the core sessionization workload: 10M events, 100×
 the users.  ``--tpch-100x`` (SPARK_GRAFT_TPCH_100X) adds a 100×
-decade for the relational/join tier (60M-row lineitem on disk).  The
+decade for the relational/join tier (60M-row lineitem on disk).
+``--docs-100x`` (SPARK_GRAFT_DOCS_100X) adds the doc tier's third
+decade (200k docs) via the STAR-EDGE dedup pipeline
+(``minhash_dedup_edges``): linear edge output where the all-pairs
+form is quadratic in clone-group size — the measurement is edges per
+doc staying ~flat across base/10×/100×.  The
 relational tier itself (registered TPC-H-shape queries over 10×
 clone-grown facts with fixed dims) always runs.  ``--ingest``
 (SPARK_GRAFT_INGEST_STRESS) adds the streaming file-stream→lake
@@ -89,17 +94,26 @@ def _build_clone_table(spark, src_path: str, dst_path: str, shifts: dict, replic
     rep.drop("_r").repartition(n_files).write.mode("overwrite").parquet(dst_path)
 
 
+def _table_complete(dst: str) -> bool:
+    """A table dir counts as built only if Spark's `_SUCCESS` marker
+    landed — a crashed mid-write run leaves a partial dir that a bare
+    existence check would silently reuse, skewing every downstream
+    stress timing."""
+    return os.path.exists(os.path.join(dst, "_SUCCESS"))
+
+
 def build(
     spark,
     out: str | None = None,
     replicas: int = REPLICAS,
     only: tuple[str, ...] | None = None,
 ) -> None:
-    """Idempotent per-table: each table is (re)built only if its
-    output dir is missing, so a stress dir built by an earlier round
-    gains the relational tier without rebuilding the rest.  `only`
-    restricts the clone set (the 100x relational dir skips the
-    event/doc/vector tiers it never reads)."""
+    """Idempotent per-table: each table is (re)built unless its output
+    dir holds a complete write (`_SUCCESS` present), so a stress dir
+    built by an earlier round gains the relational tier without
+    rebuilding the rest while partial dirs from a crashed run are
+    rebuilt, not reused.  `only` restricts the clone set (the 100x
+    relational dir skips the event/doc/vector tiers it never reads)."""
     out = out or OUT
     os.makedirs(out, exist_ok=True)
     # events.parquet carries TIMESTAMP(NANOS): surface as nano-longs
@@ -110,13 +124,13 @@ def build(
         if only is not None and table not in only:
             continue
         dst = os.path.join(out, f"{table}.parquet")
-        if not os.path.exists(dst):
+        if not _table_complete(dst):
             _build_clone_table(
                 spark, os.path.join(BASE, f"{table}.parquet"), dst, shifts, replicas
             )
     for table in TPCH_DIMS:  # fixed dims: copy once, unshifted
         dst = os.path.join(out, f"{table}.parquet")
-        if not os.path.exists(dst):
+        if not _table_complete(dst):
             spark.read.parquet(os.path.join(BASE, f"{table}.parquet")).write.mode(
                 "overwrite"
             ).parquet(dst)
@@ -195,6 +209,17 @@ def measure_vectors(spark, emb, replicas: int | None = None) -> dict:
         res["clone_true_pairs"] = expected
         res["clone_pair_recall"] = round(caught / expected, 4) if expected else None
     pairs_df.unpersist()
+    # The star-edge dedup graph (exact-clone stars + rep-only LSH
+    # pairs) — linear where the all-pairs output above is quadratic
+    # in clone-group size; identical components (pinned in tests).
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import lsh_dedup_edges
+
+    res["dedup_edges"], res["dedup_edges_sec"] = timed(
+        lambda: lsh_dedup_edges(emb, planes=planes, tables=tables).count()
+    )
+    res["dedup_edges_per_vector"] = (
+        round(res["dedup_edges"] / n_vec, 3) if n_vec else None
+    )
 
     # Derived-K IVF recall@3 vs brute force for the fixed anchors —
     # the scale check that K ≈ √N keeps probes useful as N grows.
@@ -451,6 +476,73 @@ def measure_incremental_sessions(spark, sf_dir: str, label: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def measure_docs_star(spark, docs, label: str, base_docs: int) -> dict:
+    """Star-edge doc dedup (operators/dedup.py:minhash_dedup_edges)
+    over any documents DataFrame: exact-dup star edges + rep-only
+    MinHash/LSH pairs → components → canonical survivors.  The
+    metric that matters is EDGES PER DOC staying ~1 across decades —
+    the all-pairs form is quadratic in clone-group size by
+    construction (g²/2 true pairs per group), which is why the doc
+    tier was excluded from the 100× stress until this pipeline
+    existed."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_edges,
+    )
+
+    _quiesce(spark)
+    res: dict = {"label": label}
+    n = docs.count()
+    res["n_docs"] = n
+    edges = minhash_dedup_edges(docs, threshold=0.5).cache()
+    res["dedup_edges"], res["dedup_edges_sec"] = timed(lambda: edges.count())
+    by_type = {
+        r.edge_type: r.cnt
+        for r in edges.groupBy("edge_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    res["star_edges"] = by_type.get("exact", 0)
+    res["neardup_edges"] = by_type.get("neardup", 0)
+    res["edges_per_doc"] = round(res["dedup_edges"] / n, 3) if n else None
+    # the quadratic the star form avoids: every clone group of size g
+    # holds g(g-1)/2 true pairs (plus the base corpus's own near-dup
+    # pairs) — at 100 clones per doc that is 4950 rows per group.
+    g = n // base_docs if base_docs else 1
+    res["allpairs_clone_pairs_lower_bound"] = base_docs * g * (g - 1) // 2
+    comp, res["components_sec"] = timed(
+        lambda: connected_components(edges)
+        .filter(F.col("node") != F.col("component"))
+        .count()
+    )
+    res["cluster_losers"] = comp  # docs removed by keep-one-per-cluster
+    edges.unpersist()
+    return res
+
+
+def measure_docs_100x(spark, replicas: int = 100) -> dict:
+    """Third decade for the doc tier via the star-edge pipeline —
+    200k docs (100 clone shards), previously excluded because the
+    all-pairs output is quadratic in clone-group size."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    n_base = base.count()
+    shift = SHIFTS["documents"]["doc_id"]
+    docs = (
+        base.crossJoin(
+            F.broadcast(spark.range(replicas).select(F.col("id").alias("_r")))
+        )
+        .withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(shift))
+        .drop("_r")
+        .repartition(max(spark.sparkContext.defaultParallelism, 32))
+        .localCheckpoint(eager=True)
+    )
+    return measure_docs_star(
+        spark, docs, f"docs 100x ({replicas} clone shards)", n_base
+    )
+
+
 def measure_embeddings_100x(spark, replicas: int = 100) -> dict:
     """Second scaling decade for the vector tier only: 100 clone
     shards of the sf0.1 embeddings (200k vectors) built in-plan via a
@@ -559,6 +651,18 @@ def run_tier(tier: str) -> list[dict]:
         ]
     if tier == "emb100":
         return [measure_embeddings_100x(spark)]
+    if tier == "docs100":
+        build(spark)
+        base_docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+        n_base = base_docs.count()
+        docs10 = spark.read.parquet(os.path.join(OUT, "documents.parquet"))
+        return [
+            measure_docs_star(spark, base_docs, "docs star sf0.1", n_base),
+            measure_docs_star(
+                spark, docs10, f"docs star sf1.0 ({REPLICAS}x clone shards)", n_base
+            ),
+            measure_docs_100x(spark),
+        ]
     if tier == "events100":
         return [measure_events_100x(spark)]
     if tier == "ingest":
@@ -597,6 +701,8 @@ def main() -> None:
         tiers.append("tpch100")
     if "--emb-100x" in sys.argv or os.environ.get("SPARK_GRAFT_EMB_100X"):
         tiers.append("emb100")
+    if "--docs-100x" in sys.argv or os.environ.get("SPARK_GRAFT_DOCS_100X"):
+        tiers.append("docs100")
     if "--events-100x" in sys.argv or os.environ.get("SPARK_GRAFT_EVENTS_100X"):
         tiers.append("events100")
 
@@ -625,16 +731,29 @@ def main() -> None:
         for d in docs:
             print(json.dumps(d), flush=True)
 
-    base = results.get("base", [None])[0]
-    stress = results.get("stress", [None])[0]
+    def _tier(name: str, n: int = 1) -> list:
+        # pad/slice to exactly n: a tier subprocess that exits 0 but
+        # emits a different number of parseable JSON lines (e.g. one
+        # line corrupted by interleaved stdout) must not crash the
+        # orchestrator after every tier already ran.
+        docs = (results.get(name) or []) + [None] * n
+        if len(docs) > n and docs[n] is not None:
+            print(
+                f"WARN: tier {name} emitted extra JSON docs; keeping first {n}",
+                file=sys.stderr,
+            )
+        return docs[:n]
+
+    base = _tier("base")[0]
+    stress = _tier("stress")[0]
     if base is None or stress is None:
         print("WARN: base/stress tier missing — no summary", file=sys.stderr)
         return
-    rel_base, rel_stress = results.get("relational", [None, None])
-    rel100 = results.get("tpch100", [None])[0]
-    emb100 = results.get("emb100", [None])[0]
-    ev100 = results.get("events100", [None])[0]
-    ing_base, ing_stress = results.get("ingest", [None, None])
+    rel_base, rel_stress = _tier("relational", 2)
+    rel100 = _tier("tpch100")[0]
+    emb100 = _tier("emb100")[0]
+    ev100 = _tier("events100")[0]
+    ing_base, ing_stress = _tier("ingest", 2)
 
     def ratio(k: str) -> float | None:
         try:
@@ -680,6 +799,11 @@ def main() -> None:
             "candidate_to_pair_ratio_100x": emb100["lsh_candidate_to_pair_ratio"],
             "clone_pair_recall_100x": emb100["clone_pair_recall"],
             "ivf_recall_at_3_100x": emb100["ivf_recall_at_3"],
+            # star-edge graph vs the quadratic all-pairs output
+            "dedup_edges_100x": emb100.get("dedup_edges"),
+            "dedup_edges_sec_100x": emb100.get("dedup_edges_sec"),
+            "allpairs_100x": emb100.get("embedding_neardup_pairs"),
+            "allpairs_sec_100x": emb100.get("embedding_neardup_sec"),
         }
     def _sec_ratios(hi: dict, lo: dict) -> dict:
         return {
@@ -697,7 +821,7 @@ def main() -> None:
         if rel100 is not None:
             summary["relational"]["stress_100x"] = rel100
             summary["relational"]["sec_ratios_100x"] = _sec_ratios(rel100, rel_base)
-    inc_base, inc_stress = results.get("incsessions", [None, None])
+    inc_base, inc_stress = _tier("incsessions", 2)
     if inc_base is not None and inc_stress is not None:
         summary["incremental_sessions"] = {
             "base_sec_per_day": inc_base["sec_per_day"],
@@ -718,6 +842,27 @@ def main() -> None:
                 if ing_base["ingest_events_per_sec"]
                 else None
             ),
+        }
+    docs_star = _tier("docs100", 3)
+    if all(d is not None for d in docs_star):
+        d_base, d_10, d_100 = docs_star
+        summary["docs_star"] = {
+            # linearity check: edges per doc ~flat across three decades
+            # while the all-pairs lower bound explodes quadratically
+            "edges_per_doc": {
+                "base": d_base["edges_per_doc"],
+                "10x": d_10["edges_per_doc"],
+                "100x": d_100["edges_per_doc"],
+            },
+            "edges_100x": d_100["dedup_edges"],
+            "allpairs_clone_pairs_lower_bound_100x": d_100[
+                "allpairs_clone_pairs_lower_bound"
+            ],
+            "dedup_edges_sec": {
+                "base": d_base["dedup_edges_sec"],
+                "10x": d_10["dedup_edges_sec"],
+                "100x": d_100["dedup_edges_sec"],
+            },
         }
     if ev100 is not None:
         summary["events_100x"] = {

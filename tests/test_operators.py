@@ -691,3 +691,93 @@ def test_simhash_value_level_pairs_property(spark, rows):
             if h <= 2:
                 expected.add((min(ida, idb), max(ida, idb), h))
     assert got == expected
+
+
+def test_minhash_dedup_edges_same_clusters_linear_output(spark, sf_small):
+    """Star-edge near-dup edges (exact-dup stars + rep-only LSH
+    pairs) must produce the IDENTICAL clusters and canonical ids as
+    the all-pairs form on a clone-heavy corpus, with edge count
+    linear in clone mass where all-pairs is quadratic."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup import (
+        dedup_canonical,
+        minhash_dedup_edges,
+        minhash_lsh_pairs,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    shift = 1_000_000
+    base = load_table(spark, sf_small, "documents").limit(60)
+    docs = base
+    for r in (1, 2, 3):  # 4 exact clones of every doc
+        docs = docs.unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + r * shift)
+        )
+    docs = docs.cache()
+    n_docs = docs.count()
+
+    all_pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    edge_rows = minhash_dedup_edges(docs, threshold=0.5).collect()
+    edges = [(r.doc_a, r.doc_b) for r in edge_rows]
+
+    # identical connectivity -> identical min-id components
+    assert _uf_components(edges) == _uf_components(all_pairs)
+    # identical canonical survivor set through the real operator tail
+    kept_star = {
+        r.doc_id
+        for r in dedup_canonical(
+            docs, minhash_dedup_edges(docs, threshold=0.5)
+        ).select("doc_id").collect()
+    }
+    kept_all = {
+        r.doc_id
+        for r in dedup_canonical(
+            docs, minhash_lsh_pairs(docs, threshold=0.5)
+        ).select("doc_id").collect()
+    }
+    assert kept_star == kept_all
+    # linear output: every clone group contributes g-1 star edges,
+    # while the all-pairs form carries >= g(g-1)/2 per group (4 clones
+    # -> 6 pairs vs 3 edges), so the edge set must be strictly and
+    # substantially smaller.
+    assert len(edges) < len(all_pairs)
+    star_edges = sum(1 for r in edge_rows if r.edge_type == "exact")
+    assert star_edges == n_docs - base.count()  # exactly g-1 per group
+    docs.unpersist()
+
+
+def test_simhash_dedup_edges_same_clusters(spark, sf_small):
+    """SimHash star-edge dedup graph: components must equal the
+    all-pairs simhash_pairs components on a clone-heavy corpus."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup import (
+        simhash_dedup_edges,
+        simhash_pairs,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    shift = 1_000_000
+    base = load_table(spark, sf_small, "documents").limit(60)
+    docs = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + shift)
+    ).unionByName(base.withColumn("doc_id", F.col("doc_id") + 2 * shift))
+    docs = docs.cache()
+
+    all_pairs = [
+        (r.doc_a, r.doc_b)
+        for r in simhash_pairs(docs, max_hamming=2)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    edge_rows = simhash_dedup_edges(docs, max_hamming=2).collect()
+    edges = [(r.doc_a, r.doc_b) for r in edge_rows]
+    assert _uf_components(edges) == _uf_components(all_pairs)
+    assert len(edges) < len(all_pairs)
+    docs.unpersist()
