@@ -74,6 +74,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     timings_min3: dict[str, float] = {}
+    trials_log: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
@@ -86,12 +87,17 @@ def main() -> None:
         # tracked separately: earlier rounds measured min-of-3, and
         # min over MORE trials is biased low, so the cross-round
         # shared subtotal must stay on the 3-trial protocol.
+        # Every trial time is recorded (`trials`) so cross-round
+        # drift can be attributed to host-load dispersion from the
+        # artifact alone, without re-measuring by hand.
         best = float("inf")
         runs = 0
+        trial_times: list[float] = []
         while runs < 5:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            trial_times.append(round(time.perf_counter() - t0, 4))
+            best = min(best, trial_times[-1])
             runs += 1
             if runs == 3:
                 timings_min3[name] = round(best, 4)
@@ -99,21 +105,30 @@ def main() -> None:
                 break
         timings_min3.setdefault(name, round(best, 4))
         timings[name] = round(best, 4)
+        trials_log[name] = trial_times
         _clear_caches()
 
     # Full-registry sweep (min-of-2: regression visibility for the 27
     # non-headline queries, not a headline-grade estimate — a real
     # regression dwarfs the extra-trial delta).
+    # Single-trial set: queries whose cost is a fixed orchestration
+    # structure (the 30-day incremental replay runs ~90 deterministic
+    # jobs — re-trialing measures the same structure twice and would
+    # double the sweep's wall-clock for no added signal).
+    single_trial = {"session_rollup_incremental"}
     registry_timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         if name in timings:
             continue
         best = float("inf")
-        for _ in range(2):
+        trial_times = []
+        for _ in range(1 if name in single_trial else 2):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            trial_times.append(round(time.perf_counter() - t0, 4))
+            best = min(best, trial_times[-1])
         registry_timings[name] = round(best, 4)
+        trials_log[name] = trial_times
         _clear_caches()
 
     # End-to-end streaming ingest throughput (events/sec through
@@ -229,6 +244,7 @@ def main() -> None:
                 "shared_r02_subtotal": shared_total,
                 "shared_r02_protocol": "min-of-3",
                 "registry_queries": registry_timings,
+                "trials": trials_log,
                 "full_registry_total": round(sum(all_timings.values()), 4),
                 "family_subtotals": dict(sorted(family_subtotals.items())),
                 "ingest_events_per_sec": ingest_events_per_sec,

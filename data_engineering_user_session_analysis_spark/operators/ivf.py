@@ -69,6 +69,26 @@ def select_seeds(
     )
 
 
+def _fold_dot(a_col: str, b_col: str):
+    """The interpreted ``F.aggregate`` fold dot product — bit-identical
+    to ``foldl_dot_column`` (pinned in tests/test_similarity.py), but
+    with NO Arrow stage: at fixture scale (N·K in the thousands) each
+    pandas-UDF stage costs more in Python-worker round-trip setup than
+    the whole interpreted fold, while at scale the relation inverts
+    (the round-4 profile: 4 s of fold in a 5.9 s query at ~1e6 pairs).
+    ``scorer="fold"`` exists for small-N·K callers like the registered
+    fixture query."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a_col),
+            F.col(b_col),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     anchor_ids: tuple[int, ...],
@@ -78,6 +98,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assignment: str = "auto",
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Exact top-``topk`` by dot product within each anchor's top
     ``nprobe`` cells.  ``seeds`` is a ``(sid, se)`` DataFrame (O(K)
@@ -105,6 +126,9 @@ def ivf_topk(
     - ``assignment="auto"`` (default): "kernel" when the seed set
       says the corpus is derived-K-sized (K > 64 ⇒ N ≳ 4k), else
       "join"."""
+    if scorer not in ("arrow", "fold"):
+        raise ValueError(f"scorer must be 'arrow' or 'fold', got {scorer!r}")
+    dot = _fold_dot if scorer == "fold" else foldl_dot_column
     if assignment == "auto":
         assignment = "kernel" if seeds.limit(65).count() > 64 else "join"
 
@@ -126,7 +150,7 @@ def ivf_topk(
         cells = emb.select(id_col, best_cell(F.col(vec_col)).alias("cell"))
     else:
         scored = emb.crossJoin(F.broadcast(seeds)).select(
-            id_col, "sid", foldl_dot_column(vec_col, "se").alias("dot")
+            id_col, "sid", dot(vec_col, "se").alias("dot")
         )
         w_cells = Window.partitionBy(id_col).orderBy(
             F.col("dot").desc(), F.col("sid").asc()
@@ -147,7 +171,7 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("q_id"),
             "sid",
-            foldl_dot_column(vec_col, "se").alias("dot"),
+            dot(vec_col, "se").alias("dot"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") <= nprobe)
@@ -172,7 +196,7 @@ def ivf_topk(
         .select(
             "q_id",
             "neighbor_id",
-            foldl_dot_column("q_emb", "n_emb").alias("dot"),
+            dot("q_emb", "n_emb").alias("dot"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= topk)

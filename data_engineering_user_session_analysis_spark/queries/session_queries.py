@@ -245,19 +245,16 @@ def funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "hourly_traffic",
-    """
-SELECT dayname(ts) AS date_of_week,
-  CAST(hour(ts) AS INT) AS hour_of_day,
-  CAST(count(*) AS BIGINT) AS n_events,
-  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-FROM events GROUP BY dayname(ts), hour(ts)
-""",
-)
 def hourly_traffic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traffic by weekday/hour — exercises the reference's F3/F4
-    time derivations (``spark_jobs/spark_stream.py:68-69``)."""
+    time derivations (``spark_jobs/spark_stream.py:68-69``).
+
+    Registry row retired in round 6 (50-row driver cap) to register
+    ``session_rollup_incremental``: its F3/F4 derivations are
+    row-level-checked by Q:`event_enrichment` (same ``dayname``/
+    ``hour`` expressions, hash-checked per event) and its grouped
+    count/countDistinct shape by Q:`daily_activity`.  The function
+    stays part of the query surface (COVERAGE.md round-6 table)."""
     ev = load_events(spark, sf_dir)
     return ev.groupBy(
         F.date_format("ts", "EEEE").alias("date_of_week"),
@@ -265,6 +262,111 @@ def hourly_traffic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "session_rollup_incremental",
+    # oracle: batch gap-sessionization over the FULL events table —
+    # the incremental day-replay must equal it EXACTLY (the operator's
+    # core invariant, now driver-guarded rather than pytest-only)
+    _SESSIONIZED_CTE
+    + """
+, firsts AS (
+  SELECT *,
+    first_value(event_type) OVER w AS first_event_type,
+    last_value(event_type)  OVER w AS last_event_type
+  FROM sessionized
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT
+  user_id,
+  session_id,
+  min(ts) AS session_start_time,
+  max(ts) AS session_end_time,
+  date_diff('second', min(ts), max(ts)) AS session_duration_seconds,
+  CAST(count(*) AS BIGINT) AS number_of_events,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_event_types,
+  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS is_purchase,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+  any_value(first_event_type) AS first_event_type,
+  any_value(last_event_type) AS last_event_type
+FROM firsts
+GROUP BY user_id, session_id
+""",
+)
+def session_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day incremental sessionization replay
+    (``operators/incremental_sessions.py``) — the engine's flagship
+    original capability, driver-guarded: the events table is replayed
+    one calendar day at a time through ``advance_sessions`` (each
+    day's partials eagerly materialized, exactly like the production
+    ``job sessions <ds>`` verb), closed sessions accumulate, and the
+    final open carry is flushed with ``finalize_sessions``.  The
+    oracle is BATCH gap-sessionization over the union of all days —
+    the stitched result must match it row-for-row, including sessions
+    crossing midnight (the reference's daily job splits those:
+    ``spark_jobs/spark_batch_job.py`` sessionizes one partition at a
+    time).  Scale shape per day: one user-partitioned window over the
+    day + two hash joins against O(active users) state — never
+    O(history)."""
+    import os
+    import tempfile
+
+    from data_engineering_user_session_analysis_spark.operators.incremental_sessions import (
+        advance_sessions,
+        finalize_sessions,
+    )
+
+    ev = load_events(spark, sf_dir)
+    # calendar-day list: bounded by the fixture's date span (30 days),
+    # the same driver-side loop the daily-verb orchestration runs
+    days = [
+        r["d"]
+        for r in ev.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()
+    ]
+    state = None
+    # State and closed emissions round-trip through parquet exactly
+    # like the production verb (batch_job.run_incremental_sessions) —
+    # NOT through chained localCheckpoint: the operator docstring
+    # documents (and a round-6 re-measure confirmed) that checkpoint
+    # chaining degrades exponentially past ~day 15 while the parquet
+    # ping-pong stays flat.  The temp dir backs the RETURNED
+    # DataFrame (closed-day reads), so it is left for the consumer;
+    # OS tmp reaping reclaims the few MB.
+    tmp = tempfile.mkdtemp(prefix="session_incr_")
+    closed_dirs: list[str] = []
+    # Scope the shuffle width to the per-day data size for the replay
+    # loop (the connected_components pattern): each day holds a
+    # fixture-day of rows, and a plain driver session's 200-wide
+    # shuffles cost more in task overhead than the work.  Restored in
+    # finally; same session-scoped-width caveat as
+    # connected_components (single-threaded callers only).
+    width_key = "spark.sql.shuffle.partitions"
+    sess_width = spark.conf.get(width_key)
+    spark.conf.set(width_key, str(min(int(sess_width), 16)))
+    try:
+        for i, d in enumerate(days):
+            closed, state = advance_sessions(
+                ev.filter(F.to_date("ts") == F.lit(d)), state
+            )
+            cdir = os.path.join(tmp, f"closed_{i}")
+            closed.write.mode("overwrite").parquet(cdir)
+            closed_dirs.append(cdir)
+            sdir = os.path.join(tmp, f"state_{i % 2}")  # ping-pong
+            state.write.mode("overwrite").parquet(sdir)
+            state = spark.read.parquet(sdir)
+    finally:
+        spark.conf.set(width_key, sess_width)
+    full = spark.read.parquet(*closed_dirs).unionByName(
+        finalize_sessions(state)
+    )
+    return full.withColumns(
+        {
+            "is_purchase": F.col("is_purchase").cast("int"),
+            "session_value": F.col("session_value").cast("double"),
+        }
     )
 
 

@@ -284,8 +284,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # K=5 fixture seeds: the join assignment has the lowest fixed
     # overhead at this size (no seed-collect job); the kernel path is
     # for derived-K scale (see ivf_topk docstring — outputs pinned
-    # identical).
-    return ivf_topk(emb, ANCHOR_IDS, seeds, nprobe=2, topk=3, assignment="join")
+    # identical).  scorer="fold" likewise: at N·K in the thousands
+    # the interpreted F.aggregate fold beats three Arrow stages'
+    # Python-worker setup (the r05 0.54→0.92 s drift came from the
+    # shared operator's Arrow scorer; both scorers are pinned
+    # bit-identical).
+    return ivf_topk(
+        emb, ANCHOR_IDS, seeds, nprobe=2, topk=3, assignment="join", scorer="fold"
+    )
 
 
 @register(

@@ -311,3 +311,85 @@ def test_foldl_dot_udf_bit_exact_vs_aggregate_fold(spark):
             r.fold,
             r.kernel,
         )
+
+
+def test_lsh_dedup_edges_same_clusters_linear_output(spark, sf_small):
+    """Embedding star-edge dedup graph (exact-clone stars + rep-only
+    LSH pairs): identical components to the all-pairs similarity
+    join, with linear edge output on a clone-heavy corpus — the
+    construction the 100× stress tier measures."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        lsh_dedup_edges,
+        lsh_similarity_pairs,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    def _uf(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    shift = 1_000_000
+    base = load_table(spark, sf_small, "embeddings").limit(50)
+    emb = base
+    for r in (1, 2, 3):
+        emb = emb.unionByName(
+            base.withColumn("vec_id", F.col("vec_id") + r * shift)
+        )
+    emb = emb.cache()
+    n = emb.count()
+
+    all_pairs = [
+        (r.vec_a, r.vec_b)
+        for r in lsh_similarity_pairs(emb, threshold=0.4)
+        .select("vec_a", "vec_b")
+        .collect()
+    ]
+    edge_rows = lsh_dedup_edges(emb, threshold=0.4).collect()
+    edges = [(r.vec_a, r.vec_b) for r in edge_rows]
+    assert _uf(edges) == _uf(all_pairs)
+    # star edges: exactly g-1 per exact-clone group, cosine literal 1.0
+    stars = [r for r in edge_rows if r.vec_a % shift == r.vec_b % shift]
+    assert len(edges) < len(all_pairs)
+    assert all(r.cosine == 1.0 for r in stars)
+    assert len(stars) >= n - base.count()  # at least the clone stars
+    emb.unpersist()
+
+
+def test_ivf_scorer_fold_equals_arrow(spark, sf_small):
+    """Both ivf_topk scorers (interpreted F.aggregate fold vs the
+    Arrow kernel) must produce identical output — they are pinned
+    bit-identical at the dot level, so rank order cannot differ."""
+    from data_engineering_user_session_analysis_spark.operators.ivf import ivf_topk, select_seeds
+    from data_engineering_user_session_analysis_spark.queries.similarity_queries import ANCHOR_IDS
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    seeds = select_seeds(emb, 8)
+    a = {
+        tuple(r)
+        for r in ivf_topk(
+            emb, ANCHOR_IDS, seeds, assignment="join", scorer="arrow"
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in ivf_topk(
+            emb, ANCHOR_IDS, seeds, assignment="join", scorer="fold"
+        ).collect()
+    }
+    emb.unpersist()
+    assert a == b and len(a) > 0
