@@ -126,3 +126,10 @@ def test_rollup_full_hot_key_bounded(spark):
     # scalar aggregates come from the full set, not the clipped trace
     assert r.first_event_id == 0 and r.last_event_id == n - 1
     assert r.events_trace.count(":") == cap
+    # plan shape: the head/tail rank filter sits BELOW the list
+    # aggregation (the collect buffer is bounded by construction, not
+    # clipped after an unbounded collect)
+    plan = session_rollup_full(ev, max_events=cap)._jdf.queryExecution().executedPlan().toString()
+    filter_pos = plan.find("_rn")
+    agg_pos = plan.find("collect_list")
+    assert 0 <= agg_pos < filter_pos, "rank filter must feed the collect"
