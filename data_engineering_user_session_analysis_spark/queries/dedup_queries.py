@@ -170,27 +170,34 @@ FROM comp JOIN sized ON comp.component = sized.component
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level dedup — the tail of the pipeline that makes
-    near-dup detection actually DEDUPLICATE: MinHash+LSH verified
-    pairs → connected components (pointer-jumped min-label
-    propagation, `operators/dedup.py:connected_components`) → one
-    canonical (min-id) doc per cluster, with cluster sizes.
+    near-dup detection actually DEDUPLICATE: the STAR-EDGE dedup
+    graph (`operators/dedup.py:minhash_dedup_edges` — exact-dup star
+    edges + MinHash/LSH pairs over representatives only, linear in
+    clone mass where the all-pairs form is quadratic) → connected
+    components (pointer-jumped min-label propagation,
+    `operators/dedup.py:connected_components`) → one canonical
+    (min-id) doc per cluster, with cluster sizes.
 
-    The oracle replays the exact-Jaccard pair graph and computes
-    min-label components via a recursive transitive-closure CTE —
-    min-label components are deterministic, so this is a full
-    hash-checked row, not rows-only.  Scale shape: O(log n) rounds of
-    plain label-table joins (near-dup clusters are tiny and shallow,
-    so rounds ≈ 3-5 in practice); no driver-side graph state.  The
-    keep-one filter itself (`dedup_canonical`) is the trivial
-    left-anti consumer of this output, pinned end-to-end in
+    The oracle replays the exact-Jaccard ALL-PAIRS graph and computes
+    min-label components via a recursive transitive-closure CTE — the
+    star graph's connectivity is identical by construction (members
+    reach their representative; a rep's near-dup relations equal any
+    member's), so the driver row now guards exactly that production
+    equivalence.  Min-label components are deterministic, so this is
+    a full hash-checked row, not rows-only.  Scale shape: O(log n)
+    rounds of plain label-table joins; no driver-side graph state.
+    The keep-one filter (`dedup_canonical`) is the trivial left-anti
+    consumer of this output, pinned end-to-end in
     tests/test_operators.py."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import minhash_dedup_edges
+
     docs = load_table(spark, sf_dir, "documents")
     # No persist here: connected_components owns the pair-table cache
     # lifecycle internally (persist for its probe + union reads, then
     # unpersist).  A persist at this level has no consuming action
     # left to unpersist after — it would cache for the session
     # lifetime, leaking memory for every caller outside the bench.
-    pairs = minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    pairs = minhash_dedup_edges(docs, threshold=_JACCARD_THRESHOLD)
     comp = connected_components(pairs)
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "component").select(
