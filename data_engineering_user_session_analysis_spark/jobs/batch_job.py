@@ -226,6 +226,60 @@ def compact_closed_partition(
     )
 
 
+def run_docs_index_step(
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    ds: str,
+    threshold: float = 0.5,
+) -> dict:
+    """Daily document-shard dedup-index step (optional part of
+    ``run_daily_pipeline``): probe the persistent MinHash index for
+    near-dups of today's shard against ALL PRIOR days (O(shard +
+    candidates), never O(corpus) — ``operators/dedup_index.py``),
+    drop the duplicate new docs, and index the survivors under an
+    idempotent per-day partition (``doc_index/{buckets,sets}/ds=<ds>``
+    overwrite — a re-run replaces exactly its own rows and, probing
+    only ``ds < today``, sees the same prior corpus).
+
+    Day 1 (no prior index) self-dedups the shard with the star-edge
+    graph instead.  Within-shard duplicates on later days fall out of
+    the probe's shard self-join (``doc_a < doc_b`` — the min-id doc
+    survives)."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import (
+        dedup_canonical,
+        minhash_dedup_edges,
+    )
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        append_shard_to_minhash_index,
+        incremental_neardup_pairs,
+    )
+
+    idx = os.path.join(out_dir, "doc_index")
+    shard = spark.read.parquet(docs_path)
+    report = {"shard_rows": shard.count()}
+    buckets_root = os.path.join(idx, "buckets")
+    has_prior = os.path.isdir(buckets_root) and any(
+        p.startswith("ds=") and p.split("=", 1)[1] < ds
+        for p in os.listdir(buckets_root)
+    )
+    if has_prior:
+        hits = incremental_neardup_pairs(
+            spark, shard, idx, threshold=threshold, before_ds=ds
+        )
+        dup_new = hits.select(F.col("doc_b").alias("doc_id")).distinct()
+        clean = shard.join(dup_new, "doc_id", "left_anti")
+        report["dup_hits"] = hits.count()
+    else:
+        clean = dedup_canonical(
+            shard, minhash_dedup_edges(shard, threshold=threshold)
+        )
+        report["dup_hits"] = None  # first day: self-dedup only
+    append_shard_to_minhash_index(clean, idx, ds)
+    report["indexed_rows"] = clean.count()
+    return report
+
+
 def run_daily_pipeline(
     spark: SparkSession,
     lake_path: str,
@@ -233,6 +287,7 @@ def run_daily_pipeline(
     out_dir: str,
     fmt: str = "parquet",
     compact_previous: bool = True,
+    docs_path: str | None = None,
 ) -> dict:
     """The composed daily operational verb (``job daily <ds>``) — the
     sequence a real deployment runs once per day, chaining the
@@ -249,7 +304,10 @@ def run_daily_pipeline(
     4. **compact <ds-1>** (``compact_closed_partition``): the
        previous day's partition is now closed (the stream's
        watermark has passed it), so merge its micro-batch small
-       files before backfills pay file-count costs forever.
+       files before backfills pay file-count costs forever;
+    5. **dedup-index probe** (``run_docs_index_step``, only when
+       ``docs_path`` names today's document shard): near-dup probe
+       against all prior days' index, drop dups, index survivors.
 
     Every step is an idempotent per-day overwrite, so re-running any
     day replaces exactly that day's outputs (pinned by
@@ -286,6 +344,11 @@ def run_daily_pipeline(
             report["compacted_previous"] = compact_closed_partition(
                 spark, lake_path, prev
             )
+
+    if docs_path is not None:
+        report["dedup_index"] = run_docs_index_step(
+            spark, docs_path, out_dir, ds
+        )
     return report
 
 

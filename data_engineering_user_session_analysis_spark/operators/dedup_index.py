@@ -119,6 +119,32 @@ def append_to_minhash_index(
     sh.unpersist()
 
 
+def append_shard_to_minhash_index(
+    docs: DataFrame,
+    path: str,
+    ds: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Idempotent per-day variant of ``append_to_minhash_index``: the
+    shard's contribution lands under ``buckets/ds=<ds>`` and
+    ``sets/ds=<ds>`` (overwrite), so re-running a day replaces
+    exactly its own index rows instead of appending duplicates —
+    the layout the daily-pipeline verb (`jobs/batch_job.py`) uses.
+    Readers load the table roots; Hive partition discovery surfaces
+    ``ds`` as a column, which `incremental_neardup_pairs` uses to
+    probe only PRIOR days (``before_ds``)."""
+    sh = shingle_docs(docs, text_col, id_col, n).cache()
+    _bucket_table(sh, id_col).write.mode("overwrite").parquet(
+        os.path.join(path, "buckets", f"ds={ds}")
+    )
+    _set_table(sh, id_col).write.mode("overwrite").parquet(
+        os.path.join(path, "sets", f"ds={ds}")
+    )
+    sh.unpersist()
+
+
 def incremental_neardup_pairs(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -127,6 +153,7 @@ def incremental_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    before_ds: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs touching the new shard: (doc_a, doc_b,
     intersection, jaccard) where doc_b is a NEW doc and doc_a is
@@ -138,6 +165,11 @@ def incremental_neardup_pairs(
     (band, bucket) — an equi-join that prunes to matching buckets —
     and only candidates' shingle sets are fetched from ``sets/`` by
     id.  Nothing scans the corpus text.
+
+    ``before_ds``: when the index uses the ds-partitioned layout
+    (`append_shard_to_minhash_index`), probe only partitions with
+    ``ds < before_ds`` — partition-pruned at the scan, and what makes
+    a re-run of day N idempotent (it must not see its own rows).
     """
     # cache lifecycle: consumed by the CALLER's action (the returned
     # pairs are lazy), so the entry outlives this function — it is
@@ -149,6 +181,11 @@ def incremental_neardup_pairs(
 
     b_old = spark.read.parquet(os.path.join(path, "buckets"))
     s_old = spark.read.parquet(os.path.join(path, "sets"))
+    if "ds" in b_old.columns:  # ds-partitioned layout
+        if before_ds is not None:
+            b_old = b_old.filter(F.col("ds") < before_ds)
+            s_old = s_old.filter(F.col("ds") < before_ds)
+        b_old, s_old = b_old.drop("ds"), s_old.drop("ds")
 
     # new-vs-corpus candidates from the stored probe surface
     cand_cross = (

@@ -198,3 +198,43 @@ def test_daily_pipeline_three_day_replay_idempotent(spark, sf_small, tmp_path):
     # day 3's outputs are untouched by the day-2 re-run
     d3 = _snap("2024-01-03")
     assert all(len(s) > 0 for s in d3)
+
+
+def test_docs_index_step_probes_and_is_idempotent(spark, sf_small, tmp_path):
+    """The daily doc-shard index step: day 1 self-dedups and builds
+    the ds-partitioned index; day 2 probes ONLY prior days, drops its
+    planted exact copies, and a day-2 re-run reproduces the identical
+    report (the probe cannot see its own rows)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import run_docs_index_step
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    copies = even.orderBy("doc_id").limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    day2_docs = docs.filter(F.col("doc_id") % 2 == 1).unionByName(copies)
+    p1, p2 = str(tmp_path / "shard1"), str(tmp_path / "shard2")
+    even.write.parquet(p1)
+    day2_docs.write.parquet(p2)
+    out = str(tmp_path / "serving")
+
+    r1 = run_docs_index_step(spark, p1, out, "2024-01-01")
+    assert r1["dup_hits"] is None  # first day: no prior index
+    assert 0 < r1["indexed_rows"] <= r1["shard_rows"]
+
+    r2 = run_docs_index_step(spark, p2, out, "2024-01-02")
+    # the 5 planted exact copies of indexed day-1 docs must hit
+    # (exact copies of day-1 docs that SURVIVED day-1 self-dedup
+    # still hit via their canonical near-dup)
+    assert r2["dup_hits"] >= 4
+    assert r2["indexed_rows"] < r2["shard_rows"]
+
+    r2_rerun = run_docs_index_step(spark, p2, out, "2024-01-02")
+    assert r2_rerun == r2
+    import os
+
+    ds_parts = sorted(os.listdir(os.path.join(out, "doc_index", "buckets")))
+    assert ds_parts == ["ds=2024-01-01", "ds=2024-01-02"]
