@@ -344,8 +344,15 @@ def session_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # finally; same session-scoped-width caveat as
     # connected_components (single-threaded callers only).
     width_key = "spark.sql.shuffle.partitions"
+    aqe_key = "spark.sql.adaptive.enabled"
     sess_width = spark.conf.get(width_key)
+    sess_aqe = spark.conf.get(aqe_key)
     spark.conf.set(width_key, str(min(int(sess_width), 16)))
+    # AQE off for the replay only: at fixture-day sizes each AQE
+    # re-plan adds jobs that dominate the day's actual work (measured
+    # 35% of the loop); the PRODUCTION verb (batch_job) keeps AQE on
+    # because a real day is big enough to need skew/coalesce re-plans.
+    spark.conf.set(aqe_key, "false")
     try:
         for i, d in enumerate(days):
             closed, state = advance_sessions(
@@ -359,6 +366,7 @@ def session_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             state = spark.read.parquet(sdir)
     finally:
         spark.conf.set(width_key, sess_width)
+        spark.conf.set(aqe_key, sess_aqe)
     full = spark.read.parquet(*closed_dirs).unionByName(
         finalize_sessions(state)
     )
