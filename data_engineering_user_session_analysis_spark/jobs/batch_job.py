@@ -79,6 +79,12 @@ def run_daily_job(
     tests/test_formats.py); only columnar formats are accepted —
     the raw read below carries no row-format header/schema options.
 
+    Schema note: round 6 added ``events_truncated`` to
+    ``session_full`` (the hot-key cap).  A serving dir holding
+    pre-cap days alongside new ones has divergent per-ds schemas —
+    read such a root with ``mergeSchema=true`` once, or backfill the
+    old days; fresh deployments are unaffected.
+
     Serving layout: ``out_dir/<table>/ds=<ds>`` — each run overwrites
     exactly its own day (idempotent re-runs, history preserved), the
     table root reads as one ds-partitioned table, and ``run_backfill``
@@ -98,6 +104,10 @@ def run_daily_job(
         spark.read.format(fmt)
         .load(lake_path)
         .filter(F.col("date") == ds)  # -> PartitionFilters, file pruning
+        # rows with no session key cannot be sessionized or attributed
+        # to a user — excluded here (the daily pipeline's hygiene step
+        # records them in the quarantine sink)
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .cache()
     )
 
@@ -187,6 +197,9 @@ def run_incremental_sessions(
         spark.read.format(fmt)
         .load(lake_path)
         .filter(F.col("date") == ds)  # partition-pruned day read
+        # null-key rows cannot be stitched; quarantined by the daily
+        # pipeline's hygiene step, excluded here for any entry point
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     )
     closed, new_state = advance_sessions(day, state)
     closed.write.mode("overwrite").format(fmt).save(
@@ -253,14 +266,20 @@ def run_docs_index_step(
     from data_engineering_user_session_analysis_spark.operators.dedup_index import (
         append_shard_to_minhash_index,
         incremental_neardup_pairs,
+        shard_indexed,
     )
 
     idx = os.path.join(out_dir, "doc_index")
     shard = spark.read.parquet(docs_path)
     report = {"shard_rows": shard.count()}
     buckets_root = os.path.join(idx, "buckets")
+    # prior day counts only if its write COMPLETED (_SUCCESS marker,
+    # written last) — a partial dir from a crashed run is invisible
+    # here and gets rebuilt by that day's re-run
     has_prior = os.path.isdir(buckets_root) and any(
-        p.startswith("ds=") and p.split("=", 1)[1] < ds
+        p.startswith("ds=")
+        and p.split("=", 1)[1] < ds
+        and shard_indexed(idx, p.split("=", 1)[1])
         for p in os.listdir(buckets_root)
     )
     if has_prior:
@@ -318,18 +337,32 @@ def run_daily_pipeline(
 
     report: dict = {"ds": ds}
 
+    # one cached pass: both counts come from a single aggregation,
+    # the quarantine write reuses the cached read
     day = (
         spark.read.format(fmt)
         .load(lake_path)
         .filter(F.col("date") == ds)  # partition-pruned
+        .cache()
     )
-    bad = day.filter(F.col("user_id").isNull() | F.col("ts").isNull())
-    n_bad = bad.count()
-    if n_bad:
-        bad.write.mode("overwrite").format(fmt).save(
+    is_bad = F.col("user_id").isNull() | F.col("ts").isNull()
+    stats = day.select(
+        F.count("*").alias("rows"),
+        F.count(F.when(is_bad, 1)).alias("quarantined"),
+    ).first()
+    if stats["quarantined"]:
+        day.filter(is_bad).write.mode("overwrite").format(fmt).save(
             os.path.join(out_dir, "quarantine", f"ds={ds}")
         )
-    report["hygiene"] = {"rows": day.count(), "quarantined": n_bad}
+    day.unpersist()
+    report["hygiene"] = {
+        "rows": stats["rows"],
+        "quarantined": stats["quarantined"],
+    }
+    # the exclusion itself is enforced by the downstream steps' reads
+    # (run_incremental_sessions / run_daily_job drop null-key rows),
+    # so the quarantine sink is the RECORD of what they excluded —
+    # a dead-lettered row is never also sessionized or served
 
     report["sessions"] = run_incremental_sessions(
         spark, lake_path, ds, out_dir, fmt=fmt

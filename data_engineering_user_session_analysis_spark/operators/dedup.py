@@ -295,6 +295,27 @@ def minhash_lsh_pairs(
     )
 
 
+def min_id_star_edges(
+    df: DataFrame, group_cols: list[str], id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared star-edge construction: per identical ``group_cols``
+    group, rep = min id, edges = (rep → every other member), g-1 per
+    group.  Returns ``(edges(_rep, id_col), reps(group_cols, _rep))``
+    — callers rename/augment for their modality (exact text, SimHash
+    value, exact vector).  Null-key semantics (deliberate): the
+    equi-join back is NOT null-safe, so null-content rows get no star
+    edges and stay singletons — exactly what the all-pairs near-dup
+    forms do with them (null text shingles to nothing, null vectors
+    bucket nowhere), preserving the pinned component equivalence."""
+    reps = df.groupBy(*group_cols).agg(F.min(id_col).alias("_rep"))
+    edges = (
+        df.join(reps, group_cols)
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select("_rep", id_col)
+    )
+    return edges, reps
+
+
 def exact_dup_star_edges(
     docs: DataFrame,
     text_col: str = "text",
@@ -321,14 +342,13 @@ def exact_dup_star_edges(
     digests = docs.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("_digest")
     )
-    reps = digests.groupBy("_digest").agg(F.min(id_col).alias("_rep"))
-    edges = (
-        digests.join(reps, "_digest")
-        .filter(F.col(id_col) != F.col("_rep"))
-        .select(F.col("_rep").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    edges, reps = min_id_star_edges(digests, ["_digest"], id_col)
+    return (
+        edges.select(
+            F.col("_rep").alias("doc_a"), F.col(id_col).alias("doc_b")
+        ),
+        reps.select(F.col("_rep").alias(id_col)),
     )
-    representatives = reps.select(F.col("_rep").alias(id_col))
-    return edges, representatives
 
 
 def minhash_dedup_edges(
@@ -842,15 +862,11 @@ def simhash_dedup_edges(
     fingerprint, ``neardup`` = Hamming 1..max_hamming value pair).
     """
     fp = simhash_fingerprints(docs, text_col, id_col)
-    reps = fp.groupBy("fingerprint").agg(F.min(id_col).alias("_rep"))
-    star = (
-        fp.join(reps, "fingerprint")
-        .filter(F.col(id_col) != F.col("_rep"))
-        .select(
-            F.col("_rep").alias("doc_a"),
-            F.col(id_col).alias("doc_b"),
-            F.lit("exact").alias("edge_type"),
-        )
+    star_raw, reps = min_id_star_edges(fp, ["fingerprint"], id_col)
+    star = star_raw.select(
+        F.col("_rep").alias("doc_a"),
+        F.col(id_col).alias("doc_b"),
+        F.lit("exact").alias("edge_type"),
     )
     vver = simhash_value_candidate_pairs(fp, max_hamming).withColumn(
         "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))

@@ -134,15 +134,33 @@ def append_shard_to_minhash_index(
     the layout the daily-pipeline verb (`jobs/batch_job.py`) uses.
     Readers load the table roots; Hive partition discovery surfaces
     ``ds`` as a column, which `incremental_neardup_pairs` uses to
-    probe only PRIOR days (``before_ds``)."""
+    probe only PRIOR days (``before_ds``).
+
+    Write order is crash-safe: ``sets`` lands BEFORE ``buckets``,
+    and the bucket dir's ``_SUCCESS`` marker is the day's presence
+    signal (``shard_indexed``).  A crash between the writes leaves
+    sets-only — the day generates no candidates (buckets absent) and
+    a re-run overwrites both, so a partial write can never yield
+    verified-against-nothing silent misses; the reverse order could
+    (bucket candidates whose shingle sets don't exist join to
+    nothing)."""
     sh = shingle_docs(docs, text_col, id_col, n).cache()
-    _bucket_table(sh, id_col).write.mode("overwrite").parquet(
-        os.path.join(path, "buckets", f"ds={ds}")
-    )
     _set_table(sh, id_col).write.mode("overwrite").parquet(
         os.path.join(path, "sets", f"ds={ds}")
     )
+    _bucket_table(sh, id_col).write.mode("overwrite").parquet(
+        os.path.join(path, "buckets", f"ds={ds}")
+    )
     sh.unpersist()
+
+
+def shard_indexed(path: str, ds: str) -> bool:
+    """True when day ``ds``'s index contribution is COMPLETE (the
+    bucket dir's ``_SUCCESS`` marker, written last — see
+    ``append_shard_to_minhash_index``)."""
+    return os.path.exists(
+        os.path.join(path, "buckets", f"ds={ds}", "_SUCCESS")
+    )
 
 
 def incremental_neardup_pairs(
@@ -186,6 +204,16 @@ def incremental_neardup_pairs(
             b_old = b_old.filter(F.col("ds") < before_ds)
             s_old = s_old.filter(F.col("ds") < before_ds)
         b_old, s_old = b_old.drop("ds"), s_old.drop("ds")
+    elif before_ds is not None:
+        # the legacy flat-append layout cannot honor the contract —
+        # silently probing the caller's own appended rows would
+        # self-hit every shard doc at jaccard 1.0 and drop the whole
+        # day as duplicates
+        raise ValueError(
+            "before_ds requires the ds-partitioned index layout "
+            "(append_shard_to_minhash_index); this index was built "
+            "with the flat append_to_minhash_index layout"
+        )
 
     # new-vs-corpus candidates from the stored probe surface
     cand_cross = (

@@ -290,18 +290,15 @@ def exact_vector_star_edges(
     the re-crawl clone case.  Star edges carry ``cosine = 1.0``
     literally: identical vectors are definitionally at cosine 1, and
     emitting the literal avoids a spurious float divide."""
-    reps = emb.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
-    edges = (
-        emb.join(reps, vec_col)
-        .filter(F.col(id_col) != F.col("_rep"))
-        .select(
-            F.col("_rep").alias("vec_a"),
-            F.col(id_col).alias("vec_b"),
-            F.lit(1.0).alias("cosine"),
-        )
+    from data_engineering_user_session_analysis_spark.operators.dedup import min_id_star_edges
+
+    edges_raw, reps = min_id_star_edges(emb, [vec_col], id_col)
+    edges = edges_raw.select(
+        F.col("_rep").alias("vec_a"),
+        F.col(id_col).alias("vec_b"),
+        F.lit(1.0).alias("cosine"),
     )
-    representatives = reps.select(F.col("_rep").alias(id_col))
-    return edges, representatives
+    return edges, reps.select(F.col("_rep").alias(id_col))
 
 
 def lsh_dedup_edges(

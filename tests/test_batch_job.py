@@ -238,3 +238,31 @@ def test_docs_index_step_probes_and_is_idempotent(spark, sf_small, tmp_path):
 
     ds_parts = sorted(os.listdir(os.path.join(out, "doc_index", "buckets")))
     assert ds_parts == ["ds=2024-01-01", "ds=2024-01-02"]
+
+
+def test_daily_pipeline_quarantines_and_excludes_bad_rows(spark, sf_small, tmp_path):
+    """A poison row (null user_id) must land in the quarantine sink
+    AND be excluded from sessionization and serving — dead-lettered
+    rows are never also served."""
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import run_daily_pipeline
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "serving")
+    build_lake(spark, sf_small, lake)
+    ds = "2024-01-05"
+    day_dir = os.path.join(lake, f"date={ds}")
+    poison = (
+        spark.read.parquet(day_dir)
+        .limit(1)
+        .withColumn("user_id", F.lit(None).cast("long"))
+        .withColumn("event_id", F.lit(99_999_999))
+    )
+    poison.write.mode("append").parquet(day_dir)
+
+    rep = run_daily_pipeline(spark, lake, ds, out)
+    assert rep["hygiene"]["quarantined"] == 1
+    q = spark.read.parquet(os.path.join(out, "quarantine", f"ds={ds}"))
+    assert q.count() == 1 and q.first().user_id is None
+    for table in ("user_level", "session_level", "session_closed", "session_state"):
+        df = spark.read.parquet(os.path.join(out, table, f"ds={ds}"))
+        assert df.filter(F.col("user_id").isNull()).count() == 0, table

@@ -748,7 +748,11 @@ def test_minhash_dedup_edges_same_clusters_linear_output(spark, sf_small):
     # substantially smaller.
     assert len(edges) < len(all_pairs)
     star_edges = sum(1 for r in edge_rows if r.edge_type == "exact")
-    assert star_edges == n_docs - base.count()  # exactly g-1 per group
+    # exactly g-1 per exact-content group == n_docs - distinct texts
+    # (the 60 sampled base docs may THEMSELVES contain exact dups,
+    # so n_docs - base.count() would under-count groups)
+    n_distinct_texts = docs.select("text").distinct().count()
+    assert star_edges == n_docs - n_distinct_texts
     docs.unpersist()
 
 
