@@ -133,21 +133,7 @@ def ivf_topk(
         assignment = "kernel" if seeds.limit(65).count() > 64 else "join"
 
     if assignment == "kernel":
-        seed_rows = seeds.orderBy("sid").collect()
-        seed_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
-        seed_mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
-
-        @F.pandas_udf("long")
-        def best_cell(v: pd.Series) -> pd.Series:
-            if len(v) == 0:
-                return pd.Series([], dtype=np.int64)
-            x = np.stack(v.to_numpy()).astype(np.float64)
-            acc = np.zeros((len(v), len(seed_ids)), dtype=np.float64)
-            for d in range(x.shape[1]):  # foldl order: ((0 + p0) + p1) + ...
-                acc = acc + x[:, d : d + 1] * seed_mat[np.newaxis, :, d].reshape(1, -1)
-            return pd.Series(seed_ids[np.argmax(acc, axis=1)])
-
-        cells = emb.select(id_col, best_cell(F.col(vec_col)).alias("cell"))
+        cells = _assign_cells_kernel(emb, seeds, id_col, vec_col)
     else:
         scored = emb.crossJoin(F.broadcast(seeds)).select(
             id_col, "sid", dot(vec_col, "se").alias("dot")
@@ -229,4 +215,168 @@ def ivf_topk_auto(
         id_col=id_col,
         vec_col=vec_col,
         assignment="kernel",
+    )
+
+
+# ----------------------------------------------------------------- #
+# Persistent IVF index: build once, probe per query batch            #
+# ----------------------------------------------------------------- #
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    k_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist an IVF index so query batches probe WITHOUT
+    re-assigning the corpus (the similarity-search twin of the
+    persistent dedup indexes, ``operators/dedup_index.py``):
+
+    * ``centroids/`` — the K ``(sid, se)`` seed rows (O(K), one file);
+    * ``members/cell=<sid>/`` — every vector stored UNDER ITS CELL as
+      a Hive partition, so a probe of ``nprobe`` cells is a
+      partition-pruned scan reading only those directories
+      (plan-pinned in tests/test_similarity.py).  At 100 TB this is
+      the difference between scanning nprobe·N/K vectors and N.
+
+    K defaults to the measured ⌈√N⌉ (``ivf_cells_for_n``); assignment
+    uses the map-only Arrow kernel.  Write order is crash-safe in the
+    same sense as the dedup index: centroids land first, members
+    last — a members/_SUCCESS marker is the index's presence signal.
+    Returns ``{"k_cells", "n_vectors"}``.
+    """
+    import os
+
+    n = emb.count()
+    k = k_cells or ivf_cells_for_n(n)
+    seeds = select_seeds(emb, k, id_col=id_col, vec_col=vec_col)
+    seeds.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    # assign against the STORED centroids (what probes will read),
+    # not the in-memory seeds plan — index self-consistency
+    seeds_stored = emb.sparkSession.read.parquet(os.path.join(path, "centroids"))
+    cells = _assign_cells_kernel(emb, seeds_stored, id_col, vec_col)
+    (
+        emb.join(cells, id_col)
+        .select(id_col, vec_col, F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "members"))
+    )
+    return {"k_cells": k, "n_vectors": n}
+
+
+def _assign_cells_kernel(
+    emb: DataFrame, seeds: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Map-only Arrow assignment of every vector to its max-dot seed
+    (ties to the smallest sid) — the ``assignment="kernel"`` path of
+    ``ivf_topk``, shared by the persistent index build."""
+    seed_rows = seeds.orderBy("sid").collect()
+    seed_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
+    seed_mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
+
+    @F.pandas_udf("long")
+    def best_cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=np.int64)
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        acc = np.zeros((len(v), len(seed_ids)), dtype=np.float64)
+        for d in range(x.shape[1]):  # foldl order: ((0 + p0) + p1) + ...
+            acc = acc + x[:, d : d + 1] * seed_mat[np.newaxis, :, d].reshape(1, -1)
+        return pd.Series(seed_ids[np.argmax(acc, axis=1)])
+
+    return emb.select(id_col, best_cell(F.col(vec_col)).alias("cell"))
+
+
+def append_to_ivf_index(
+    emb_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Fold a NEW vector shard into an existing index: assign against
+    the STORED centroids (never recomputed — cell semantics stay
+    stable for already-indexed vectors) and append to the cell
+    partitions.  O(shard) work; the standard daily-increment pattern.
+    Returns the number of appended vectors."""
+    import os
+
+    spark = emb_new.sparkSession
+    seeds = spark.read.parquet(os.path.join(path, "centroids"))
+    cells = _assign_cells_kernel(emb_new, seeds, id_col, vec_col)
+    out = emb_new.join(cells, id_col).select(id_col, vec_col, F.col("cell"))
+    out.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "members")
+    )
+    return emb_new.count()
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    topk: int = 3,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the persistent index: top-``topk`` exact-dot neighbors
+    within each query's top-``nprobe`` cells.
+
+    The members scan carries ``cell IN (<probed cells>)`` — a literal
+    IN-filter over the Hive partition column, so Catalyst prunes to
+    exactly the probed directories (``PartitionFilters`` plan-pinned).
+    Query batch is expected anchor-scale (bounded): cell selection
+    collects O(batch · nprobe) cell ids to build the pruning literal —
+    the same bounded-collect pattern as the kernel's seed collect.
+    Output: (q_id, neighbor_id, rank)."""
+    import os
+
+    seeds = spark.read.parquet(os.path.join(path, "centroids"))
+    w_assign = Window.partitionBy(q_id_col).orderBy(
+        F.col("dot").desc(), F.col("sid").asc()
+    )
+    q_cells = (
+        queries.crossJoin(F.broadcast(seeds))
+        .select(
+            q_id_col,
+            "sid",
+            foldl_dot_column(q_vec_col, "se").alias("dot"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= nprobe)
+        .select(q_id_col, F.col("sid").alias("cell"))
+    )
+    probe_cells = sorted({r["cell"] for r in q_cells.select("cell").distinct().collect()})
+    members = (
+        spark.read.parquet(os.path.join(path, "members"))
+        .filter(F.col("cell").isin(probe_cells))  # -> partition pruning
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("n_emb"),
+            "cell",
+        )
+    )
+    anchors = q_cells.join(queries, q_id_col)
+    w_rank = Window.partitionBy(q_id_col).orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(anchors)
+        .join(members, "cell")
+        .filter(F.col("neighbor_id") != F.col(q_id_col))
+        .select(
+            q_id_col,
+            "neighbor_id",
+            foldl_dot_column(q_vec_col, "n_emb").alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topk)
+        .select(q_id_col, "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )

@@ -19,7 +19,9 @@ plus a summary line.  ``--emb-100x`` (or SPARK_GRAFT_EMB_100X=1)
 adds a second scaling decade for the vector tier only: 100 clone
 shards = 200k vectors, checking that the budget-sized LSH keeps
 random-candidate load per vector flat across 2k -> 20k -> 200k while
-clone recall stays 1.0.  ``--events-100x`` (SPARK_GRAFT_EVENTS_100X)
+clone recall stays 1.0; the tier also builds the PERSISTENT IVF
+index and records the partition-pruned probe cost next to the
+one-shot ivf_topk cost.  ``--events-100x`` (SPARK_GRAFT_EVENTS_100X)
 does the same for the core sessionization workload: 10M events, 100×
 the users.  ``--tpch-100x`` (SPARK_GRAFT_TPCH_100X) adds a 100×
 decade for the relational/join tier (60M-row lineitem on disk).
@@ -154,10 +156,16 @@ def _quiesce(spark) -> None:
     spark._jvm.System.gc()
 
 
-def measure_vectors(spark, emb, replicas: int | None = None) -> dict:
+def measure_vectors(
+    spark, emb, replicas: int | None = None, with_index: bool = False
+) -> dict:
     """The vector tier (LSH near-dup + derived-K IVF) over any
     embeddings DataFrame — shared by the sf-dir measurement and the
-    100x embeddings-only pass."""
+    100x embeddings-only pass.  ``with_index`` additionally measures
+    the PERSISTENT IVF index (build once + partition-pruned probe):
+    the probe number is what a serving deployment pays per query
+    batch, and should be far below the one-shot ivf_topk cost that
+    re-assigns the corpus every call."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -251,8 +259,36 @@ def measure_vectors(spark, emb, replicas: int | None = None) -> dict:
         .filter(F.col("rank") <= 3)
         .collect()
     }
-    emb_c.unpersist()
     res["ivf_recall_at_3"] = round(len(true3 & ivf3) / len(true3), 4) if true3 else None
+    if with_index:
+        import shutil
+        import tempfile
+
+        from data_engineering_user_session_analysis_spark.operators.ivf import (
+            ivf_index_topk,
+            write_ivf_index,
+        )
+
+        idx = tempfile.mkdtemp(prefix="stress_ivf_idx_")
+        try:
+            _, res["ivf_index_build_sec"] = timed(
+                lambda: write_ivf_index(emb_c, idx)
+            )
+            q = emb_c.filter(F.col("vec_id").isin(*ANCHOR_IDS)).select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+            )
+            probed, res["ivf_index_probe_sec"] = timed(
+                lambda: {
+                    (r.q_id, r.neighbor_id)
+                    for r in ivf_index_topk(
+                        spark, idx, q, nprobe=2, topk=3
+                    ).collect()
+                }
+            )
+            res["ivf_index_probe_matches_direct"] = probed == ivf3
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+    emb_c.unpersist()
     return res
 
 
@@ -567,7 +603,7 @@ def measure_embeddings_100x(spark, replicas: int = 100) -> dict:
         .localCheckpoint(eager=True)  # materialize once (~50 MB)
     )
     res = {"label": f"embeddings 100x ({replicas} clone shards)"}
-    res.update(measure_vectors(spark, emb, replicas))
+    res.update(measure_vectors(spark, emb, replicas, with_index=True))
     return res
 
 
@@ -804,6 +840,12 @@ def main() -> None:
             "dedup_edges_sec_100x": emb100.get("dedup_edges_sec"),
             "allpairs_100x": emb100.get("embedding_neardup_pairs"),
             "allpairs_sec_100x": emb100.get("embedding_neardup_sec"),
+            # persistent index: build once, probe per batch
+            "ivf_index_build_sec_100x": emb100.get("ivf_index_build_sec"),
+            "ivf_index_probe_sec_100x": emb100.get("ivf_index_probe_sec"),
+            "ivf_index_probe_matches_direct": emb100.get(
+                "ivf_index_probe_matches_direct"
+            ),
         }
     def _sec_ratios(hi: dict, lo: dict) -> dict:
         return {

@@ -393,3 +393,75 @@ def test_ivf_scorer_fold_equals_arrow(spark, sf_small):
     }
     emb.unpersist()
     assert a == b and len(a) > 0
+
+
+def test_ivf_persistent_index_probe_matches_direct(spark, sf_small, tmp_path):
+    """The persistent IVF index (build → probe) must reproduce the
+    direct kernel-assigned ivf_topk output for the same K/seeds, and
+    the probe's members scan must be partition-pruned to the probed
+    cells."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf_index_topk,
+        ivf_topk,
+        select_seeds,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.queries.similarity_queries import ANCHOR_IDS
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    path = str(tmp_path / "ivf")
+    rep = write_ivf_index(emb, path)
+    assert rep["n_vectors"] == emb.count()
+
+    queries = emb.filter(F.col("vec_id").isin(*ANCHOR_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probed = ivf_index_topk(spark, path, queries)
+    got = {tuple(r) for r in probed.collect()}
+    direct = {
+        tuple(r)
+        for r in ivf_topk(
+            emb,
+            ANCHOR_IDS,
+            select_seeds(emb, rep["k_cells"]),
+            assignment="kernel",
+        ).collect()
+    }
+    assert got == direct and len(got) > 0
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    emb.unpersist()
+
+
+def test_ivf_index_append_increment(spark, sf_small, tmp_path):
+    """Daily-increment pattern: append a clone shard against the
+    STORED centroids; a cloned query must retrieve its origin as the
+    top neighbor (cosine 1 lands in the same cell by construction)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        append_to_ivf_index,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path)
+    shift = 1_000_000
+    shard = emb.limit(20).withColumn("vec_id", F.col("vec_id") + shift)
+    assert append_to_ivf_index(shard, path) == 20
+
+    q = shard.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    top = ivf_index_topk(spark, path, q, nprobe=2, topk=1).collect()
+    assert len(top) == 3
+    for r in top:
+        # the clone's nearest neighbor is its origin vector (dot equal
+        # to self-dot; origin id < clone id wins the tie-break)
+        assert r.neighbor_id == r.q_id - shift
