@@ -244,6 +244,37 @@ def lsh_similarity_pairs_auto(
     )
 
 
+def lsh_dedup_edges_auto(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates_per_vector: float = 32.0,
+) -> DataFrame:
+    """Scale-aware star-edge dedup graph: sizing derived from the
+    measured REPRESENTATIVE count (the post-exact-dedup corpus is
+    what the LSH actually runs on — sizing from the raw count would
+    overshoot planes on clone-heavy corpora), then
+    ``lsh_dedup_edges`` with those knobs.  The growing-corpus entry
+    point, symmetric with ``lsh_similarity_pairs_auto``."""
+    _, reps = exact_vector_star_edges(emb, id_col, vec_col)
+    p = lsh_params(
+        reps.count(),
+        threshold=threshold,
+        candidates_per_vector=candidates_per_vector,
+    )
+    return lsh_dedup_edges(
+        emb,
+        threshold=threshold,
+        dim=dim,
+        tables=p["tables"],
+        planes=p["planes"],
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def foldl_dot_column(a_col: str, b_col: str) -> F.Column:
     """Exact-fold dot product as an Arrow-batched numpy kernel.
 

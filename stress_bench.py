@@ -526,12 +526,17 @@ def measure_docs_star(spark, docs, label: str, base_docs: int) -> dict:
     from data_engineering_user_session_analysis_spark.operators.dedup import (
         connected_components,
         minhash_dedup_edges,
+        simhash_dedup_edges,
     )
 
     _quiesce(spark)
     res: dict = {"label": label}
     n = docs.count()
     res["n_docs"] = n
+    # SimHash modality first (independent measurement, no cache overlap)
+    res["simhash_edges"], res["simhash_edges_sec"] = timed(
+        lambda: simhash_dedup_edges(docs, max_hamming=2).count()
+    )
     edges = minhash_dedup_edges(docs, threshold=0.5).cache()
     res["dedup_edges"], res["dedup_edges_sec"] = timed(lambda: edges.count())
     by_type = {

@@ -465,3 +465,26 @@ def test_ivf_index_append_increment(spark, sf_small, tmp_path):
         # the clone's nearest neighbor is its origin vector (dot equal
         # to self-dot; origin id < clone id wins the tie-break)
         assert r.neighbor_id == r.q_id - shift
+
+
+def test_lsh_dedup_edges_auto_clone_recall(spark, sf_small):
+    """The scale-aware star-edge entry point sizes from the
+    REPRESENTATIVE count: on a 3x clone corpus it must still connect
+    every clone to its origin (star edges are deterministic at any
+    LSH depth)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        lsh_dedup_edges_auto,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    shift = 1_000_000
+    base = load_table(spark, sf_small, "embeddings").limit(40)
+    emb = base.unionByName(
+        base.withColumn("vec_id", F.col("vec_id") + shift)
+    ).unionByName(base.withColumn("vec_id", F.col("vec_id") + 2 * shift))
+    edges = lsh_dedup_edges_auto(emb).collect()
+    stars = {(r.vec_a, r.vec_b) for r in edges if r.vec_a % shift == r.vec_b % shift}
+    # every clone reaches its min-id origin: 2 star edges per base vec
+    assert len(stars) == 40 * 2
