@@ -208,14 +208,11 @@ def run_incremental_sessions(
     new_state.write.mode("overwrite").format(fmt).save(
         os.path.join(state_root, f"ds={ds}")
     )
-    return {
-        "closed": spark.read.format(fmt)
-        .load(os.path.join(out_dir, "session_closed", f"ds={ds}"))
-        .count(),
-        "open": spark.read.format(fmt)
-        .load(os.path.join(state_root, f"ds={ds}"))
-        .count(),
-    }
+    # observability counts come from the SAME materialized step frames
+    # (advance_sessions checkpoints the shared `combined` plan), not a
+    # re-read of what was just written — the re-read cost two extra
+    # scans per day, a fixed overhead that dominated the 30-day replay
+    return {"closed": closed.count(), "open": new_state.count()}
 
 
 def compact_closed_partition(
@@ -273,18 +270,30 @@ def run_docs_index_step(
     shard = spark.read.parquet(docs_path)
     report = {"shard_rows": shard.count()}
     buckets_root = os.path.join(idx, "buckets")
-    # prior day counts only if its write COMPLETED (_SUCCESS marker,
-    # written last) — a partial dir from a crashed run is invisible
-    # here and gets rebuilt by that day's re-run
-    has_prior = os.path.isdir(buckets_root) and any(
-        p.startswith("ds=")
-        and p.split("=", 1)[1] < ds
-        and shard_indexed(idx, p.split("=", 1)[1])
-        for p in os.listdir(buckets_root)
+    # a prior day counts only if its write COMPLETED (_SUCCESS marker,
+    # written last); the verified day list is passed INTO the probe as
+    # an isin partition filter, so a crashed day's partial files are
+    # excluded from candidate generation (not merely absent from this
+    # boolean) until that day's re-run rebuilds them
+    complete_days = (
+        sorted(
+            p.split("=", 1)[1]
+            for p in os.listdir(buckets_root)
+            if p.startswith("ds=")
+            and p.split("=", 1)[1] < ds
+            and shard_indexed(idx, p.split("=", 1)[1])
+        )
+        if os.path.isdir(buckets_root)
+        else []
     )
-    if has_prior:
+    if complete_days:
         hits = incremental_neardup_pairs(
-            spark, shard, idx, threshold=threshold, before_ds=ds
+            spark,
+            shard,
+            idx,
+            threshold=threshold,
+            before_ds=ds,
+            only_ds=complete_days,
         )
         dup_new = hits.select(F.col("doc_b").alias("doc_id")).distinct()
         clean = shard.join(dup_new, "doc_id", "left_anti")
@@ -350,10 +359,14 @@ def run_daily_pipeline(
         F.count("*").alias("rows"),
         F.count(F.when(is_bad, 1)).alias("quarantined"),
     ).first()
-    if stats["quarantined"]:
-        day.filter(is_bad).write.mode("overwrite").format(fmt).save(
-            os.path.join(out_dir, "quarantine", f"ds={ds}")
-        )
+    # ALWAYS overwrite the day's quarantine partition — including with
+    # an empty frame when nothing is bad — so a re-run after upstream
+    # data was fixed clears the previous run's stale dead-letter rows
+    # (the "re-running any day replaces exactly its own outputs"
+    # invariant applies to the quarantine sink too).
+    day.filter(is_bad).write.mode("overwrite").format(fmt).save(
+        os.path.join(out_dir, "quarantine", f"ds={ds}")
+    )
     day.unpersist()
     report["hygiene"] = {
         "rows": stats["rows"],

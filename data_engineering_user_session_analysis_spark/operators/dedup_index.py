@@ -172,6 +172,7 @@ def incremental_neardup_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     before_ds: str | None = None,
+    only_ds: "list[str] | None" = None,
 ) -> DataFrame:
     """Near-dup pairs touching the new shard: (doc_a, doc_b,
     intersection, jaccard) where doc_b is a NEW doc and doc_a is
@@ -188,6 +189,15 @@ def incremental_neardup_pairs(
     (`append_shard_to_minhash_index`), probe only partitions with
     ``ds < before_ds`` — partition-pruned at the scan, and what makes
     a re-run of day N idempotent (it must not see its own rows).
+
+    ``only_ds``: restrict the probe to an explicit COMPLETE-day set
+    (``shard_indexed`` days).  A crashed prior-day write leaves a
+    partial partition (sets without buckets, or uncommitted bucket
+    files) that a bare ``ds < before_ds`` range would still scan —
+    contributing nothing or partial candidates, a silent recall hole
+    until that day reruns.  The daily verb passes the `_SUCCESS`-
+    verified day list so incomplete days are excluded by an isin
+    partition filter, not trusted to be absent.
     """
     # cache lifecycle: consumed by the CALLER's action (the returned
     # pairs are lazy), so the entry outlives this function — it is
@@ -203,14 +213,18 @@ def incremental_neardup_pairs(
         if before_ds is not None:
             b_old = b_old.filter(F.col("ds") < before_ds)
             s_old = s_old.filter(F.col("ds") < before_ds)
+        if only_ds is not None:
+            days = [str(d) for d in only_ds]
+            b_old = b_old.filter(F.col("ds").isin(days))
+            s_old = s_old.filter(F.col("ds").isin(days))
         b_old, s_old = b_old.drop("ds"), s_old.drop("ds")
-    elif before_ds is not None:
+    elif before_ds is not None or only_ds is not None:
         # the legacy flat-append layout cannot honor the contract —
         # silently probing the caller's own appended rows would
         # self-hit every shard doc at jaccard 1.0 and drop the whole
         # day as duplicates
         raise ValueError(
-            "before_ds requires the ds-partitioned index layout "
+            "before_ds/only_ds require the ds-partitioned index layout "
             "(append_shard_to_minhash_index); this index was built "
             "with the flat append_to_minhash_index layout"
         )

@@ -262,6 +262,14 @@ def advance_sessions(
     combined = combined.withColumn(
         "_is_open", F.col("session_seq") == F.max("session_seq").over(w)
     )
+    if materialize_partials:
+        # Both outputs consume `combined` (closed = ~_is_open rows,
+        # new_state = _is_open rows), so a caller that writes both
+        # would otherwise run the state joins + open-window twice —
+        # and a third time for any count.  One more O(sessions-today)
+        # within-step materialization makes every downstream
+        # consumption a cheap filter over the checkpointed block.
+        combined = combined.localCheckpoint(eager=True)
 
     closed_today = combined.filter(~F.col("_is_open")).drop("_is_open")
 

@@ -116,10 +116,27 @@ def session_rollup_full(
         list_aggs = [trace.alias("events_trace")]
         if with_events_json:
             list_aggs.append(F.to_json(sorted_events).alias("events_json"))
-        lists = bounded.groupBy(user_col, session_col).agg(*list_aggs)
+        # Null-safe join keys: the uncapped single-aggregation path
+        # keeps null user/session keys as ordinary groups, so the
+        # capped path must reunite them too (eqNullSafe is still a
+        # hash equi-join on the same co-partitioned keys).
+        lists = (
+            bounded.groupBy(user_col, session_col)
+            .agg(*list_aggs)
+            .withColumnRenamed(user_col, "_lk_user")
+            .withColumnRenamed(session_col, "_lk_session")
+        )
         scalars = df.groupBy(user_col, session_col).agg(*scalar_aggs)
-        out = scalars.join(lists, [user_col, session_col]).withColumn(
-            "events_truncated", F.col("number_of_events") > F.lit(max_events)
+        out = (
+            scalars.join(
+                lists,
+                F.col(user_col).eqNullSafe(F.col("_lk_user"))
+                & F.col(session_col).eqNullSafe(F.col("_lk_session")),
+            )
+            .drop("_lk_user", "_lk_session")
+            .withColumn(
+                "events_truncated", F.col("number_of_events") > F.lit(max_events)
+            )
         )
     return out.withColumn(
         "date", F.date_format("session_start_time", "yyyy-MM-dd")

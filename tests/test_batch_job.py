@@ -266,3 +266,89 @@ def test_daily_pipeline_quarantines_and_excludes_bad_rows(spark, sf_small, tmp_p
     for table in ("user_level", "session_level", "session_closed", "session_state"):
         df = spark.read.parquet(os.path.join(out, table, f"ds={ds}"))
         assert df.filter(F.col("user_id").isNull()).count() == 0, table
+
+
+def test_quarantine_rerun_clears_stale_rows(spark, sf_small, tmp_path):
+    """Re-running a day AFTER upstream data was fixed must clear the
+    previous run's quarantine rows — the per-day-overwrite invariant
+    covers the dead-letter sink too (a stale quarantine row for a now-
+    served event would be a contradiction in the audit record)."""
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import run_daily_pipeline
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "serving")
+    build_lake(spark, sf_small, lake)
+    ds = "2024-01-05"
+    day_dir = os.path.join(lake, f"date={ds}")
+    poison = (
+        spark.read.parquet(day_dir)
+        .limit(1)
+        .withColumn("user_id", F.lit(None).cast("long"))
+        .withColumn("event_id", F.lit(99_999_999).cast("long"))
+    )
+    poison_path = str(tmp_path / "poison")
+    poison.write.parquet(poison_path)
+    spark.read.parquet(poison_path).write.mode("append").parquet(day_dir)
+
+    rep = run_daily_pipeline(spark, lake, ds, out)
+    assert rep["hygiene"]["quarantined"] == 1
+    qdir = os.path.join(out, "quarantine", f"ds={ds}")
+    assert spark.read.parquet(qdir).count() == 1
+
+    # upstream fix: rewrite the day WITHOUT the poison row
+    fixed = spark.read.parquet(day_dir).filter(F.col("user_id").isNotNull())
+    fixed_path = str(tmp_path / "fixed_day")
+    fixed.write.parquet(fixed_path)
+    import shutil
+
+    shutil.rmtree(day_dir)
+    shutil.copytree(fixed_path, day_dir)
+
+    rep2 = run_daily_pipeline(spark, lake, ds, out)
+    assert rep2["hygiene"]["quarantined"] == 0
+    # the stale dead-letter record is GONE, not merely outnumbered
+    assert spark.read.parquet(qdir).count() == 0
+
+
+def test_docs_index_step_skips_incomplete_day(spark, sf_small, tmp_path):
+    """A crashed prior-day index write (no bucket _SUCCESS) must be
+    EXCLUDED from the probe — its partial files must not generate
+    candidates — while complete sibling days still hit."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import run_docs_index_step
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    # synthetic shingle-disjoint docs: every word carries its doc
+    # index, so the ONLY possible near-dup hits are the planted exact
+    # copies — the counts below are exact, not fixture-dependent
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in ids],
+            "doc_id long, text string",
+        )
+
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    mk(range(0, 10)).write.parquet(p1)
+    mk(range(10, 20)).write.parquet(p2)
+    out = str(tmp_path / "serving")
+    run_docs_index_step(spark, p1, out, "2024-01-01")
+    run_docs_index_step(spark, p2, out, "2024-01-02")
+
+    # simulate a crashed day-2 write: bucket _SUCCESS never landed
+    os.remove(
+        os.path.join(out, "doc_index", "buckets", "ds=2024-01-02", "_SUCCESS")
+    )
+
+    # day 3 = exact copies of 3 day-1 docs AND 3 day-2 docs
+    copies1 = mk(range(0, 3)).withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    copies2 = mk(range(10, 13)).withColumn("doc_id", F.col("doc_id") + 3_000_000)
+    p3 = str(tmp_path / "s3")
+    copies1.unionByName(copies2).write.parquet(p3)
+    r3 = run_docs_index_step(spark, p3, out, "2024-01-03")
+    # exactly the day-1 copies hit; the incomplete day-2 partition
+    # contributed no candidates, so its copies survive (dup'd rows
+    # that a complete day 2 WOULD have caught — re-running day 2
+    # rebuilds its partition and restores them to the probe surface)
+    assert r3["dup_hits"] == 3
+    assert r3["indexed_rows"] == 3

@@ -133,3 +133,27 @@ def test_rollup_full_hot_key_bounded(spark):
     filter_pos = plan.find("_rn")
     agg_pos = plan.find("collect_list")
     assert 0 <= agg_pos < filter_pos, "rank filter must feed the collect"
+
+
+def test_rollup_full_cap_keeps_null_keys(spark):
+    """Null grouping keys are legitimate groups in the uncapped path;
+    the capped path's scalar⋈lists reunion must keep them too
+    (null-safe join keys), not silently drop the session."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.range(6).select(
+        F.col("id").alias("event_id"),
+        (F.lit(base) + F.make_interval(secs=F.col("id"))).alias("ts"),
+        F.when(F.col("id") < 3, F.lit(1)).alias("user_id"),  # 3 null rows
+        F.lit("view").alias("event_type"),
+        F.when(F.col("id") < 3, F.lit("1-1")).alias("session_id"),
+    )
+    uncapped = session_rollup_full(ev)
+    capped = session_rollup_full(ev, max_events=100)
+    assert uncapped.count() == 2  # (1,'1-1') and (null,null)
+    assert capped.count() == 2
+    cols = uncapped.columns
+    a = {tuple(r) for r in uncapped.select(*cols).collect()}
+    b = {tuple(r) for r in capped.select(*cols).collect()}
+    assert a == b
