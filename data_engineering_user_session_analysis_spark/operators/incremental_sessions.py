@@ -153,15 +153,16 @@ def advance_sessions(
     lineage chain would otherwise grow across many days.
 
     Both outputs share one expensive upstream — the day scan + the
-    sessionize window + the partial aggregation — so a caller that
+    sessionize window + the fold of the carry — so a caller that
     writes both would trigger that DAG twice.  With
-    ``materialize_partials`` (default) the per-day partials are
-    eagerly ``localCheckpoint``-ed ONCE: O(sessions-per-day) rows,
-    released by the ContextCleaner when the step's references die.
-    This is a within-step materialization — the module-docstring
-    warning about localCheckpoint is about chaining the carried STATE
-    through it across many days, which pins blocks for the whole
-    replay; a per-day block dropped at step end does not.
+    ``materialize_partials`` (default) the folded per-day frame is
+    eagerly ``localCheckpoint``-ed ONCE: O(sessions-per-day +
+    active-users) rows, released by the ContextCleaner when the
+    step's references die.  This is a within-step materialization —
+    the module-docstring warning about localCheckpoint is about
+    chaining the carried STATE through it across many days, which
+    pins blocks for the whole replay; a per-day block dropped at step
+    end does not.
     """
     loc = _local_partials(
         day,
@@ -173,132 +174,143 @@ def advance_sessions(
         tiebreak_col,
         purchase_value,
     )
-    if materialize_partials:
-        loc = loc.localCheckpoint(eager=True)
 
     if state is None:
         state = loc.sparkSession.createDataFrame(
             [], _to_state(loc.limit(0), user_col).schema
         )
 
-    st = state.select(
-        F.col(user_col), *[F.col(c).alias(f"_st_{c}") for c in _STATE_COLS]
+    # Join-free fold: the carried open session enters the day's rows
+    # as a PSEUDO local session with ordinal 0 (every carried event
+    # strictly precedes every day-N event, so position 0 is exact),
+    # and all cross-row logic — merge detection, global ordinals,
+    # open/closed split — becomes window functions over ONE user_id
+    # partitioning.  The previous join formulation (state left-join +
+    # merge-flag self-join + untouched anti-join) shuffled the same
+    # keys three extra times and forced a second materialization;
+    # here the whole step is union → one window chain, and `loc`
+    # appears exactly once in the plan so it needs no checkpoint of
+    # its own.
+    partial_cols = [c for c in _STATE_COLS if c != "session_seq"]
+    carry = state.select(
+        F.col(user_col),
+        F.lit(0).alias("_local_seq"),
+        F.col("session_seq").alias("_carry_seq"),
+        *[F.col(c) for c in partial_cols],
+    )
+    local_rows = loc.select(
+        F.col(user_col),
+        F.col("session_seq").alias("_local_seq"),
+        F.lit(None).cast("long").alias("_carry_seq"),
+        *[F.col(c) for c in partial_cols],
+    )
+    u = carry.unionByName(local_rows)
+
+    w = Window.partitionBy(user_col)
+
+    def _carried(c: str):
+        # the single seq-0 row's value, broadcast to the user's rows
+        # (first over an unordered window is deterministic here: at
+        # most one non-null input exists per partition)
+        return F.first(
+            F.when(F.col("_local_seq") == 0, F.col(c)), ignorenulls=True
+        ).over(w)
+
+    u1 = u.select(
+        "*",
+        F.max("_carry_seq").over(w).alias("_cseq"),
+        _carried("last_ts").alias("_c_last_ts"),
+        _carried("session_start_time").alias("_c_start"),
+        _carried("number_of_events").alias("_c_nev"),
+        _carried("session_value").alias("_c_val"),
+        _carried("is_purchase").alias("_c_purch"),
+        _carried("event_types").alias("_c_types"),
+        _carried("first_event_type").alias("_c_first"),
     )
 
     # Per-user merge flag: does the first local session continue the
     # carried open session?  Strict-> gap rule matches `sessionize`:
-    # delta <= gap extends, delta > gap opens a new session.
-    flags = (
-        loc.filter(F.col("session_seq") == 1)
-        .select(user_col, "session_start_time")
-        .join(st.select(user_col, "_st_last_ts"), user_col, "inner")
-        .select(
-            user_col,
-            (
-                epoch_micros(F.col("session_start_time"))
-                - epoch_micros(F.col("_st_last_ts"))
-                <= F.lit(gap_seconds) * 1_000_000
-            ).alias("_merged"),
-        )
-    )
-
-    j = (
-        loc.join(st, user_col, "left")
-        .join(flags, user_col, "left")
-        .withColumn("_merged", F.coalesce(F.col("_merged"), F.lit(False)))
-        .withColumn(
-            "_glob_seq",
-            F.coalesce(F.col("_st_session_seq"), F.lit(0))
-            + F.col("session_seq")
-            - F.when(F.col("_merged"), 1).otherwise(0),
-        )
+    # delta <= gap extends, delta > gap opens a new session.  With no
+    # carry, _c_last_ts is null -> condition null -> 0 (no merge).
+    m_row = F.when(
+        (F.col("_local_seq") == 1)
+        & (
+            epoch_micros(F.col("session_start_time"))
+            - epoch_micros(F.col("_c_last_ts"))
+            <= F.lit(gap_seconds) * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    u2 = u1.withColumn("_merged", F.max(m_row).over(w) == 1).filter(
+        # a merged carry's content folds into the first local session;
+        # its pseudo-row disappears
+        ~(F.col("_merged") & (F.col("_local_seq") == 0))
     )
 
     # Merge the carried partial into the user's FIRST local session
     # when stitching.  Positional combine: carried events all precede
     # today's (disjoint ascending day partitions), so start/first
-    # come from the carry and end/last from today.
-    is_stitch = F.col("_merged") & (F.col("session_seq") == 1)
-    combined = j.select(
+    # come from the carry and end/last from today.  An UNMERGED
+    # pseudo-row passes through with its own values and its carried
+    # global ordinal — it is the old open session, now closable.
+    is_stitch = F.col("_merged") & (F.col("_local_seq") == 1)
+    combined = u2.select(
         F.col(user_col),
-        F.col("_glob_seq").alias("session_seq"),
-        F.when(is_stitch, F.col("_st_session_start_time"))
+        F.when(F.col("_local_seq") == 0, F.col("_cseq"))
+        .otherwise(
+            F.coalesce(F.col("_cseq"), F.lit(0))
+            + F.col("_local_seq")
+            - F.when(F.col("_merged"), 1).otherwise(0)
+        )
+        .alias("session_seq"),
+        F.when(is_stitch, F.col("_c_start"))
         .otherwise(F.col("session_start_time"))
         .alias("session_start_time"),
         F.col("last_ts"),
-        F.when(
-            is_stitch, F.col("_st_number_of_events") + F.col("number_of_events")
-        )
+        F.when(is_stitch, F.col("_c_nev") + F.col("number_of_events"))
         .otherwise(F.col("number_of_events"))
         .alias("number_of_events"),
         F.when(
             is_stitch,
-            (F.col("_st_session_value") + F.col("session_value")).cast(
-                "decimal(28,2)"
-            ),
+            (F.col("_c_val") + F.col("session_value")).cast("decimal(28,2)"),
         )
         .otherwise(F.col("session_value").cast("decimal(28,2)"))
         .alias("session_value"),
-        F.when(
-            is_stitch, F.greatest(F.col("_st_is_purchase"), F.col("is_purchase"))
-        )
+        F.when(is_stitch, F.greatest(F.col("_c_purch"), F.col("is_purchase")))
         .otherwise(F.col("is_purchase"))
         .alias("is_purchase"),
-        F.when(
-            is_stitch, F.array_union(F.col("_st_event_types"), F.col("event_types"))
-        )
+        F.when(is_stitch, F.array_union(F.col("_c_types"), F.col("event_types")))
         .otherwise(F.col("event_types"))
         .alias("event_types"),
-        F.when(is_stitch, F.col("_st_first_event_type"))
+        F.when(is_stitch, F.col("_c_first"))
         .otherwise(F.col("first_event_type"))
         .alias("first_event_type"),
         F.col("last_event_type"),
     )
 
     # The user's LAST global session stays open (carried forward);
-    # everything before it is closed.  Window max over user — no
-    # ordering needed, unbounded frame.
-    w = Window.partitionBy(user_col)
+    # everything before it is closed.  A user with no events today
+    # has only their pseudo-row -> it is the max -> stays open,
+    # exactly the old anti-join "untouched" behavior.  Window max
+    # over user — no ordering needed, unbounded frame.
     combined = combined.withColumn(
         "_is_open", F.col("session_seq") == F.max("session_seq").over(w)
     )
     if materialize_partials:
         # Both outputs consume `combined` (closed = ~_is_open rows,
         # new_state = _is_open rows), so a caller that writes both
-        # would otherwise run the state joins + open-window twice —
-        # and a third time for any count.  One more O(sessions-today)
+        # would otherwise run the whole window chain twice — and
+        # again for any count.  One O(sessions-today + active-users)
         # within-step materialization makes every downstream
         # consumption a cheap filter over the checkpointed block.
         combined = combined.localCheckpoint(eager=True)
 
-    closed_today = combined.filter(~F.col("_is_open")).drop("_is_open")
-
-    # A carried session that did NOT merge closes now (the user came
-    # back after the gap, so the old session can never grow again).
-    closed_carry = (
-        st.join(flags.filter(~F.col("_merged")), user_col, "inner")
-        .select(
-            F.col(user_col),
-            *[F.col(f"_st_{c}").alias(c) for c in _STATE_COLS],
-        )
-        .drop("_merged")
+    closed = _to_rollup(
+        combined.filter(~F.col("_is_open")).drop("_is_open"), user_col
     )
-
-    closed = _to_rollup(closed_today, user_col).unionByName(
-        _to_rollup(closed_carry, user_col)
-    )
-
-    # New carry: today's open tail per active user + untouched state
-    # rows for users with no events today (their sessions stay open
-    # until finalize — an absent user costs one anti-join probe, not
-    # a rescan).
-    open_today = _to_state(
+    new_state = _to_state(
         combined.filter(F.col("_is_open")).drop("_is_open"), user_col
     )
-    untouched = state.join(
-        loc.select(user_col).distinct(), user_col, "left_anti"
-    )
-    new_state = open_today.unionByName(untouched)
     return closed, new_state
 
 

@@ -320,23 +320,16 @@ def session_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_events(spark, sf_dir)
-    # calendar-day list: bounded by the fixture's date span (30 days),
-    # the same driver-side loop the daily-verb orchestration runs
-    days = [
-        r["d"]
-        for r in ev.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()
-    ]
     state = None
-    # State and closed emissions round-trip through parquet exactly
-    # like the production verb (batch_job.run_incremental_sessions) —
-    # NOT through chained localCheckpoint: the operator docstring
-    # documents (and a round-6 re-measure confirmed) that checkpoint
-    # chaining degrades exponentially past ~day 15 while the parquet
-    # ping-pong stays flat.  The temp dir backs the RETURNED
-    # DataFrame (closed-day reads), so it is left for the consumer;
-    # OS tmp reaping reclaims the few MB.
+    # State round-trips through parquet exactly like the production
+    # verb (batch_job.run_incremental_sessions) — NOT through chained
+    # localCheckpoint: the operator docstring documents (and a
+    # round-6 re-measure confirmed) that checkpoint chaining degrades
+    # exponentially past ~day 15 while the parquet ping-pong stays
+    # flat.  The temp dir backs the RETURNED DataFrame (the final
+    # state read), so it is left for the consumer; OS tmp reaping
+    # reclaims the few MB.
     tmp = tempfile.mkdtemp(prefix="session_incr_")
-    closed_dirs: list[str] = []
     # Scope the shuffle width to the per-day data size for the replay
     # loop (the connected_components pattern): each day holds a
     # fixture-day of rows, and a plain driver session's 200-wide
@@ -347,27 +340,52 @@ def session_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     aqe_key = "spark.sql.adaptive.enabled"
     sess_width = spark.conf.get(width_key)
     sess_aqe = spark.conf.get(aqe_key)
-    spark.conf.set(width_key, str(min(int(sess_width), 16)))
+    # width 4, not 16: a fixture day is ~1/30 of sf0.1 (~33k events),
+    # and the replay's cost is per-task fixed overhead × 30 days ×
+    # stages — measured 45.7 s at width 16 vs 30.5 s at width 4 for
+    # the same loop.  The PRODUCTION verb keeps the session width: a
+    # real day is millions of rows.
+    spark.conf.set(width_key, str(min(int(sess_width), 4)))
     # AQE off for the replay only: at fixture-day sizes each AQE
     # re-plan adds jobs that dominate the day's actual work (measured
     # 35% of the loop); the PRODUCTION verb (batch_job) keeps AQE on
     # because a real day is big enough to need skew/coalesce re-plans.
     spark.conf.set(aqe_key, "false")
     try:
+        # Replay from a date-PARTITIONED lake, like production: the
+        # daily verb reads a partition-pruned `date=<ds>` directory,
+        # so the replay must not pay 30 full-table scans the real
+        # pipeline never does.  One partitioned write (~3 s), then
+        # every day's read is a single pruned file.
+        lake = os.path.join(tmp, "lake")
+        ev.withColumn("_d", F.to_date("ts")).repartition("_d").write.partitionBy(
+            "_d"
+        ).parquet(lake)
+        evp = spark.read.parquet(lake)
+        days = sorted(
+            p.split("=", 1)[1] for p in os.listdir(lake) if p.startswith("_d=")
+        )
+        closed_frames = []
         for i, d in enumerate(days):
             closed, state = advance_sessions(
-                ev.filter(F.to_date("ts") == F.lit(d)), state
+                evp.filter(F.col("_d") == d).drop("_d"), state
             )
-            cdir = os.path.join(tmp, f"closed_{i}")
-            closed.write.mode("overwrite").parquet(cdir)
-            closed_dirs.append(cdir)
+            # `closed` is a filter over the step's eagerly-checkpointed
+            # fold (no parquet/state reference survives in its plan),
+            # so the per-day frames can accumulate and be emitted as
+            # one union — 30 write jobs saved.  Blocks stay pinned
+            # until the caller's action; bounded by the replay span
+            # (the production verb writes each day instead).
+            closed_frames.append(closed)
             sdir = os.path.join(tmp, f"state_{i % 2}")  # ping-pong
             state.write.mode("overwrite").parquet(sdir)
             state = spark.read.parquet(sdir)
     finally:
         spark.conf.set(width_key, sess_width)
         spark.conf.set(aqe_key, sess_aqe)
-    full = spark.read.parquet(*closed_dirs).unionByName(
+    from functools import reduce
+
+    full = reduce(lambda a, b: a.unionByName(b), closed_frames).unionByName(
         finalize_sessions(state)
     )
     return full.withColumns(
