@@ -433,7 +433,8 @@ def run_backfill(
 
 def main(argv: list[str]) -> None:
     """CLI contract of the reference batch job: ``job <ds>`` (plus the
-    maintenance verbs ``job compact <ds>``,
+    maintenance verbs ``job compact <ds>`` and
+    ``job reindex <ivf_index_path>``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
     operational pipeline ``job daily <ds>``)."""
@@ -466,6 +467,14 @@ def main(argv: list[str]) -> None:
         lake = argv[3] if len(argv) > 3 else os.environ.get("LAKE_PATH", "/tmp/events_lake")
         report = compact_closed_partition(get_spark("lake_compaction"), lake, ds)
         print(report)
+        return
+    if argv[1] == "reindex":
+        # rebuild a drifted persistent IVF index from its current
+        # membership (the staleness signal on `append_to_ivf_index`
+        # says WHEN; this verb is the answer)
+        from data_engineering_user_session_analysis_spark.operators.ivf import rebuild_ivf_index
+
+        print(rebuild_ivf_index(get_spark("ivf_reindex"), argv[2]))
         return
     ds = argv[1]
     lake = argv[2] if len(argv) > 2 else os.environ.get("LAKE_PATH", "/tmp/events_lake")

@@ -240,12 +240,21 @@ def write_ivf_index(
       partition-pruned scan reading only those directories
       (plan-pinned in tests/test_similarity.py).  At 100 TB this is
       the difference between scanning nprobe·N/K vectors and N.
+      Each member row also records ``assign_cos`` — its cosine to the
+      assigned centroid — which costs one double per vector and makes
+      index drift AUDITABLE from the index alone;
+    * ``stats/`` — one build-time row (n, K, mean assignment cosine,
+      max cell fraction), the baseline appends compare against for
+      the staleness signal (``append_to_ivf_index``).
 
     K defaults to the measured ⌈√N⌉ (``ivf_cells_for_n``); assignment
     uses the map-only Arrow kernel.  Write order is crash-safe in the
     same sense as the dedup index: centroids land first, members
-    last — a members/_SUCCESS marker is the index's presence signal.
-    Returns ``{"k_cells", "n_vectors"}``.
+    next — a members/_SUCCESS marker is the index's presence signal —
+    and the advisory stats last (a missing stats dir only disables
+    the staleness comparison, never the index).
+    Returns ``{"k_cells", "n_vectors", "mean_assign_cos",
+    "max_cell_frac"}``.
     """
     import os
 
@@ -257,16 +266,36 @@ def write_ivf_index(
     )
     # assign against the STORED centroids (what probes will read),
     # not the in-memory seeds plan — index self-consistency
-    seeds_stored = emb.sparkSession.read.parquet(os.path.join(path, "centroids"))
-    cells = _assign_cells_kernel(emb, seeds_stored, id_col, vec_col)
+    spark = emb.sparkSession
+    seeds_stored = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = _assign_cells_cos_kernel(emb, seeds_stored, id_col, vec_col)
     (
-        emb.join(cells, id_col)
-        .select(id_col, vec_col, F.col("cell"))
+        emb.join(assigned, id_col)
+        .select(id_col, vec_col, F.col("cell"), F.col("assign_cos"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "members"))
     )
-    return {"k_cells": k, "n_vectors": n}
+    # build-time baseline from the WRITTEN members (column-pruned
+    # scan of the cos/cell columns only)
+    mem = spark.read.parquet(os.path.join(path, "members"))
+    agg = mem.agg(
+        F.avg("assign_cos").alias("mean_cos"),
+        F.count("*").alias("n"),
+    ).first()
+    max_cell = (
+        mem.groupBy("cell").agg(F.count("*").alias("c")).agg(F.max("c")).first()[0]
+    )
+    stats = {
+        "k_cells": k,
+        "n_vectors": n,
+        "mean_assign_cos": float(agg["mean_cos"] or 0.0),
+        "max_cell_frac": float(max_cell) / n if n else 0.0,
+    }
+    spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "stats")
+    )
+    return stats
 
 
 def _assign_cells_kernel(
@@ -292,27 +321,156 @@ def _assign_cells_kernel(
     return emb.select(id_col, best_cell(F.col(vec_col)).alias("cell"))
 
 
+def _assign_cells_cos_kernel(
+    emb: DataFrame, seeds: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """``_assign_cells_kernel`` plus the assignment COSINE (vector vs
+    its chosen centroid) — the per-vector drift observable the
+    persistent index stores and compares on append.  Cell choice is
+    computed with the identical foldl accumulation, so assignments
+    are bit-for-bit the same as the plain kernel's."""
+    seed_rows = seeds.orderBy("sid").collect()
+    seed_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
+    seed_mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
+    seed_norms = np.linalg.norm(seed_mat, axis=1)
+
+    @F.pandas_udf("cell long, assign_cos double")
+    def best_cell_cos(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
+                                 "assign_cos": pd.Series([], dtype=np.float64)})
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        acc = np.zeros((len(v), len(seed_ids)), dtype=np.float64)
+        for d in range(x.shape[1]):  # foldl order: ((0 + p0) + p1) + ...
+            acc = acc + x[:, d : d + 1] * seed_mat[np.newaxis, :, d].reshape(1, -1)
+        idx = np.argmax(acc, axis=1)
+        best = acc[np.arange(len(v)), idx]
+        vnorm = np.linalg.norm(x, axis=1)
+        denom = vnorm * seed_norms[idx]
+        cos = np.where(denom > 0, best / np.where(denom > 0, denom, 1.0), 0.0)
+        return pd.DataFrame({"cell": seed_ids[idx], "assign_cos": cos})
+
+    return emb.select(
+        id_col, best_cell_cos(F.col(vec_col)).alias("_a")
+    ).select(id_col, F.col("_a.cell").alias("cell"), F.col("_a.assign_cos").alias("assign_cos"))
+
+
 def append_to_ivf_index(
     emb_new: DataFrame,
     path: str,
+    ds: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> int:
+    staleness_margin: float = 0.1,
+) -> dict:
     """Fold a NEW vector shard into an existing index: assign against
     the STORED centroids (never recomputed — cell semantics stay
-    stable for already-indexed vectors) and append to the cell
-    partitions.  O(shard) work; the standard daily-increment pattern.
-    Returns the number of appended vectors."""
+    stable for already-indexed vectors).  O(shard) work; the standard
+    daily-increment pattern.
+
+    ``ds`` given (the daily-verb pattern): the shard lands under
+    ``increments/ds=<ds>/cell=<sid>`` with OVERWRITE — a retried or
+    re-run shard replaces exactly its own rows, the same idempotent
+    per-day layout as ``append_shard_to_minhash_index``.  ``ds=None``
+    is the legacy one-shot mode appending into ``members/`` directly;
+    it MUST be exactly-once (a retry double-appends) and exists for
+    ad-hoc single-increment use only.
+
+    Staleness signal: frozen centroids cannot follow distribution
+    drift — drifted appends land far from every centroid, cells skew,
+    and probe recall decays SILENTLY.  Each append therefore compares
+    the shard's mean assignment cosine against the build-time
+    baseline (``stats/``): ``stale=True`` when it falls more than
+    ``staleness_margin`` below.  A stale index keeps serving
+    correctly-assigned-at-append-time results; the operational answer
+    is ``rebuild_ivf_index`` (``job reindex``), which re-derives
+    centroids from the CURRENT membership.
+
+    Returns ``{"appended", "ds", "mean_assign_cos",
+    "build_mean_assign_cos", "stale"}`` (the comparison fields are
+    None when the index predates the stats table)."""
     import os
 
     spark = emb_new.sparkSession
     seeds = spark.read.parquet(os.path.join(path, "centroids"))
-    cells = _assign_cells_kernel(emb_new, seeds, id_col, vec_col)
-    out = emb_new.join(cells, id_col).select(id_col, vec_col, F.col("cell"))
-    out.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(path, "members")
+    assigned = _assign_cells_cos_kernel(emb_new, seeds, id_col, vec_col)
+    out = (
+        emb_new.join(assigned, id_col)
+        .select(id_col, vec_col, F.col("cell"), F.col("assign_cos"))
+        .cache()  # one kernel pass serves the write AND the metric
     )
-    return emb_new.count()
+    if ds is None:
+        out.drop("assign_cos").write.mode("append").partitionBy("cell").parquet(
+            os.path.join(path, "members")
+        )
+        shard_dir = None
+    else:
+        shard_dir = os.path.join(path, "increments", f"ds={ds}")
+        out.write.mode("overwrite").partitionBy("cell").parquet(shard_dir)
+    agg = out.agg(
+        F.count("*").alias("n"), F.avg("assign_cos").alias("mean_cos")
+    ).first()
+    out.unpersist()
+    report = {
+        "appended": agg["n"],
+        "ds": ds,
+        "mean_assign_cos": float(agg["mean_cos"] or 0.0),
+        "build_mean_assign_cos": None,
+        "stale": None,
+    }
+    stats_dir = os.path.join(path, "stats")
+    if os.path.isdir(stats_dir):
+        base = spark.read.parquet(stats_dir).first()
+        report["build_mean_assign_cos"] = base["mean_assign_cos"]
+        report["stale"] = bool(
+            report["mean_assign_cos"]
+            < base["mean_assign_cos"] - staleness_margin
+        )
+    return report
+
+
+def _index_members(spark, path: str, id_col: str, vec_col: str) -> DataFrame:
+    """All indexed vectors with their cells: the base ``members/``
+    table plus every idempotent ``increments/ds=*`` shard.  Both
+    sides expose (id, vec, cell); the cell stays a partition column
+    in each scan, so a downstream ``cell IN (...)`` filter prunes
+    both layouts."""
+    import os
+
+    cols = [F.col(id_col), F.col(vec_col), F.col("cell")]
+    mem = spark.read.parquet(os.path.join(path, "members")).select(*cols)
+    inc_dir = os.path.join(path, "increments")
+    if os.path.isdir(inc_dir):
+        mem = mem.unionByName(spark.read.parquet(inc_dir).select(*cols))
+    return mem
+
+
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    k_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Re-derive the index from its CURRENT membership — the
+    operational answer to a stale index (``job reindex``): fresh
+    ⌈√N⌉-sized seed set over base + increments, every vector
+    re-assigned, stats baseline reset.  The rebuild lands in a
+    sibling ``<path>.rebuild`` directory and is swapped in only after
+    its members/_SUCCESS marker exists, so a crash mid-rebuild leaves
+    the live index untouched (and a dangling .rebuild dir to GC).
+    Distributed end-to-end — nothing corpus-sized touches the driver.
+    Returns the new build stats."""
+    import os
+    import shutil
+
+    vecs = _index_members(spark, path, id_col, vec_col).select(id_col, vec_col)
+    tmp = path.rstrip("/") + ".rebuild"
+    shutil.rmtree(tmp, ignore_errors=True)
+    stats = write_ivf_index(vecs, tmp, k_cells, id_col=id_col, vec_col=vec_col)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return stats
 
 
 def ivf_index_topk(
@@ -355,7 +513,7 @@ def ivf_index_topk(
     )
     probe_cells = sorted({r["cell"] for r in q_cells.select("cell").distinct().collect()})
     members = (
-        spark.read.parquet(os.path.join(path, "members"))
+        _index_members(spark, path, id_col, vec_col)
         .filter(F.col("cell").isin(probe_cells))  # -> partition pruning
         .select(
             F.col(id_col).alias("neighbor_id"),

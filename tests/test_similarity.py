@@ -454,7 +454,11 @@ def test_ivf_index_append_increment(spark, sf_small, tmp_path):
     write_ivf_index(emb, path)
     shift = 1_000_000
     shard = emb.limit(20).withColumn("vec_id", F.col("vec_id") + shift)
-    assert append_to_ivf_index(shard, path) == 20
+    rep = append_to_ivf_index(shard, path)
+    assert rep["appended"] == 20
+    # clone shard of the build corpus: assignment cosines match the
+    # build distribution, so the staleness signal must NOT trip
+    assert rep["stale"] is False
 
     q = shard.limit(3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -488,3 +492,103 @@ def test_lsh_dedup_edges_auto_clone_recall(spark, sf_small):
     stars = {(r.vec_a, r.vec_b) for r in edges if r.vec_a % shift == r.vec_b % shift}
     # every clone reaches its min-id origin: 2 star edges per base vec
     assert len(stars) == 40 * 2
+
+
+def test_ivf_index_ds_append_is_idempotent(spark, sf_small, tmp_path):
+    """The daily-verb append layout: a re-run of the same ds must
+    replace exactly its own increment (no duplicate neighbors), and
+    the probe must see base + increments unioned."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        append_to_ivf_index,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path)
+    shift = 1_000_000
+    shard = emb.limit(20).withColumn("vec_id", F.col("vec_id") + shift)
+    append_to_ivf_index(shard, path, ds="2024-01-02")
+    q = shard.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    first = sorted(
+        tuple(r) for r in ivf_index_topk(spark, path, q, nprobe=2, topk=3).collect()
+    )
+    # retry/re-run of the SAME shard day: overwrite, not double-append
+    append_to_ivf_index(shard, path, ds="2024-01-02")
+    second = sorted(
+        tuple(r) for r in ivf_index_topk(spark, path, q, nprobe=2, topk=3).collect()
+    )
+    assert first == second and len(first) == 9
+    # the increment is visible to the probe: each clone's top hit is
+    # its origin (base corpus) and the clone itself never self-matches
+    top1 = {r[0]: r[1] for r in first if r[2] == 1}
+    for qid, nid in top1.items():
+        assert nid == qid - shift
+
+
+def test_ivf_index_staleness_and_rebuild(spark, tmp_path):
+    """Drifted appends against frozen centroids must trip the
+    staleness signal, and `rebuild_ivf_index` must reset it AND
+    restore probe==direct equality over the full (drifted) corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        append_to_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+        rebuild_ivf_index,
+        select_seeds,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 16
+
+    def mk(ids, base_axis):
+        # tight cluster around one axis -> high cosine to in-cluster
+        # centroids, near-orthogonal to the other cluster's
+        rows = []
+        for i in ids:
+            v = rng.normal(0, 0.05, dim)
+            v[base_axis] += 1.0
+            rows.append((int(i), [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    base = mk(range(200), base_axis=0)
+    path = str(tmp_path / "ivf")
+    build = write_ivf_index(base, path, k_cells=16)
+    assert build["mean_assign_cos"] > 0.9
+
+    drifted = mk(range(1000, 1100), base_axis=dim - 1)  # orthogonal drift
+    rep = append_to_ivf_index(drifted, path, ds="2024-02-01")
+    assert rep["stale"] is True
+    assert rep["mean_assign_cos"] < build["mean_assign_cos"] - 0.1
+
+    stats2 = rebuild_ivf_index(spark, path, k_cells=16)
+    # rebuilt centroids cover BOTH clusters: baseline restored
+    assert stats2["n_vectors"] == 300
+    assert stats2["mean_assign_cos"] > 0.9
+
+    # probe == direct over the rebuilt index for drifted queries
+    all_vecs = base.unionByName(drifted)
+    q_ids = (1000, 1001, 1002)
+    q = all_vecs.filter(F.col("vec_id").isin(*q_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probed = sorted(
+        tuple(r) for r in ivf_index_topk(spark, path, q, nprobe=2, topk=3).collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            all_vecs, q_ids, select_seeds(all_vecs, 16), assignment="kernel"
+        ).collect()
+    )
+    assert probed == direct and len(probed) == 9
