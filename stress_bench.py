@@ -656,6 +656,115 @@ def measure_events_100x(spark, replicas: int = 100) -> dict:
     return res
 
 
+def measure_docs_index(spark, n_days: int = 12, planted: int = 250) -> dict:
+    """Daily-shard replay through the PERSISTENT MinHash index
+    (`operators/dedup_index.py` — the `run_docs_index_step` pattern):
+    day r probes all prior days for near-dups, drops the hits, and
+    indexes the survivors under its own ds partition.  The metric
+    that matters is PROBE SECONDS PER DAY staying ~flat while the
+    indexed corpus grows to n_days × the shard — the documented
+    O(shard + candidates) claim, measured instead of asserted.
+
+    Shard construction: day 0 is the real sf0.1 documents corpus;
+    each later day carries the same id-space (shifted) with per-doc
+    SYNTHETIC text (shingle-disjoint from everything — the
+    mostly-new-content daily reality) plus `planted` EXACT copies of
+    day-0 docs, so every day's probe has a known true-dup load that
+    does not compound across days."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        append_shard_to_minhash_index,
+        incremental_neardup_pairs,
+    )
+
+    _quiesce(spark)
+    base = spark.read.parquet(os.path.join(BASE, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    n_base = base.count()
+    shift = SHIFTS["documents"]["doc_id"]
+    # per-doc synthetic text: 40 tokens unique to (day, doc) — zero
+    # shingle overlap with any other doc, any day
+    def synth_text(r: int):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda j: F.concat(
+                    F.lit(f"d{r}x"), F.col("doc_id").cast("string"), F.lit("x"), j.cast("string")
+                ),
+            ),
+            " ",
+        )
+
+    idx = tempfile.mkdtemp(prefix="stress_docindex_")
+    days = []
+    indexed_total = 0
+    try:
+        for r in range(n_days):
+            ds = f"2024-02-{r + 1:02d}"
+            if r == 0:
+                shard = base
+            else:
+                synth = base.withColumn(
+                    "doc_id", F.col("doc_id") + r * shift
+                ).withColumn("text", synth_text(r))
+                copies = (
+                    base.orderBy("doc_id")
+                    .limit(planted)
+                    .withColumn("doc_id", F.col("doc_id") + r * shift + 500_000)
+                )
+                shard = synth.unionByName(copies)
+            shard = shard.localCheckpoint(eager=True)
+            rec = {"day": r, "ds": ds, "index_docs_before": indexed_total}
+            if r == 0:
+                hits_ids = None
+                rec["probe_sec"] = None
+                rec["dup_hits"] = None
+            else:
+                (pairs, rec["probe_sec"]) = timed(
+                    lambda: incremental_neardup_pairs(
+                        spark, shard, idx, threshold=0.5, before_ds=ds
+                    )
+                    .select(F.col("doc_b").alias("doc_id"))
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                hits_ids = pairs
+                rec["dup_hits"] = pairs.count()
+            clean = (
+                shard
+                if hits_ids is None
+                else shard.join(hits_ids, "doc_id", "left_anti")
+            )
+            _, rec["index_sec"] = timed(
+                lambda: append_shard_to_minhash_index(clean, idx, ds)
+            )
+            rec["indexed_rows"] = clean.count()
+            indexed_total += rec["indexed_rows"]
+            days.append(rec)
+        probe_secs = [d["probe_sec"] for d in days if d["probe_sec"] is not None]
+        return {
+            "label": f"docs index replay ({n_days} days, shard={n_base})",
+            "n_days": n_days,
+            "shard_docs": n_base,
+            "planted_copies": planted,
+            "final_index_docs": indexed_total,
+            "days": days,
+            "probe_sec_per_day": probe_secs,
+            # flatness: late-day probe cost vs the first probed day,
+            # while the probed corpus grew ~(n_days-1)x
+            "probe_flatness_last_over_first": (
+                round(probe_secs[-1] / probe_secs[0], 2) if probe_secs else None
+            ),
+        }
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def run_tier(tier: str) -> list[dict]:
     """One measurement tier in THIS process.  Tiers are designed to
     run in separate JVMs: a single long-lived session accumulates
@@ -706,6 +815,8 @@ def run_tier(tier: str) -> list[dict]:
         ]
     if tier == "events100":
         return [measure_events_100x(spark)]
+    if tier == "docsindex":
+        return [measure_docs_index(spark)]
     if tier == "ingest":
         build(spark)
         return [
@@ -746,6 +857,8 @@ def main() -> None:
         tiers.append("docs100")
     if "--events-100x" in sys.argv or os.environ.get("SPARK_GRAFT_EVENTS_100X"):
         tiers.append("events100")
+    if "--docs-index" in sys.argv or os.environ.get("SPARK_GRAFT_DOCSINDEX"):
+        tiers.append("docsindex")
 
     me = os.path.abspath(__file__)
     results: dict[str, list[dict]] = {}
@@ -916,6 +1029,16 @@ def main() -> None:
             "n_events": ev100["n_events"],
             "session_rollup_sec": ev100["session_rollup_sec"],
             "session_events_per_sec": ev100["session_events_per_sec"],
+        }
+    di = _tier("docsindex")[0]
+    if di is not None:
+        summary["docs_index"] = {
+            "n_days": di["n_days"],
+            "final_index_docs": di["final_index_docs"],
+            "probe_sec_per_day": di["probe_sec_per_day"],
+            "probe_flatness_last_over_first": di[
+                "probe_flatness_last_over_first"
+            ],
         }
     print(json.dumps(summary))
 
