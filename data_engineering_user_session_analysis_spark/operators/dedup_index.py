@@ -342,8 +342,48 @@ def append_to_vector_index(
     tables: int = _TABLES,
     planes: int = _PLANES,
 ) -> None:
+    """Legacy one-shot append — MUST be exactly-once (a retry
+    double-appends).  Daily pipelines use the idempotent
+    ``append_shard_to_vector_index`` instead."""
     write_vector_index(
         emb, path, id_col, vec_col, dim, tables, planes, mode="append"
+    )
+
+
+def append_shard_to_vector_index(
+    emb: DataFrame,
+    path: str,
+    ds: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = _DIM,
+    tables: int = _TABLES,
+    planes: int = _PLANES,
+) -> None:
+    """Idempotent per-day variant of ``append_to_vector_index`` — the
+    embedding twin of ``append_shard_to_minhash_index``: the shard
+    lands under ``buckets/ds=<ds>`` and ``vectors/ds=<ds>`` with
+    OVERWRITE, so a retried or re-run day replaces exactly its own
+    rows.  Write order is crash-safe in the same sense: ``vectors``
+    (the exact-verify surface) lands BEFORE ``buckets`` (the
+    candidate surface), and the bucket dir's ``_SUCCESS`` marker is
+    the day's presence signal (``vector_shard_indexed``) — a crash
+    between the writes leaves a day that generates no candidates and
+    gets rebuilt by its re-run, never candidates that verify against
+    missing vectors."""
+    _vector_norm_table(emb, id_col, vec_col).write.mode("overwrite").parquet(
+        os.path.join(path, "vectors", f"ds={ds}")
+    )
+    _vector_bucket_table(emb, id_col, vec_col, dim, tables, planes).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "buckets", f"ds={ds}"))
+
+
+def vector_shard_indexed(path: str, ds: str) -> bool:
+    """True when day ``ds``'s vector-index contribution is COMPLETE
+    (bucket ``_SUCCESS``, written last)."""
+    return os.path.exists(
+        os.path.join(path, "buckets", f"ds={ds}", "_SUCCESS")
     )
 
 
@@ -357,11 +397,18 @@ def incremental_vector_neardup(
     dim: int = _DIM,
     tables: int = _TABLES,
     planes: int = _PLANES,
+    before_ds: str | None = None,
+    only_ds: "list[str] | None" = None,
 ) -> DataFrame:
     """Cosine near-dup pairs touching the new shard: corpus hits via
     the stored bucket probe, intra-shard hits via self-join, exact
     cosine verification for both (precision 1.0) — O(shard +
-    candidates), never O(corpus)."""
+    candidates), never O(corpus).
+
+    ``before_ds`` / ``only_ds``: same contract as
+    ``incremental_neardup_pairs`` — with the ds-partitioned layout
+    (`append_shard_to_vector_index`), probe only prior days and only
+    ``_SUCCESS``-complete ones."""
     from data_engineering_user_session_analysis_spark.operators.vector_lsh import foldl_dot_column
 
     # shard-scale cache, caller-consumed — same lifecycle note as
@@ -372,6 +419,21 @@ def incremental_vector_neardup(
     v_new = _vector_norm_table(new_emb, id_col, vec_col)
     b_old = spark.read.parquet(os.path.join(path, "buckets"))
     v_old = spark.read.parquet(os.path.join(path, "vectors"))
+    if "ds" in b_old.columns:  # ds-partitioned layout
+        if before_ds is not None:
+            b_old = b_old.filter(F.col("ds") < before_ds)
+            v_old = v_old.filter(F.col("ds") < before_ds)
+        if only_ds is not None:
+            days = [str(d) for d in only_ds]
+            b_old = b_old.filter(F.col("ds").isin(days))
+            v_old = v_old.filter(F.col("ds").isin(days))
+        b_old, v_old = b_old.drop("ds"), v_old.drop("ds")
+    elif before_ds is not None or only_ds is not None:
+        raise ValueError(
+            "before_ds/only_ds require the ds-partitioned index layout "
+            "(append_shard_to_vector_index); this index was built with "
+            "the flat write/append layout"
+        )
 
     cand_cross = (
         b_old.select(F.col(id_col).alias("vec_a"), "t", "sig")

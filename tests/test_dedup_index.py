@@ -102,3 +102,60 @@ def test_incremental_vector_equals_batch_restriction(spark, sf_small, tmp_path):
     }
     assert got == want
     assert len(got) > 0, "fixture has cross-shard near-dup vectors"
+
+
+def test_vector_shard_append_is_idempotent_and_probes_prior_days(
+    spark, sf_small, tmp_path
+):
+    """The embedding twin of the ds-partitioned daily layout: a day's
+    probe sees only PRIOR complete days (not its own rows), and a
+    re-run of the same ds replaces exactly its own index rows."""
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        append_shard_to_vector_index,
+        incremental_vector_neardup,
+        vector_shard_indexed,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    median = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    day1 = emb.filter(F.col("vec_id") <= median)
+    day2 = emb.filter(F.col("vec_id") > median)
+    idx = str(tmp_path / "vector_index")
+    append_shard_to_vector_index(day1, idx, "2024-01-01")
+    assert vector_shard_indexed(idx, "2024-01-01")
+
+    # day-2 probe BEFORE indexing day 2: prior-day hits only
+    first = {
+        (frozenset((r.vec_a, r.vec_b)), round(r.cosine, 9))
+        for r in incremental_vector_neardup(
+            spark, day2, idx, threshold=0.4, before_ds="2024-01-02"
+        ).collect()
+    }
+    assert first, "fixture has cross-shard near-dup vectors"
+
+    append_shard_to_vector_index(day2, idx, "2024-01-02")
+    # re-run of day 2 (retry semantics): its own ds partition must be
+    # invisible to its probe, so the result is unchanged — with the
+    # flat append layout this self-hits every shard vector at cos 1.0
+    append_shard_to_vector_index(day2, idx, "2024-01-02")
+    rerun = {
+        (frozenset((r.vec_a, r.vec_b)), round(r.cosine, 9))
+        for r in incremental_vector_neardup(
+            spark, day2, idx, threshold=0.4, before_ds="2024-01-02",
+            only_ds=["2024-01-01"],
+        ).collect()
+    }
+    assert rerun == first
+
+    # a day-3 clone of a day-2 vector hits via the ds layout
+    src = day2.orderBy("vec_id").first()
+    clone = spark.createDataFrame(
+        [(9_000_000, src.embedding)], "vec_id long, embedding array<double>"
+    )
+    hits = incremental_vector_neardup(
+        spark, clone, idx, threshold=0.9, before_ds="2024-01-03"
+    ).collect()
+    assert any(
+        r.vec_a == src.vec_id and r.vec_b == 9_000_000 and abs(r.cosine - 1.0) < 1e-9
+        for r in hits
+    ), hits
