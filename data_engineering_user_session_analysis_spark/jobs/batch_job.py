@@ -308,6 +308,75 @@ def run_docs_index_step(
     return report
 
 
+def run_vectors_index_step(
+    spark: SparkSession,
+    emb_path: str,
+    out_dir: str,
+    ds: str,
+    threshold: float = 0.9,
+) -> dict:
+    """Daily embedding-shard dedup-index step — the vector twin of
+    ``run_docs_index_step``: probe the persistent hyperplane-LSH
+    index (``operators/dedup_index.py``) for cosine near-dups of
+    today's shard against all PRIOR ``_SUCCESS``-complete days
+    (O(shard + candidates), never O(corpus)), drop the duplicate new
+    vectors, and index the survivors under an idempotent per-day
+    partition (``vector_index/{buckets,vectors}/ds=<ds>`` overwrite).
+
+    Day 1 (no prior index) self-dedups the shard with the star-edge
+    graph (``lsh_dedup_edges_auto`` → ``dedup_canonical``) instead.
+    """
+    from data_engineering_user_session_analysis_spark.operators.dedup import dedup_canonical
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        append_shard_to_vector_index,
+        incremental_vector_neardup,
+        vector_shard_indexed,
+    )
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        lsh_dedup_edges_auto,
+    )
+
+    idx = os.path.join(out_dir, "vector_index")
+    shard = spark.read.parquet(emb_path)
+    report = {"shard_rows": shard.count()}
+    buckets_root = os.path.join(idx, "buckets")
+    complete_days = (
+        sorted(
+            p.split("=", 1)[1]
+            for p in os.listdir(buckets_root)
+            if p.startswith("ds=")
+            and p.split("=", 1)[1] < ds
+            and vector_shard_indexed(idx, p.split("=", 1)[1])
+        )
+        if os.path.isdir(buckets_root)
+        else []
+    )
+    if complete_days:
+        hits = incremental_vector_neardup(
+            spark,
+            shard,
+            idx,
+            threshold=threshold,
+            before_ds=ds,
+            only_ds=complete_days,
+        )
+        dup_new = hits.select(F.col("vec_b").alias("vec_id")).distinct()
+        clean = shard.join(dup_new, "vec_id", "left_anti")
+        report["dup_hits"] = hits.count()
+    else:
+        clean = dedup_canonical(
+            shard,
+            lsh_dedup_edges_auto(shard, threshold=threshold),
+            id_col="vec_id",
+            src="vec_a",
+            dst="vec_b",
+        )
+        report["dup_hits"] = None  # first day: self-dedup only
+    append_shard_to_vector_index(clean, idx, ds)
+    report["indexed_rows"] = clean.count()
+    return report
+
+
 def run_daily_pipeline(
     spark: SparkSession,
     lake_path: str,
@@ -316,6 +385,7 @@ def run_daily_pipeline(
     fmt: str = "parquet",
     compact_previous: bool = True,
     docs_path: str | None = None,
+    emb_path: str | None = None,
 ) -> dict:
     """The composed daily operational verb (``job daily <ds>``) — the
     sequence a real deployment runs once per day, chaining the
@@ -335,7 +405,10 @@ def run_daily_pipeline(
        files before backfills pay file-count costs forever;
     5. **dedup-index probe** (``run_docs_index_step``, only when
        ``docs_path`` names today's document shard): near-dup probe
-       against all prior days' index, drop dups, index survivors.
+       against all prior days' index, drop dups, index survivors;
+    6. **vector-index probe** (``run_vectors_index_step``, only when
+       ``emb_path`` names today's embedding shard): the cosine twin
+       of step 5 over the persistent hyperplane-LSH index.
 
     Every step is an idempotent per-day overwrite, so re-running any
     day replaces exactly that day's outputs (pinned by
@@ -394,6 +467,10 @@ def run_daily_pipeline(
     if docs_path is not None:
         report["dedup_index"] = run_docs_index_step(
             spark, docs_path, out_dir, ds
+        )
+    if emb_path is not None:
+        report["vector_index"] = run_vectors_index_step(
+            spark, emb_path, out_dir, ds
         )
     return report
 

@@ -352,3 +352,41 @@ def test_docs_index_step_skips_incomplete_day(spark, sf_small, tmp_path):
     # rebuilds its partition and restores them to the probe surface)
     assert r3["dup_hits"] == 3
     assert r3["indexed_rows"] == 3
+
+
+def test_vectors_index_step_probes_and_is_idempotent(spark, sf_small, tmp_path):
+    """The daily embedding-shard index step: day 1 self-dedups and
+    builds the ds-partitioned vector index; day 2 probes ONLY prior
+    days, drops its planted exact clones (cosine 1.0 >= 0.9), and a
+    day-2 re-run reproduces the identical report."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import run_vectors_index_step
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    clones = even.orderBy("vec_id").limit(5).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    day2 = emb.filter(F.col("vec_id") % 2 == 1).unionByName(clones)
+    p1, p2 = str(tmp_path / "shard1"), str(tmp_path / "shard2")
+    even.write.parquet(p1)
+    day2.write.parquet(p2)
+    out = str(tmp_path / "serving")
+
+    r1 = run_vectors_index_step(spark, p1, out, "2024-01-01")
+    assert r1["dup_hits"] is None
+    assert 0 < r1["indexed_rows"] <= r1["shard_rows"]
+
+    r2 = run_vectors_index_step(spark, p2, out, "2024-01-02")
+    # clones of day-1 vectors that survived day-1 self-dedup hit at
+    # cosine 1.0 (a clone of a dropped vector still hits via the
+    # canonical representative)
+    assert r2["dup_hits"] >= 4
+    assert r2["indexed_rows"] < r2["shard_rows"]
+
+    r2_rerun = run_vectors_index_step(spark, p2, out, "2024-01-02")
+    assert r2_rerun == r2
+    ds_parts = sorted(os.listdir(os.path.join(out, "vector_index", "buckets")))
+    assert ds_parts == ["ds=2024-01-01", "ds=2024-01-02"]
