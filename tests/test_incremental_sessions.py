@@ -251,3 +251,37 @@ def test_late_data_replay_from_affected_day(spark, tmp_path):
     # the late purchase is now inside user 2's day-2 session
     got = {r["session_id"]: r for r in inc.collect()}
     assert got["2-2"]["is_purchase"] == 1
+
+
+def test_null_user_rows_match_batch(spark, tmp_path):
+    """Null-key events group into one window partition in batch
+    sessionization (`sessionize` windows over user_id), so the
+    incremental fold must stitch them identically across midnight.
+    The pre-round-7 join-based fold diverged here (inner-join merge
+    flags never matched null keys, so a null-key carry could neither
+    stitch nor close); the window-based fold inherits the batch
+    semantics by construction.  Production verbs still quarantine
+    null keys — this pins the OPERATOR contract: incremental == batch
+    on any input."""
+    rows = [
+        # null user: one session crossing midnight inside the gap
+        (None, "2024-03-01 23:50:00", 1, "view", 1.0),
+        (None, "2024-03-02 00:05:00", 2, "purchase", 2.0),
+        # and a later same-day session after the gap
+        (None, "2024-03-02 10:00:00", 3, "view", 0.5),
+        # a normal user for contrast
+        (7, "2024-03-01 12:00:00", 4, "view", 1.0),
+    ]
+    data = [
+        (u, dt.datetime.fromisoformat(ts), e, et, float(v))
+        for (u, ts, e, et, v) in rows
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "user_id long, ts timestamp, event_id long, event_type string, value double",
+    )
+    batch = session_rollup(sessionize(ev, order_cols=("event_id",)))
+    inc = _replay(spark, ev, str(tmp_path))
+    a = {tuple(r) for r in batch.collect()}
+    b = {tuple(r) for r in inc.collect()}
+    assert a == b and len(a) == 3  # null crossing session, null later session, u7
