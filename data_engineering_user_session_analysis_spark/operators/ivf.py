@@ -485,9 +485,11 @@ def ivf_index_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe the persistent index: top-``topk`` exact-dot neighbors
-    within each query's top-``nprobe`` cells.
+    within each query's top-``nprobe`` cells, over the base
+    ``members/`` table UNIONED with every ``increments/ds=*`` shard
+    (``_index_members``).
 
-    The members scan carries ``cell IN (<probed cells>)`` — a literal
+    Both scans carry ``cell IN (<probed cells>)`` — a literal
     IN-filter over the Hive partition column, so Catalyst prunes to
     exactly the probed directories (``PartitionFilters`` plan-pinned).
     Query batch is expected anchor-scale (bounded): cell selection
