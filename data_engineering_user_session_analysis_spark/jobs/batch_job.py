@@ -269,24 +269,11 @@ def run_docs_index_step(
     idx = os.path.join(out_dir, "doc_index")
     shard = spark.read.parquet(docs_path)
     report = {"shard_rows": shard.count()}
-    buckets_root = os.path.join(idx, "buckets")
-    # a prior day counts only if its write COMPLETED (_SUCCESS marker,
-    # written last); the verified day list is passed INTO the probe as
-    # an isin partition filter, so a crashed day's partial files are
-    # excluded from candidate generation (not merely absent from this
-    # boolean) until that day's re-run rebuilds them
-    complete_days = (
-        sorted(
-            p.split("=", 1)[1]
-            for p in os.listdir(buckets_root)
-            if p.startswith("ds=")
-            and p.split("=", 1)[1] < ds
-            and shard_indexed(idx, p.split("=", 1)[1])
-        )
-        if os.path.isdir(buckets_root)
-        else []
-    )
+    complete_days = _complete_prior_days(idx, ds, shard_indexed)
     if complete_days:
+        # one probe pass serves the hit count AND the anti-join ids
+        # (the candidate joins + verification are the day's expensive
+        # work — without the materialization they re-run per action)
         hits = incremental_neardup_pairs(
             spark,
             shard,
@@ -294,7 +281,7 @@ def run_docs_index_step(
             threshold=threshold,
             before_ds=ds,
             only_ds=complete_days,
-        )
+        ).localCheckpoint(eager=True)
         dup_new = hits.select(F.col("doc_b").alias("doc_id")).distinct()
         clean = shard.join(dup_new, "doc_id", "left_anti")
         report["dup_hits"] = hits.count()
@@ -303,9 +290,31 @@ def run_docs_index_step(
             shard, minhash_dedup_edges(shard, threshold=threshold)
         )
         report["dup_hits"] = None  # first day: self-dedup only
+    # the survivor set feeds two index writes plus the count below
+    clean = clean.localCheckpoint(eager=True)
     append_shard_to_minhash_index(clean, idx, ds)
     report["indexed_rows"] = clean.count()
     return report
+
+
+def _complete_prior_days(idx: str, ds: str, indexed_fn) -> list[str]:
+    """Prior index days that verifiably COMPLETED (their write's
+    ``_SUCCESS`` marker landed — ``indexed_fn(idx, day)``); passed
+    into the probes as an isin partition filter so a crashed day's
+    partial files are excluded from candidate generation (not merely
+    trusted to be absent) until that day's re-run rebuilds them.
+    Listing is local; a cluster deployment lists via the Hadoop
+    FileSystem API (the same note as the session-state discovery)."""
+    buckets_root = os.path.join(idx, "buckets")
+    if not os.path.isdir(buckets_root):
+        return []
+    return sorted(
+        p.split("=", 1)[1]
+        for p in os.listdir(buckets_root)
+        if p.startswith("ds=")
+        and p.split("=", 1)[1] < ds
+        and indexed_fn(idx, p.split("=", 1)[1])
+    )
 
 
 def run_vectors_index_step(
@@ -339,19 +348,9 @@ def run_vectors_index_step(
     idx = os.path.join(out_dir, "vector_index")
     shard = spark.read.parquet(emb_path)
     report = {"shard_rows": shard.count()}
-    buckets_root = os.path.join(idx, "buckets")
-    complete_days = (
-        sorted(
-            p.split("=", 1)[1]
-            for p in os.listdir(buckets_root)
-            if p.startswith("ds=")
-            and p.split("=", 1)[1] < ds
-            and vector_shard_indexed(idx, p.split("=", 1)[1])
-        )
-        if os.path.isdir(buckets_root)
-        else []
-    )
+    complete_days = _complete_prior_days(idx, ds, vector_shard_indexed)
     if complete_days:
+        # one probe pass serves the hit count AND the anti-join ids
         hits = incremental_vector_neardup(
             spark,
             shard,
@@ -359,7 +358,7 @@ def run_vectors_index_step(
             threshold=threshold,
             before_ds=ds,
             only_ds=complete_days,
-        )
+        ).localCheckpoint(eager=True)
         dup_new = hits.select(F.col("vec_b").alias("vec_id")).distinct()
         clean = shard.join(dup_new, "vec_id", "left_anti")
         report["dup_hits"] = hits.count()
@@ -372,6 +371,8 @@ def run_vectors_index_step(
             dst="vec_b",
         )
         report["dup_hits"] = None  # first day: self-dedup only
+    # the survivor set feeds two index writes plus the count below
+    clean = clean.localCheckpoint(eager=True)
     append_shard_to_vector_index(clean, idx, ds)
     report["indexed_rows"] = clean.count()
     return report

@@ -143,7 +143,13 @@ def append_shard_to_minhash_index(
     a re-run overwrites both, so a partial write can never yield
     verified-against-nothing silent misses; the reverse order could
     (bucket candidates whose shingle sets don't exist join to
-    nothing)."""
+    nothing).  On a RE-RUN the previous run's marker is retracted
+    FIRST (the buckets dir is deleted before anything is rewritten):
+    otherwise a crash between the new sets write and the new buckets
+    write would leave the OLD ``_SUCCESS`` standing over mismatched
+    sets/buckets — a day that probes as complete but whose candidates
+    verify against the wrong shingle sets."""
+    _retract_day_marker(path, ds)
     sh = shingle_docs(docs, text_col, id_col, n).cache()
     _set_table(sh, id_col).write.mode("overwrite").parquet(
         os.path.join(path, "sets", f"ds={ds}")
@@ -152,6 +158,15 @@ def append_shard_to_minhash_index(
         os.path.join(path, "buckets", f"ds={ds}")
     )
     sh.unpersist()
+
+
+def _retract_day_marker(path: str, ds: str) -> None:
+    """Delete a day's bucket partition (its completeness marker lives
+    there) so the day reads as incomplete for the whole duration of a
+    re-run's writes."""
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "buckets", f"ds={ds}"), ignore_errors=True)
 
 
 def shard_indexed(path: str, ds: str) -> bool:
@@ -364,13 +379,15 @@ def append_shard_to_vector_index(
     embedding twin of ``append_shard_to_minhash_index``: the shard
     lands under ``buckets/ds=<ds>`` and ``vectors/ds=<ds>`` with
     OVERWRITE, so a retried or re-run day replaces exactly its own
-    rows.  Write order is crash-safe in the same sense: ``vectors``
-    (the exact-verify surface) lands BEFORE ``buckets`` (the
-    candidate surface), and the bucket dir's ``_SUCCESS`` marker is
-    the day's presence signal (``vector_shard_indexed``) — a crash
-    between the writes leaves a day that generates no candidates and
-    gets rebuilt by its re-run, never candidates that verify against
-    missing vectors."""
+    rows.  Write order is crash-safe in the same sense: the previous
+    run's marker is retracted first (see ``_retract_day_marker``),
+    then ``vectors`` (the exact-verify surface) lands BEFORE
+    ``buckets`` (the candidate surface), and the bucket dir's
+    ``_SUCCESS`` marker is the day's presence signal
+    (``vector_shard_indexed``) — a crash anywhere leaves a day that
+    reads as incomplete and gets rebuilt by its re-run, never
+    candidates that verify against missing or mismatched vectors."""
+    _retract_day_marker(path, ds)
     _vector_norm_table(emb, id_col, vec_col).write.mode("overwrite").parquet(
         os.path.join(path, "vectors", f"ds={ds}")
     )
@@ -379,12 +396,9 @@ def append_shard_to_vector_index(
     ).parquet(os.path.join(path, "buckets", f"ds={ds}"))
 
 
-def vector_shard_indexed(path: str, ds: str) -> bool:
-    """True when day ``ds``'s vector-index contribution is COMPLETE
-    (bucket ``_SUCCESS``, written last)."""
-    return os.path.exists(
-        os.path.join(path, "buckets", f"ds={ds}", "_SUCCESS")
-    )
+# the two index families share one completeness convention: the
+# day's bucket-partition _SUCCESS marker, written last
+vector_shard_indexed = shard_indexed
 
 
 def incremental_vector_neardup(

@@ -303,32 +303,25 @@ def _assign_cells_kernel(
 ) -> DataFrame:
     """Map-only Arrow assignment of every vector to its max-dot seed
     (ties to the smallest sid) — the ``assignment="kernel"`` path of
-    ``ivf_topk``, shared by the persistent index build."""
-    seed_rows = seeds.orderBy("sid").collect()
-    seed_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
-    seed_mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
-
-    @F.pandas_udf("long")
-    def best_cell(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=np.int64)
-        x = np.stack(v.to_numpy()).astype(np.float64)
-        acc = np.zeros((len(v), len(seed_ids)), dtype=np.float64)
-        for d in range(x.shape[1]):  # foldl order: ((0 + p0) + p1) + ...
-            acc = acc + x[:, d : d + 1] * seed_mat[np.newaxis, :, d].reshape(1, -1)
-        return pd.Series(seed_ids[np.argmax(acc, axis=1)])
-
-    return emb.select(id_col, best_cell(F.col(vec_col)).alias("cell"))
+    ``ivf_topk``, shared by the persistent index build.  One
+    implementation: the cos-reporting kernel with the cosine column
+    projected away (cell choice and drift observable can never
+    diverge)."""
+    return _assign_cells_cos_kernel(emb, seeds, id_col, vec_col).select(
+        id_col, "cell"
+    )
 
 
 def _assign_cells_cos_kernel(
     emb: DataFrame, seeds: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """``_assign_cells_kernel`` plus the assignment COSINE (vector vs
-    its chosen centroid) — the per-vector drift observable the
-    persistent index stores and compares on append.  Cell choice is
-    computed with the identical foldl accumulation, so assignments
-    are bit-for-bit the same as the plain kernel's."""
+    """Arrow assignment kernel, emitting (id, cell, assign_cos): the
+    max-dot seed per vector (ties to the smallest sid — seeds scored
+    in sid order, argmax takes the first maximum; accumulation runs
+    per-dimension in the fold's exact left-to-right IEEE order so
+    assignment is bit-identical to the crossJoin+fold construction)
+    plus the assignment COSINE — the per-vector drift observable the
+    persistent index stores and compares on append."""
     seed_rows = seeds.orderBy("sid").collect()
     seed_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
     seed_mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
@@ -399,22 +392,33 @@ def append_to_ivf_index(
         .select(id_col, vec_col, F.col("cell"), F.col("assign_cos"))
         .cache()  # one kernel pass serves the write AND the metric
     )
+    agg = out.agg(
+        F.count("*").alias("n"), F.avg("assign_cos").alias("mean_cos")
+    ).first()
+    if agg["n"] == 0:
+        # empty shard: nothing to write, and no cosine evidence — a
+        # null mean must not read as drift (0.0 < any baseline)
+        out.unpersist()
+        return {
+            "appended": 0,
+            "ds": ds,
+            "mean_assign_cos": None,
+            "build_mean_assign_cos": None,
+            "stale": None,
+        }
     if ds is None:
         out.drop("assign_cos").write.mode("append").partitionBy("cell").parquet(
             os.path.join(path, "members")
         )
-        shard_dir = None
     else:
-        shard_dir = os.path.join(path, "increments", f"ds={ds}")
-        out.write.mode("overwrite").partitionBy("cell").parquet(shard_dir)
-    agg = out.agg(
-        F.count("*").alias("n"), F.avg("assign_cos").alias("mean_cos")
-    ).first()
+        out.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(path, "increments", f"ds={ds}")
+        )
     out.unpersist()
     report = {
         "appended": agg["n"],
         "ds": ds,
-        "mean_assign_cos": float(agg["mean_cos"] or 0.0),
+        "mean_assign_cos": float(agg["mean_cos"]),
         "build_mean_assign_cos": None,
         "stale": None,
     }
@@ -468,8 +472,19 @@ def rebuild_ivf_index(
     tmp = path.rstrip("/") + ".rebuild"
     shutil.rmtree(tmp, ignore_errors=True)
     stats = write_ivf_index(vecs, tmp, k_cells, id_col=id_col, vec_col=vec_col)
-    shutil.rmtree(path)
+    # swap only after the rebuild is verifiably complete, and never
+    # have a moment where the live path is deleted without its
+    # replacement ready: rename the old index aside (instant), rename
+    # the rebuild in, then GC the old — a crash at any point leaves
+    # either the old or the new index live at `path` (worst case plus
+    # a dangling .old/.rebuild dir to GC).
+    if not os.path.exists(os.path.join(tmp, "members", "_SUCCESS")):
+        raise RuntimeError(f"rebuild at {tmp} is incomplete (no members/_SUCCESS)")
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
     return stats
 
 

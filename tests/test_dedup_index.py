@@ -159,3 +159,27 @@ def test_vector_shard_append_is_idempotent_and_probes_prior_days(
         r.vec_a == src.vec_id and r.vec_b == 9_000_000 and abs(r.cosine - 1.0) < 1e-9
         for r in hits
     ), hits
+
+
+def test_rerun_retracts_completeness_marker_first(spark, sf_small, tmp_path):
+    """A re-run must retract the day's completeness marker BEFORE
+    rewriting anything: if it crashes mid-rewrite (simulated here as
+    marker-retraction + sets-only write), the day reads as incomplete
+    rather than serving mismatched sets/buckets under a stale
+    _SUCCESS."""
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _retract_day_marker,
+        append_shard_to_minhash_index,
+        shard_indexed,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text").limit(20)
+    idx = str(tmp_path / "idx")
+    append_shard_to_minhash_index(docs, idx, "2024-01-01")
+    assert shard_indexed(idx, "2024-01-01")
+    # the re-run's first act (before any write): the old marker is gone
+    _retract_day_marker(idx, "2024-01-01")
+    assert not shard_indexed(idx, "2024-01-01")
+    # and a completed re-run restores it
+    append_shard_to_minhash_index(docs, idx, "2024-01-01")
+    assert shard_indexed(idx, "2024-01-01")

@@ -592,3 +592,32 @@ def test_ivf_index_staleness_and_rebuild(spark, tmp_path):
         ).collect()
     )
     assert probed == direct and len(probed) == 9
+
+
+def test_ivf_append_empty_shard_is_not_stale(spark, sf_small, tmp_path):
+    """An empty daily shard carries no cosine evidence: the append
+    must report stale=None (not trip the drift signal via a
+    0.0-coerced null mean) and write nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        append_to_ivf_index,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path)
+    empty = emb.filter(F.lit(False))
+    rep = append_to_ivf_index(empty, path, ds="2024-03-01")
+    assert rep == {
+        "appended": 0,
+        "ds": "2024-03-01",
+        "mean_assign_cos": None,
+        "build_mean_assign_cos": None,
+        "stale": None,
+    }
+    assert not os.path.isdir(os.path.join(path, "increments", "ds=2024-03-01"))
