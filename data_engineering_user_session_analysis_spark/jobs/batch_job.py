@@ -554,6 +554,15 @@ def main(argv: list[str]) -> None:
 
         print(rebuild_ivf_index(get_spark("ivf_reindex"), argv[2]))
         return
+    if argv[1] == "compact-index":
+        # fold accumulated daily increments into the base members
+        # table (small-files maintenance; assignments unchanged)
+        from data_engineering_user_session_analysis_spark.operators.ivf import (
+            compact_ivf_increments,
+        )
+
+        print(compact_ivf_increments(get_spark("ivf_compaction"), argv[2]))
+        return
     ds = argv[1]
     lake = argv[2] if len(argv) > 2 else os.environ.get("LAKE_PATH", "/tmp/events_lake")
     out = argv[3] if len(argv) > 3 else os.environ.get("SERVING_PATH", "/tmp/serving")

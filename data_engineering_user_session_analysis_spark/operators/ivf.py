@@ -449,6 +449,67 @@ def _index_members(spark, path: str, id_col: str, vec_col: str) -> DataFrame:
     return mem
 
 
+def compact_ivf_increments(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fold accumulated ``increments/ds=*`` shards into the base
+    ``members/`` table — the index's small-files maintenance verb
+    (the ``compact_partition`` story applied to the ANN tier).  Cell
+    assignments are NOT recomputed (each increment was assigned
+    against the live centroids when it landed), so this is a pure
+    re-layout: read base + increments, rewrite members partitioned by
+    cell, drop the increments dir.  Without it a year of daily shards
+    makes every probe union 365 ds-partitions' files per probed cell.
+
+    Crash-safe like ``rebuild_ivf_index``: the merged members land in
+    a sibling dir, are verified complete, and are renamed in before
+    the increments dir is removed — a crash anywhere leaves a
+    readable index (worst case the increments are folded AND still
+    present, which double-counts nothing on the next compaction but
+    duplicates probe rows until it runs; hence increments are deleted
+    FIRST after the swap, before the .old GC).
+    Returns ``{"members_rows", "increment_rows"}``.
+    """
+    import os
+    import shutil
+
+    inc_dir = os.path.join(path, "increments")
+    if not os.path.isdir(inc_dir):
+        return {"members_rows": None, "increment_rows": 0}
+    members_dir = os.path.join(path, "members")
+    inc = spark.read.parquet(inc_dir)
+    n_inc = inc.count()
+    # mergeSchema: legacy one-shot appends drop assign_cos, so member
+    # files can be schema-mixed — merge surfaces the column with nulls
+    # for the legacy rows instead of footer-lottery dropping it
+    base = spark.read.option("mergeSchema", "true").parquet(members_dir)
+    if "assign_cos" not in base.columns:  # pre-stats index layout
+        base = base.withColumn("assign_cos", F.lit(None).cast("double"))
+    cols = [F.col(id_col), F.col(vec_col), F.col("cell"), F.col("assign_cos")]
+    merged_dir = members_dir + ".compact"
+    shutil.rmtree(merged_dir, ignore_errors=True)
+    (
+        base.select(*cols)
+        .unionByName(inc.select(*cols))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(merged_dir)
+    )
+    if not os.path.exists(os.path.join(merged_dir, "_SUCCESS")):
+        raise RuntimeError(f"compaction at {merged_dir} is incomplete")
+    old = members_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(members_dir, old)
+    os.rename(merged_dir, members_dir)
+    shutil.rmtree(inc_dir)  # before .old GC: probes must not double-read
+    shutil.rmtree(old, ignore_errors=True)
+    n_members = spark.read.parquet(members_dir).count()
+    return {"members_rows": n_members, "increment_rows": n_inc}
+
+
 def rebuild_ivf_index(
     spark,
     path: str,

@@ -621,3 +621,47 @@ def test_ivf_append_empty_shard_is_not_stale(spark, sf_small, tmp_path):
         "stale": None,
     }
     assert not os.path.isdir(os.path.join(path, "increments", "ds=2024-03-01"))
+
+
+def test_ivf_compact_increments_preserves_probe(spark, sf_small, tmp_path):
+    """Folding increments into members is a pure re-layout: probe
+    results identical before and after, increments dir gone, row
+    count = base + shards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        append_to_ivf_index,
+        compact_ivf_increments,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    path = str(tmp_path / "ivf")
+    build = write_ivf_index(emb, path)
+    s1 = emb.limit(20).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    s2 = emb.limit(10).withColumn("vec_id", F.col("vec_id") + 2_000_000)
+    append_to_ivf_index(s1, path, ds="2024-01-02")
+    append_to_ivf_index(s2, path, ds="2024-01-03")
+    q = s1.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    before = sorted(
+        tuple(r) for r in ivf_index_topk(spark, path, q, nprobe=2, topk=3).collect()
+    )
+    rep = compact_ivf_increments(spark, path)
+    assert rep["increment_rows"] == 30
+    assert rep["members_rows"] == build["n_vectors"] + 30
+    assert not os.path.isdir(os.path.join(path, "increments"))
+    after = sorted(
+        tuple(r) for r in ivf_index_topk(spark, path, q, nprobe=2, topk=3).collect()
+    )
+    assert after == before and len(after) == 9
+    # compaction is idempotent when there is nothing to fold
+    assert compact_ivf_increments(spark, path) == {
+        "members_rows": None,
+        "increment_rows": 0,
+    }
