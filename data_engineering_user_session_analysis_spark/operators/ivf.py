@@ -219,6 +219,156 @@ def ivf_topk_auto(
 
 
 # ----------------------------------------------------------------- #
+# Two-level IVF: the beyond-the-clamp coarse quantizer               #
+# ----------------------------------------------------------------- #
+
+
+def ivf2_topk(
+    emb: DataFrame,
+    anchor_ids: tuple[int, ...],
+    k_cells: int | None = None,
+    nprobe_super: int = 2,
+    nprobe_cell: int = 4,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hierarchical (two-level) IVF — the production answer the flat
+    operator's K-clamp points at (``IVF_MAX_CELLS``): above K ≈ 4096
+    the flat kernel's per-vector cost (K dots) and the seed broadcast
+    both grow with √N, while two levels keep them at ~2·√K dots per
+    vector with the same probe economics.
+
+    Construction (all deterministic, no stored model):
+
+    * K cells, K1 = ⌈√K⌉ super-cells; cell seeds by the usual
+      smallest-md5 rule, super seeds = the K1 smallest-md5 CELL seeds
+      (a subset, so the hierarchy adds no new vectors);
+    * every cell seed is assigned to its max-dot super;
+    * every VECTOR routes level-wise: max-dot super first, then
+      max-dot cell seed WITHIN that super (ties to smallest id at
+      both levels).  This is the standard two-level restriction —
+      assignment may differ from flat IVF's global argmax, which is
+      the accepted trade for the √K-factor cost cut;
+    * a query probes its top-``nprobe_super`` supers, ranks the cell
+      seeds inside them, searches the top-``nprobe_cell`` cells
+      exactly.
+
+    Scale shape: the K-seed collect is O(K·dim) driver memory (~33 MB
+    at K=65k, dim=64 — broadcast-class where flat's per-vector K-dot
+    compute would already be prohibitive); vector routing is one
+    map-only Arrow kernel; the candidate search joins on ``cell``
+    exactly like flat IVF.  Recall on clone corpora is pinned in
+    tests/test_similarity.py (clones route identically by
+    construction).  Output: (q_id, neighbor_id, rank)."""
+    n = emb.count()
+    k = k_cells or min(
+        max(math.ceil(math.sqrt(max(n, 1))), IVF_MIN_CELLS), 65536
+    )
+    k1 = max(math.ceil(math.sqrt(k)), 2)
+    seeds = select_seeds(emb, k, id_col=id_col, vec_col=vec_col)
+
+    seed_rows = seeds.orderBy("sid").collect()
+    seed_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
+    seed_mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
+    # supers = the k1 smallest-md5 cell seeds (same rule, same order
+    # as select_seeds — reproducible from the seed list alone)
+    import hashlib
+
+    md5 = np.array(
+        [hashlib.md5(str(s).encode()).hexdigest() for s in seed_ids]
+    )
+    super_idx = np.argsort(md5, kind="stable")[:k1]
+    sup_ids = seed_ids[super_idx]
+    sup_mat = seed_mat[super_idx]
+
+    def _route(x: np.ndarray) -> np.ndarray:
+        """Level-wise argmax routing for a batch: best super by dot
+        (foldl order, ties to smallest sup id via first-argmax over
+        sid-sorted supers), then best cell seed within that super."""
+        acc1 = np.zeros((len(x), len(sup_ids)), dtype=np.float64)
+        for d in range(x.shape[1]):
+            acc1 = acc1 + x[:, d : d + 1] * sup_mat[np.newaxis, :, d].reshape(1, -1)
+        # supers must be scored in ascending sup_id for the tie rule
+        order1 = np.argsort(sup_ids, kind="stable")
+        best_sup = sup_ids[order1][np.argmax(acc1[:, order1], axis=1)]
+        out = np.empty(len(x), dtype=np.int64)
+        for s in np.unique(best_sup):
+            rows = np.where(best_sup == s)[0]
+            members = np.where(seed_to_sup == s)[0]  # ascending sid
+            acc2 = np.zeros((len(rows), len(members)), dtype=np.float64)
+            xm = x[rows]
+            sm = seed_mat[members]
+            for d in range(x.shape[1]):
+                acc2 = acc2 + xm[:, d : d + 1] * sm[np.newaxis, :, d].reshape(1, -1)
+            out[rows] = seed_ids[members][np.argmax(acc2, axis=1)]
+        return out
+
+    # cell-seed -> super assignment (tiny: K x K1), driver-side numpy
+    acc = np.zeros((len(seed_ids), len(sup_ids)), dtype=np.float64)
+    order1 = np.argsort(sup_ids, kind="stable")
+    for d in range(seed_mat.shape[1]):
+        acc = acc + seed_mat[:, d : d + 1] * sup_mat[np.newaxis, :, d].reshape(1, -1)
+    seed_to_sup = sup_ids[order1][np.argmax(acc[:, order1], axis=1)]
+
+    @F.pandas_udf("long")
+    def route_cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=np.int64)
+        return pd.Series(_route(np.stack(v.to_numpy()).astype(np.float64)))
+
+    cells = emb.select(id_col, route_cell(F.col(vec_col)).alias("cell"))
+
+    # query side: rank supers exactly, then cells within the probed
+    # supers, then exact search in the selected cells — all driver
+    # math is O(anchors · (K1 + K/K1 · nprobe_super)), broadcast-class
+    anchors = emb.filter(F.col(id_col).isin(*anchor_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+    )
+    a_rows = anchors.collect()
+    probe_cells: dict[int, list[int]] = {}
+    for r in a_rows:
+        q = np.array(list(r["q_emb"]), dtype=np.float64)
+        d1 = np.zeros(len(sup_ids))
+        for d in range(len(q)):
+            d1 = d1 + q[d] * sup_mat[:, d]
+        o = np.argsort(sup_ids, kind="stable")
+        top_sups = sup_ids[o][
+            np.argsort(-d1[o], kind="stable")[:nprobe_super]
+        ]
+        cand = np.where(np.isin(seed_to_sup, top_sups))[0]
+        d2 = np.zeros(len(cand))
+        for d in range(len(q)):
+            d2 = d2 + q[d] * seed_mat[cand, d]
+        top_cells = seed_ids[cand][np.argsort(-d2, kind="stable")[:nprobe_cell]]
+        probe_cells[r["q_id"]] = [int(c) for c in top_cells]
+    spark = emb.sparkSession
+    q_cells = spark.createDataFrame(
+        [(q, c) for q, cs in probe_cells.items() for c in cs],
+        "q_id long, cell long",
+    )
+    members = emb.join(cells, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_emb"), "cell"
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(q_cells.join(anchors, "q_id"))
+        .join(members, "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            foldl_dot_column("q_emb", "n_emb").alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ----------------------------------------------------------------- #
 # Persistent IVF index: build once, probe per query batch            #
 # ----------------------------------------------------------------- #
 
