@@ -288,6 +288,25 @@ def measure_vectors(
             res["ivf_index_probe_matches_direct"] = probed == ivf3
         finally:
             shutil.rmtree(idx, ignore_errors=True)
+    # Two-level coarse quantizer at the same scale: ~2*sqrt(K) dots
+    # per vector routed vs K for the flat kernel — the cost structure
+    # that takes over past the flat operator's K=4096 clamp.
+    # Measured LAST on purpose: the index-economics numbers above
+    # stay comparable across rounds (in-JVM pressure from an extra
+    # preceding Arrow stage measured 10x on the cold probe).
+    from data_engineering_user_session_analysis_spark.operators.ivf import ivf2_topk
+
+    (ivf2, res["ivf2_topk_sec"]) = timed(
+        lambda: {
+            (r.q_id, r.neighbor_id)
+            for r in ivf2_topk(
+                emb_c, ANCHOR_IDS, nprobe_super=2, nprobe_cell=4, topk=3
+            ).collect()
+        }
+    )
+    res["ivf2_recall_at_3"] = (
+        round(len(true3 & ivf2) / len(true3), 4) if true3 else None
+    )
     emb_c.unpersist()
     return res
 
@@ -953,6 +972,10 @@ def main() -> None:
             "candidate_to_pair_ratio_100x": emb100["lsh_candidate_to_pair_ratio"],
             "clone_pair_recall_100x": emb100["clone_pair_recall"],
             "ivf_recall_at_3_100x": emb100["ivf_recall_at_3"],
+            # two-level coarse quantizer at the same decade — the
+            # cost structure that takes over past the flat K-clamp
+            "ivf2_topk_sec_100x": emb100.get("ivf2_topk_sec"),
+            "ivf2_recall_at_3_100x": emb100.get("ivf2_recall_at_3"),
             # star-edge graph vs the quadratic all-pairs output
             "dedup_edges_100x": emb100.get("dedup_edges"),
             "dedup_edges_sec_100x": emb100.get("dedup_edges_sec"),
