@@ -223,6 +223,96 @@ def ivf_topk_auto(
 # ----------------------------------------------------------------- #
 
 
+def _two_level_arrays(seed_rows) -> dict:
+    """The numpy state every two-level path shares, derived from the
+    sid-ascending ``(sid, se)`` seed rows ALONE (so the one-shot
+    operator, the persistent-index build, appends, and probes all
+    reconstruct the identical hierarchy from the stored centroids):
+    K1 = ⌈√K⌉ supers = the K1 smallest-md5 cell seeds, and the
+    max-dot cell-seed→super map (ties to the smallest super id)."""
+    import hashlib
+
+    seed_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
+    seed_mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
+    k1 = max(math.ceil(math.sqrt(len(seed_ids))), 2)
+    md5 = np.array(
+        [hashlib.md5(str(s).encode()).hexdigest() for s in seed_ids]
+    )
+    super_idx = np.argsort(md5, kind="stable")[:k1]
+    sup_ids = seed_ids[super_idx]
+    sup_mat = seed_mat[super_idx]
+    # cell-seed -> super assignment (tiny: K x K1), driver-side numpy;
+    # supers scored in ascending sup_id so first-argmax = smallest id
+    acc = np.zeros((len(seed_ids), len(sup_ids)), dtype=np.float64)
+    order1 = np.argsort(sup_ids, kind="stable")
+    for d in range(seed_mat.shape[1]):
+        acc = acc + seed_mat[:, d : d + 1] * sup_mat[np.newaxis, :, d].reshape(1, -1)
+    seed_to_sup = sup_ids[order1][np.argmax(acc[:, order1], axis=1)]
+    return {
+        "seed_ids": seed_ids,
+        "seed_mat": seed_mat,
+        "sup_ids": sup_ids,
+        "sup_mat": sup_mat,
+        "seed_to_sup": seed_to_sup,
+    }
+
+
+def _route_two_level(x: np.ndarray, tl: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Level-wise argmax routing for a batch: best super by dot
+    (foldl order, ties to smallest sup id via first-argmax over
+    sid-sorted supers), then best cell seed within that super.
+    Returns (assigned cell ids, dot to the assigned seed)."""
+    sup_ids, sup_mat = tl["sup_ids"], tl["sup_mat"]
+    seed_ids, seed_mat = tl["seed_ids"], tl["seed_mat"]
+    seed_to_sup = tl["seed_to_sup"]
+    acc1 = np.zeros((len(x), len(sup_ids)), dtype=np.float64)
+    for d in range(x.shape[1]):
+        acc1 = acc1 + x[:, d : d + 1] * sup_mat[np.newaxis, :, d].reshape(1, -1)
+    order1 = np.argsort(sup_ids, kind="stable")
+    best_sup = sup_ids[order1][np.argmax(acc1[:, order1], axis=1)]
+    out = np.empty(len(x), dtype=np.int64)
+    out_dot = np.empty(len(x), dtype=np.float64)
+    for s in np.unique(best_sup):
+        rows = np.where(best_sup == s)[0]
+        members = np.where(seed_to_sup == s)[0]  # ascending sid
+        acc2 = np.zeros((len(rows), len(members)), dtype=np.float64)
+        xm = x[rows]
+        sm = seed_mat[members]
+        for d in range(x.shape[1]):
+            acc2 = acc2 + xm[:, d : d + 1] * sm[np.newaxis, :, d].reshape(1, -1)
+        idx = np.argmax(acc2, axis=1)
+        out[rows] = seed_ids[members][idx]
+        out_dot[rows] = acc2[np.arange(len(rows)), idx]
+    return out, out_dot
+
+
+def _two_level_probe_cells(
+    q_rows: list[tuple[int, list]], tl: dict, nprobe_super: int, nprobe_cell: int
+) -> dict[int, list[int]]:
+    """Query-side cell selection under the two-level restriction:
+    rank supers exactly, then the cell seeds inside the probed
+    supers.  Driver math is O(queries · (K1 + K/K1 · nprobe_super))
+    — broadcast-class for bounded query batches."""
+    sup_ids, sup_mat = tl["sup_ids"], tl["sup_mat"]
+    seed_ids, seed_mat = tl["seed_ids"], tl["seed_mat"]
+    seed_to_sup = tl["seed_to_sup"]
+    probe_cells: dict[int, list[int]] = {}
+    for q_id, q_vec in q_rows:
+        q = np.array(list(q_vec), dtype=np.float64)
+        d1 = np.zeros(len(sup_ids))
+        for d in range(len(q)):
+            d1 = d1 + q[d] * sup_mat[:, d]
+        o = np.argsort(sup_ids, kind="stable")
+        top_sups = sup_ids[o][np.argsort(-d1[o], kind="stable")[:nprobe_super]]
+        cand = np.where(np.isin(seed_to_sup, top_sups))[0]
+        d2 = np.zeros(len(cand))
+        for d in range(len(q)):
+            d2 = d2 + q[d] * seed_mat[cand, d]
+        top_cells = seed_ids[cand][np.argsort(-d2, kind="stable")[:nprobe_cell]]
+        probe_cells[q_id] = [int(c) for c in top_cells]
+    return probe_cells
+
+
 def ivf2_topk(
     emb: DataFrame,
     anchor_ids: tuple[int, ...],
@@ -265,57 +355,15 @@ def ivf2_topk(
     k = k_cells or min(
         max(math.ceil(math.sqrt(max(n, 1))), IVF_MIN_CELLS), 65536
     )
-    k1 = max(math.ceil(math.sqrt(k)), 2)
     seeds = select_seeds(emb, k, id_col=id_col, vec_col=vec_col)
-
-    seed_rows = seeds.orderBy("sid").collect()
-    seed_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
-    seed_mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
-    # supers = the k1 smallest-md5 cell seeds (same rule, same order
-    # as select_seeds — reproducible from the seed list alone)
-    import hashlib
-
-    md5 = np.array(
-        [hashlib.md5(str(s).encode()).hexdigest() for s in seed_ids]
-    )
-    super_idx = np.argsort(md5, kind="stable")[:k1]
-    sup_ids = seed_ids[super_idx]
-    sup_mat = seed_mat[super_idx]
-
-    def _route(x: np.ndarray) -> np.ndarray:
-        """Level-wise argmax routing for a batch: best super by dot
-        (foldl order, ties to smallest sup id via first-argmax over
-        sid-sorted supers), then best cell seed within that super."""
-        acc1 = np.zeros((len(x), len(sup_ids)), dtype=np.float64)
-        for d in range(x.shape[1]):
-            acc1 = acc1 + x[:, d : d + 1] * sup_mat[np.newaxis, :, d].reshape(1, -1)
-        # supers must be scored in ascending sup_id for the tie rule
-        order1 = np.argsort(sup_ids, kind="stable")
-        best_sup = sup_ids[order1][np.argmax(acc1[:, order1], axis=1)]
-        out = np.empty(len(x), dtype=np.int64)
-        for s in np.unique(best_sup):
-            rows = np.where(best_sup == s)[0]
-            members = np.where(seed_to_sup == s)[0]  # ascending sid
-            acc2 = np.zeros((len(rows), len(members)), dtype=np.float64)
-            xm = x[rows]
-            sm = seed_mat[members]
-            for d in range(x.shape[1]):
-                acc2 = acc2 + xm[:, d : d + 1] * sm[np.newaxis, :, d].reshape(1, -1)
-            out[rows] = seed_ids[members][np.argmax(acc2, axis=1)]
-        return out
-
-    # cell-seed -> super assignment (tiny: K x K1), driver-side numpy
-    acc = np.zeros((len(seed_ids), len(sup_ids)), dtype=np.float64)
-    order1 = np.argsort(sup_ids, kind="stable")
-    for d in range(seed_mat.shape[1]):
-        acc = acc + seed_mat[:, d : d + 1] * sup_mat[np.newaxis, :, d].reshape(1, -1)
-    seed_to_sup = sup_ids[order1][np.argmax(acc[:, order1], axis=1)]
+    tl = _two_level_arrays(seeds.orderBy("sid").collect())
 
     @F.pandas_udf("long")
     def route_cell(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=np.int64)
-        return pd.Series(_route(np.stack(v.to_numpy()).astype(np.float64)))
+        cells, _ = _route_two_level(np.stack(v.to_numpy()).astype(np.float64), tl)
+        return pd.Series(cells)
 
     cells = emb.select(id_col, route_cell(F.col(vec_col)).alias("cell"))
 
@@ -325,23 +373,12 @@ def ivf2_topk(
     anchors = emb.filter(F.col(id_col).isin(*anchor_ids)).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
     )
-    a_rows = anchors.collect()
-    probe_cells: dict[int, list[int]] = {}
-    for r in a_rows:
-        q = np.array(list(r["q_emb"]), dtype=np.float64)
-        d1 = np.zeros(len(sup_ids))
-        for d in range(len(q)):
-            d1 = d1 + q[d] * sup_mat[:, d]
-        o = np.argsort(sup_ids, kind="stable")
-        top_sups = sup_ids[o][
-            np.argsort(-d1[o], kind="stable")[:nprobe_super]
-        ]
-        cand = np.where(np.isin(seed_to_sup, top_sups))[0]
-        d2 = np.zeros(len(cand))
-        for d in range(len(q)):
-            d2 = d2 + q[d] * seed_mat[cand, d]
-        top_cells = seed_ids[cand][np.argsort(-d2, kind="stable")[:nprobe_cell]]
-        probe_cells[r["q_id"]] = [int(c) for c in top_cells]
+    probe_cells = _two_level_probe_cells(
+        [(r["q_id"], r["q_emb"]) for r in anchors.collect()],
+        tl,
+        nprobe_super,
+        nprobe_cell,
+    )
     spark = emb.sparkSession
     q_cells = spark.createDataFrame(
         [(q, c) for q, cs in probe_cells.items() for c in cs],
@@ -379,6 +416,7 @@ def write_ivf_index(
     k_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    levels: int = 1,
 ) -> dict:
     """Persist an IVF index so query batches probe WITHOUT
     re-assigning the corpus (the similarity-search twin of the
@@ -403,22 +441,42 @@ def write_ivf_index(
     next — a members/_SUCCESS marker is the index's presence signal —
     and the advisory stats last (a missing stats dir only disables
     the staleness comparison, never the index).
-    Returns ``{"k_cells", "n_vectors", "mean_assign_cos",
-    "max_cell_frac"}``.
+
+    ``levels=2`` builds the index with the TWO-LEVEL quantizer
+    (``ivf2_topk``'s routing — ~2·√K dots per vector instead of K),
+    the serving form for beyond-the-clamp corpora where a flat K
+    would exceed ``IVF_MAX_CELLS``; pass an explicit ``k_cells``
+    above the clamp in that regime.  The layout is identical (same
+    centroids, Hive-partitioned cells, stats) plus a ``_TWO_LEVEL``
+    marker written WITH the centroids, before any member lands —
+    appends, probes, and rebuilds read it and route with the build's
+    quantizer (``_index_levels``).  Returns ``{"k_cells",
+    "n_vectors", "mean_assign_cos", "max_cell_frac", "levels"}``.
     """
     import os
 
+    if levels not in (1, 2):
+        raise ValueError(f"levels must be 1 or 2, got {levels!r}")
     n = emb.count()
     k = k_cells or ivf_cells_for_n(n)
     seeds = select_seeds(emb, k, id_col=id_col, vec_col=vec_col)
     seeds.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
+    marker = os.path.join(path, "_TWO_LEVEL")
+    if levels == 2:
+        with open(marker, "w") as f:
+            f.write("2\n")
+    elif os.path.exists(marker):  # overwrite of a two-level index
+        os.remove(marker)
     # assign against the STORED centroids (what probes will read),
     # not the in-memory seeds plan — index self-consistency
     spark = emb.sparkSession
     seeds_stored = spark.read.parquet(os.path.join(path, "centroids"))
-    assigned = _assign_cells_cos_kernel(emb, seeds_stored, id_col, vec_col)
+    assign = (
+        _assign_cells_two_level_cos_kernel if levels == 2 else _assign_cells_cos_kernel
+    )
+    assigned = assign(emb, seeds_stored, id_col, vec_col)
     (
         emb.join(assigned, id_col)
         .select(id_col, vec_col, F.col("cell"), F.col("assign_cos"))
@@ -441,6 +499,7 @@ def write_ivf_index(
         "n_vectors": n,
         "mean_assign_cos": float(agg["mean_cos"] or 0.0),
         "max_cell_frac": float(max_cell) / n if n else 0.0,
+        "levels": levels,
     }
     spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "stats")
@@ -498,6 +557,46 @@ def _assign_cells_cos_kernel(
     ).select(id_col, F.col("_a.cell").alias("cell"), F.col("_a.assign_cos").alias("assign_cos"))
 
 
+def _assign_cells_two_level_cos_kernel(
+    emb: DataFrame, seeds: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Two-level twin of ``_assign_cells_cos_kernel``: level-wise
+    routing (``_route_two_level``) against the stored centroids —
+    ~2·√K dots per vector instead of K — emitting the same
+    (id, cell, assign_cos) surface so the index layout, staleness
+    signal, and probe economics are identical to the flat build."""
+    tl = _two_level_arrays(seeds.orderBy("sid").collect())
+    seed_norms = np.linalg.norm(tl["seed_mat"], axis=1)
+    seed_ids = tl["seed_ids"]  # ascending, so searchsorted is exact
+
+    @F.pandas_udf("cell long, assign_cos double")
+    def best_cell_cos(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
+                                 "assign_cos": pd.Series([], dtype=np.float64)})
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        cells, dots = _route_two_level(x, tl)
+        vnorm = np.linalg.norm(x, axis=1)
+        denom = vnorm * seed_norms[np.searchsorted(seed_ids, cells)]
+        cos = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+        return pd.DataFrame({"cell": cells, "assign_cos": cos})
+
+    return emb.select(
+        id_col, best_cell_cos(F.col(vec_col)).alias("_a")
+    ).select(id_col, F.col("_a.cell").alias("cell"), F.col("_a.assign_cos").alias("assign_cos"))
+
+
+def _index_levels(path: str) -> int:
+    """1 (flat) or 2 (two-level), from the ``_TWO_LEVEL`` marker file
+    written with the centroids — every verb that assigns or selects
+    cells (append, probe, rebuild) MUST route with the build's
+    quantizer, or vectors land in / are searched from the wrong
+    cells."""
+    import os
+
+    return 2 if os.path.exists(os.path.join(path, "_TWO_LEVEL")) else 1
+
+
 def append_to_ivf_index(
     emb_new: DataFrame,
     path: str,
@@ -536,7 +635,12 @@ def append_to_ivf_index(
 
     spark = emb_new.sparkSession
     seeds = spark.read.parquet(os.path.join(path, "centroids"))
-    assigned = _assign_cells_cos_kernel(emb_new, seeds, id_col, vec_col)
+    assign = (
+        _assign_cells_two_level_cos_kernel
+        if _index_levels(path) == 2
+        else _assign_cells_cos_kernel
+    )
+    assigned = assign(emb_new, seeds, id_col, vec_col)
     out = (
         emb_new.join(assigned, id_col)
         .select(id_col, vec_col, F.col("cell"), F.col("assign_cos"))
@@ -682,7 +786,14 @@ def rebuild_ivf_index(
     vecs = _index_members(spark, path, id_col, vec_col).select(id_col, vec_col)
     tmp = path.rstrip("/") + ".rebuild"
     shutil.rmtree(tmp, ignore_errors=True)
-    stats = write_ivf_index(vecs, tmp, k_cells, id_col=id_col, vec_col=vec_col)
+    stats = write_ivf_index(
+        vecs,
+        tmp,
+        k_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        levels=_index_levels(path),  # rebuild keeps the build's quantizer
+    )
     # swap only after the rebuild is verifiably complete, and never
     # have a moment where the live path is deleted without its
     # replacement ready: rename the old index aside (instant), rename
@@ -709,6 +820,7 @@ def ivf_index_topk(
     q_vec_col: str = "q_emb",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe_cell: int = 4,
 ) -> DataFrame:
     """Probe the persistent index: top-``topk`` exact-dot neighbors
     within each query's top-``nprobe`` cells, over the base
@@ -721,24 +833,46 @@ def ivf_index_topk(
     Query batch is expected anchor-scale (bounded): cell selection
     collects O(batch · nprobe) cell ids to build the pruning literal —
     the same bounded-collect pattern as the kernel's seed collect.
-    Output: (q_id, neighbor_id, rank)."""
+
+    On a TWO-LEVEL index (``write_ivf_index(levels=2)``, detected via
+    the ``_TWO_LEVEL`` marker) cell selection routes with the build's
+    quantizer: ``nprobe`` ranks supers and ``nprobe_cell`` cells are
+    searched inside them (the ``ivf2_topk`` probe semantics —
+    matching the direct operator is pinned in tests).  ``nprobe_cell``
+    is ignored on a flat index.  Output: (q_id, neighbor_id, rank)."""
     import os
 
     seeds = spark.read.parquet(os.path.join(path, "centroids"))
-    w_assign = Window.partitionBy(q_id_col).orderBy(
-        F.col("dot").desc(), F.col("sid").asc()
-    )
-    q_cells = (
-        queries.crossJoin(F.broadcast(seeds))
-        .select(
-            q_id_col,
-            "sid",
-            foldl_dot_column(q_vec_col, "se").alias("dot"),
+    if _index_levels(path) == 2:
+        tl = _two_level_arrays(seeds.orderBy("sid").collect())
+        pc = _two_level_probe_cells(
+            [
+                (r[q_id_col], r[q_vec_col])
+                for r in queries.select(q_id_col, q_vec_col).collect()
+            ],
+            tl,
+            nprobe,
+            nprobe_cell,
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= nprobe)
-        .select(q_id_col, F.col("sid").alias("cell"))
-    )
+        q_cells = spark.createDataFrame(
+            [(q, c) for q, cs in pc.items() for c in cs],
+            f"{q_id_col} long, cell long",
+        )
+    else:
+        w_assign = Window.partitionBy(q_id_col).orderBy(
+            F.col("dot").desc(), F.col("sid").asc()
+        )
+        q_cells = (
+            queries.crossJoin(F.broadcast(seeds))
+            .select(
+                q_id_col,
+                "sid",
+                foldl_dot_column(q_vec_col, "se").alias("dot"),
+            )
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") <= nprobe)
+            .select(q_id_col, F.col("sid").alias("cell"))
+        )
     probe_cells = sorted({r["cell"] for r in q_cells.select("cell").distinct().collect()})
     members = (
         _index_members(spark, path, id_col, vec_col)

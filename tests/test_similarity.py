@@ -720,3 +720,91 @@ def test_ivf2_two_level_recall_on_clone_corpus(spark, sf_small):
     # cell), so an anchor's clones are always searchable; the top-3
     # ARE the clones on this corpus
     assert recall >= 0.9, f"two-level IVF recall collapsed: {recall:.3f}"
+
+
+def test_ivf2_persistent_index_matches_direct(spark, sf_small, tmp_path):
+    """A two-level index (``write_ivf_index(levels=2)``) must
+    reproduce the direct ``ivf2_topk`` output for the same K and
+    probe widths — the serving form of the beyond-the-clamp
+    quantizer — and its probe must stay a partition-pruned scan."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        _index_levels,
+        ivf2_topk,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.queries.similarity_queries import ANCHOR_IDS
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    path = str(tmp_path / "ivf2")
+    rep = write_ivf_index(emb, path, levels=2)
+    assert rep["levels"] == 2 and _index_levels(path) == 2
+
+    queries = emb.filter(F.col("vec_id").isin(*ANCHOR_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probed = ivf_index_topk(spark, path, queries, nprobe=2, topk=3, nprobe_cell=4)
+    got = {tuple(r) for r in probed.collect()}
+    direct = {
+        tuple(r)
+        for r in ivf2_topk(
+            emb,
+            ANCHOR_IDS,
+            k_cells=rep["k_cells"],
+            nprobe_super=2,
+            nprobe_cell=4,
+            topk=3,
+        ).collect()
+    }
+    assert got == direct and len(got) > 0
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    emb.unpersist()
+
+
+def test_ivf2_index_append_and_rebuild_keep_quantizer(spark, sf_small, tmp_path):
+    """Appends to a two-level index must route with the build's
+    quantizer (a clone lands in its origin's cell — the top-1
+    retrieval property), and ``rebuild_ivf_index`` must preserve the
+    two-level marker so the rebuilt index keeps routing the same
+    way."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        _index_levels,
+        append_to_ivf_index,
+        ivf_index_topk,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    path = str(tmp_path / "ivf2")
+    write_ivf_index(emb, path, levels=2)
+    shift = 1_000_000
+    shard = emb.limit(20).withColumn("vec_id", F.col("vec_id") + shift)
+    rep = append_to_ivf_index(shard, path)
+    assert rep["appended"] == 20
+    # clone shard of the build corpus: two-level assignment cosines
+    # match the build distribution, so staleness must not trip
+    assert rep["stale"] is False
+
+    q = shard.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def _origin_is_top1():
+        top = ivf_index_topk(spark, path, q, nprobe=2, topk=1).collect()
+        assert len(top) == 3
+        for r in top:
+            assert r.neighbor_id == r.q_id - shift
+    _origin_is_top1()
+
+    stats = rebuild_ivf_index(spark, path)
+    assert stats["levels"] == 2 and _index_levels(path) == 2
+    assert stats["n_vectors"] == emb.count() + 20
+    _origin_is_top1()
