@@ -203,9 +203,27 @@ def ivf_topk_auto(
     ``connected_components``), seeds a deterministic md5 sample.
     This is the entry point a 100×-growing corpus should use: the
     registered query's literal seed list is an oracle-parity fixture,
-    not a scaling strategy."""
-    k_cells = ivf_cells_for_n(emb.count())
-    seeds = select_seeds(emb, k_cells, id_col=id_col, vec_col=vec_col)
+    not a scaling strategy.
+
+    Beyond the flat clamp (⌈√N⌉ > ``IVF_MAX_CELLS``, N ≳ 16.7M) the
+    auto path routes through the TWO-LEVEL quantizer (``ivf2_topk``)
+    instead of silently degrading into 4096 ever-fatter cells:
+    ``nprobe`` becomes the super probe width and 4 cells are searched
+    inside the probed supers.  The switch is pinned equal to calling
+    ``ivf2_topk`` directly (tests/test_similarity.py)."""
+    n = emb.count()
+    k_unclamped = max(math.ceil(math.sqrt(max(n, 1))), IVF_MIN_CELLS)
+    if k_unclamped > IVF_MAX_CELLS:
+        return ivf2_topk(
+            emb,
+            anchor_ids,
+            k_cells=min(k_unclamped, 65536),
+            nprobe_super=nprobe,
+            topk=topk,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    seeds = select_seeds(emb, k_unclamped, id_col=id_col, vec_col=vec_col)
     return ivf_topk(
         emb,
         anchor_ids,

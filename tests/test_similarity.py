@@ -808,3 +808,32 @@ def test_ivf2_index_append_and_rebuild_keep_quantizer(spark, sf_small, tmp_path)
     assert stats["levels"] == 2 and _index_levels(path) == 2
     assert stats["n_vectors"] == emb.count() + 20
     _origin_is_top1()
+
+
+def test_ivf_auto_routes_two_level_beyond_clamp(spark, sf_small, monkeypatch):
+    """Past the flat clamp the auto entry point must switch to the
+    two-level quantizer rather than degrade into IVF_MAX_CELLS
+    ever-fatter cells — pinned equal to calling ivf2_topk directly
+    (clamp lowered so fixture scale crosses it)."""
+    import math
+
+    import data_engineering_user_session_analysis_spark.operators.ivf as ivf_mod
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    monkeypatch.setattr(ivf_mod, "IVF_MAX_CELLS", 8)
+    anchors = tuple(range(0, 500, 50))
+    auto = {
+        tuple(r)
+        for r in ivf_mod.ivf_topk_auto(emb, anchors, nprobe=2, topk=3).collect()
+    }
+    k = max(math.ceil(math.sqrt(emb.count())), ivf_mod.IVF_MIN_CELLS)
+    assert k > 8  # the lowered clamp is actually crossed
+    direct = {
+        tuple(r)
+        for r in ivf_mod.ivf2_topk(
+            emb, anchors, k_cells=k, nprobe_super=2, nprobe_cell=4, topk=3
+        ).collect()
+    }
+    assert auto == direct and len(auto) > 0
+    emb.unpersist()
