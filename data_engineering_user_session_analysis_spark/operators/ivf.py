@@ -495,9 +495,17 @@ def write_ivf_index(
         _assign_cells_two_level_cos_kernel if levels == 2 else _assign_cells_cos_kernel
     )
     assigned = assign(emb, seeds_stored, id_col, vec_col)
+    # repartition ON the partition column before the partitioned
+    # write: without it every task writes a file into every cell it
+    # touches (tasks x cells small files — measured 8365 files for a
+    # 35k-row index, with a 6.7x probe penalty from listing/open
+    # cost); with it each cell lands whole in one task = one file.
+    # The trade is one shuffle per (rare) build and a single task for
+    # the fattest cell — max_cell_frac in stats is the skew audit.
     (
         emb.join(assigned, id_col)
         .select(id_col, vec_col, F.col("cell"), F.col("assign_cos"))
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "members"))
@@ -679,13 +687,13 @@ def append_to_ivf_index(
             "stale": None,
         }
     if ds is None:
-        out.drop("assign_cos").write.mode("append").partitionBy("cell").parquet(
-            os.path.join(path, "members")
-        )
+        out.drop("assign_cos").repartition(F.col("cell")).write.mode(
+            "append"
+        ).partitionBy("cell").parquet(os.path.join(path, "members"))
     else:
-        out.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(path, "increments", f"ds={ds}")
-        )
+        out.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(os.path.join(path, "increments", f"ds={ds}"))
     out.unpersist()
     report = {
         "appended": agg["n"],
@@ -766,6 +774,7 @@ def compact_ivf_increments(
     (
         base.select(*cols)
         .unionByName(inc.select(*cols))
+        .repartition(F.col("cell"))  # one file per cell, see build
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(merged_dir)

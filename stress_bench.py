@@ -25,7 +25,10 @@ one-shot ivf_topk cost.  ``--events-100x`` (SPARK_GRAFT_EVENTS_100X)
 does the same for the core sessionization workload: 10M events, 100×
 the users.  ``--tpch-100x`` (SPARK_GRAFT_TPCH_100X) adds a 100×
 decade for the relational/join tier (60M-row lineitem on disk).
-``--docs-100x`` (SPARK_GRAFT_DOCS_100X) adds the doc tier's third
+``--ivf-maint`` (SPARK_GRAFT_IVFMAINT) measures the IVF
+increments-compaction economics (probe cost and file count,
+fragmented vs compacted).  ``--docs-100x`` (SPARK_GRAFT_DOCS_100X)
+adds the doc tier's third
 decade (200k docs) via the STAR-EDGE dedup pipeline
 (``minhash_dedup_edges``): linear edge output where the all-pairs
 form is quadratic in clone-group size — the measurement is edges per
@@ -675,6 +678,81 @@ def measure_events_100x(spark, replicas: int = 100) -> dict:
     return res
 
 
+def measure_ivf_maintenance(spark, n_days: int = 30, shard_size: int = 500) -> dict:
+    """Economics of ``compact_ivf_increments`` — measured instead of
+    asserted: a month of daily shard appends fragments the index into
+    per-ds-per-cell small files, and every probe pays the listing +
+    open cost of all of them; compaction folds the increments into
+    the base cell partitions.  Recorded: parquet file count and probe
+    seconds fragmented vs compacted (probe results pinned identical —
+    the verb is a pure re-layout)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        append_to_ivf_index,
+        compact_ivf_increments,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.queries.similarity_queries import ANCHOR_IDS
+
+    _quiesce(spark)
+    base = spark.read.parquet(os.path.join(OUT, "embeddings.parquet")).localCheckpoint(
+        eager=True
+    )
+    n_base = base.count()
+    idx = tempfile.mkdtemp(prefix="stress_ivfmaint_")
+    try:
+        write_ivf_index(base, idx)
+        seed_shard = base.orderBy("vec_id").limit(shard_size).localCheckpoint(
+            eager=True
+        )
+        for r in range(n_days):
+            shard = seed_shard.withColumn(
+                "vec_id", F.col("vec_id") + (100 + r) * 10_000_000
+            )
+            append_to_ivf_index(shard, idx, ds=f"2024-03-{r + 1:02d}")
+
+        def n_files() -> int:
+            return sum(
+                sum(1 for f in fs if f.endswith(".parquet"))
+                for _, _, fs in os.walk(idx)
+            )
+
+        q = base.filter(F.col("vec_id").isin(*ANCHOR_IDS)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        res: dict = {
+            "label": f"ivf maintenance ({n_days} daily increments)",
+            "n_base": n_base,
+            "n_days": n_days,
+            "shard_size": shard_size,
+            "parquet_files_fragmented": n_files(),
+        }
+        before, res["probe_sec_fragmented"] = timed(
+            lambda: sorted(
+                tuple(r)
+                for r in ivf_index_topk(spark, idx, q, nprobe=2, topk=3).collect()
+            )
+        )
+        rep, res["compact_sec"] = timed(lambda: compact_ivf_increments(spark, idx))
+        res["members_rows_after"] = rep["members_rows"]
+        res["parquet_files_compacted"] = n_files()
+        after, res["probe_sec_compacted"] = timed(
+            lambda: sorted(
+                tuple(r)
+                for r in ivf_index_topk(spark, idx, q, nprobe=2, topk=3).collect()
+            )
+        )
+        res["probe_equal"] = before == after
+        return res
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def measure_docs_index(spark, n_days: int = 12, planted: int = 250) -> dict:
     """Daily-shard replay through the PERSISTENT MinHash index
     (`operators/dedup_index.py` — the `run_docs_index_step` pattern):
@@ -836,6 +914,9 @@ def run_tier(tier: str) -> list[dict]:
         return [measure_events_100x(spark)]
     if tier == "docsindex":
         return [measure_docs_index(spark)]
+    if tier == "ivfmaint":
+        build(spark)
+        return [measure_ivf_maintenance(spark)]
     if tier == "ingest":
         build(spark)
         return [
@@ -878,6 +959,8 @@ def main() -> None:
         tiers.append("events100")
     if "--docs-index" in sys.argv or os.environ.get("SPARK_GRAFT_DOCSINDEX"):
         tiers.append("docsindex")
+    if "--ivf-maint" in sys.argv or os.environ.get("SPARK_GRAFT_IVFMAINT"):
+        tiers.append("ivfmaint")
 
     me = os.path.abspath(__file__)
     results: dict[str, list[dict]] = {}
@@ -1052,6 +1135,20 @@ def main() -> None:
             "n_events": ev100["n_events"],
             "session_rollup_sec": ev100["session_rollup_sec"],
             "session_events_per_sec": ev100["session_events_per_sec"],
+        }
+    im = _tier("ivfmaint")[0]
+    if im is not None:
+        summary["ivf_maintenance"] = {
+            k: im[k]
+            for k in (
+                "n_days",
+                "parquet_files_fragmented",
+                "parquet_files_compacted",
+                "probe_sec_fragmented",
+                "probe_sec_compacted",
+                "compact_sec",
+                "probe_equal",
+            )
         }
     di = _tier("docsindex")[0]
     if di is not None:
