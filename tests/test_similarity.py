@@ -837,3 +837,60 @@ def test_ivf_auto_routes_two_level_beyond_clamp(spark, sf_small, monkeypatch):
     }
     assert auto == direct and len(auto) > 0
     emb.unpersist()
+
+
+def test_ivf_maintenance_survives_stale_sibling_dirs(spark, sf_small, tmp_path):
+    """A crashed prior compaction/rebuild leaves dangling .compact /
+    .old / .rebuild dirs; the next run must clear them and succeed
+    with intact probe results (the documented crash-safety story,
+    pinned from the recovery side)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        append_to_ivf_index,
+        compact_ivf_increments,
+        ivf_index_topk,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path)
+    s1 = emb.limit(20).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    append_to_ivf_index(s1, path, ds="2024-01-02")
+    q = s1.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    want = sorted(
+        tuple(r) for r in ivf_index_topk(spark, path, q, nprobe=2, topk=3).collect()
+    )
+
+    def _plant_garbage(d):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "junk.parquet"), "w") as f:
+            f.write("not parquet")
+
+    _plant_garbage(os.path.join(path, "members.compact"))
+    _plant_garbage(os.path.join(path, "members.old"))
+    rep = compact_ivf_increments(spark, path)
+    assert rep["increment_rows"] == 20
+    assert not os.path.isdir(os.path.join(path, "members.compact"))
+    assert not os.path.isdir(os.path.join(path, "members.old"))
+    got = sorted(
+        tuple(r) for r in ivf_index_topk(spark, path, q, nprobe=2, topk=3).collect()
+    )
+    assert got == want
+
+    _plant_garbage(path.rstrip("/") + ".rebuild")
+    _plant_garbage(path.rstrip("/") + ".old")
+    rebuild_ivf_index(spark, path)
+    assert not os.path.isdir(path.rstrip("/") + ".rebuild")
+    assert not os.path.isdir(path.rstrip("/") + ".old")
+    got = sorted(
+        tuple(r) for r in ivf_index_topk(spark, path, q, nprobe=2, topk=3).collect()
+    )
+    assert got == want
