@@ -1,36 +1,158 @@
 """Deterministic sampling, splitting, and mixture operators for
 training-data pipelines.
 
-Every operator here is a MAP-SIDE expression over a stable id — no
-shuffle, no RNG state, no driver round-trip — so the same call over
-the same rows yields the same sample on 1 executor or 1000, at any
-partitioning, on any engine that agrees on md5 (the reproducibility
-contract a 100 TB corpus build needs: re-running a failed day must
-not resample the world).
+Spark's ``TABLESAMPLE`` / ``df.sample`` are seed-dependent AND
+partitioning-dependent (the same seed yields different rows after a
+repartition), which makes pipeline runs unreproducible.  Every
+operator here derives inclusion from CONTENT (md5 of a key), so a
+sample is stable across runs, engines, partition layouts, and
+cluster sizes — the property a 100 TB corpus pipeline needs for
+auditable data mixes, and for re-running a failed day without
+resampling the world.
 
-The unit hash (``uniform_hash_unit``) maps ``md5(id || salt)``'s
-first 8 hex chars to [0, 1): uniform, engine-portable (DuckDB/Python
-reproduce it byte-for-byte — pinned against hashlib in
+Quota/weight samplers (k-shaped output):
+
+* ``hash_bernoulli_sample`` — keep a deterministic ~p fraction of
+  rows by key-hash bucket (pure filter: pushes to the scan, no
+  shuffle).  The same idiom backs the registry queries
+  ``scalar_doc_functions`` (row filter) and ``dedup_exact``
+  (re-crawl shard selection).
+* ``stratified_sample`` — exactly ``k`` rows per stratum (or all
+  rows of smaller strata), chosen by md5 order within the stratum:
+  the per-group quota sampler used to balance a training mixture
+  (e.g. k documents per language).  One shuffle on the strata
+  columns; the rank is a WindowGroupLimit at execution, so only the
+  top-k per stratum survive the sort buffer.
+* ``weighted_sample`` — k rows without replacement with inclusion
+  probability proportional to a weight column (quality-weighted
+  training mixes), via the Efraimidis–Spirtakis exponential-keys
+  scheme with the content-hash as the uniform variate — the one
+  weighted sampler that is both single-pass distributed AND
+  deterministic.
+
+Rate/split samplers (rate-shaped output, all map-side — pinned with
+a no-Exchange plan check in tests/test_sampling.py):
+
+* ``sample_fraction`` / ``deterministic_split`` — salted unit-hash
+  thresholds; splits are DISJOINT, covering, and STABLE (a new row
+  can never move an old row's split — eval-set hygiene).
+* ``stratified_sample_by_rates`` — per-stratum keep-rates as a
+  literal CASE table (config-sized dicts, never a join).
+* ``upsample_by_rate`` — deterministic repetition for rates > 1:
+  whole copies plus a salted fractional copy, expected multiplicity
+  exactly the rate.
+* ``mixture_rates`` / ``apply_mixture`` — solve the binding-domain
+  data mixture driver-side over config-sized dicts, realize it
+  map-side with the rate samplers above.
+
+The unit hash (``uniform_hash_unit``) maps ``md5(id || ':' || salt)``'s
+first 8 hex chars to [0, 1): uniform, engine-portable (DuckDB /
+Python hashlib reproduce it byte for byte — pinned in
 tests/test_sampling.py), and INDEPENDENT across salts, so a
 train/val split salted "split" and a downsample salted "mix" don't
-correlate (the classic same-hash trap: filtering hash < 0.5 twice
-keeps 50%, not 25%).
-
-Mixture building (``mixture_rates`` + ``apply_mixture``): given
-per-domain token counts and target proportions, solve for the
-largest total corpus that honors the proportions without exceeding
-any domain's budget (rates ≤ max_repeat), then realize it with
-deterministic down-/up-sampling — upsampling emits whole copies plus
-a hash-selected fractional copy, each copy re-salted so repeated
-epochs stay decorrelated.
+correlate (the classic same-hash trap: filtering the same hash at
+0.5 twice keeps 50%, not 25%).
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _key_hash(col: Column) -> Column:
+    """First 8 md5 hex chars of the key as a non-negative long —
+    reproducible in any engine (unlike murmur/xxhash/rand)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def hash_bernoulli_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic ~``rate`` sample: keep rows whose key-hash bucket
+    falls below ``rate * buckets``.  A pure filter — no shuffle, and
+    the same rows are kept on every run and every engine."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = int(rate * buckets)
+    return df.filter(_key_hash(F.col(key_col)) % buckets < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_col: str,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, deterministic.
+
+    Rows rank within their stratum by (md5(key), key) — a stable
+    pseudo-random order — and the top ``k`` survive.  Adding rows to
+    OTHER strata never changes a stratum's sample; adding rows to the
+    same stratum changes it only where the new keys hash into the
+    top-k (the minimal possible disturbance for a quota sampler)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _key_hash(F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+#: hash-bucket denominator for the uniform variate: md5's first 8 hex
+#: chars span [0, 2^32), so (h + 1) / (2^32 + 1) lies strictly in
+#: (0, 1) — pow(u, 1/w) stays finite for every weight.
+_U_DENOM = float((1 << 32) + 1)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """``k`` rows without replacement, inclusion probability
+    proportional to ``weight_col`` — deterministic.
+
+    Efraimidis–Spirtakis A-ES: each row scores ``u ** (1 / w)`` with
+    ``u`` uniform in (0, 1); the k largest scores are a weighted
+    sample without replacement.  Here ``u`` comes from the row's
+    content hash instead of ``rand()``, so the sample is reproducible
+    across runs, engines, and partition layouts — and retry-safe
+    (re-executed tasks recompute identical scores, the SPARK-23207
+    hazard class that seed-based sampling has on shuffle retry).
+
+    Scale shape: scores are a map-only projection; the top-k is
+    ``orderBy(...).limit(k)`` = TakeOrderedAndProject — per-partition
+    partial top-k, one driver merge of partitions·k rows, NO global
+    sort shuffle.  Rows with non-positive weight are excluded (their
+    inclusion probability is 0).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (_key_hash(F.col(key_col)) + 1) / F.lit(_U_DENOM)
+    score = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_score", score)
+        .orderBy(F.col("_es_score").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_es_score")
+    )
+
+
+# ----------------------------------------------------------------- #
+# Rate/split samplers: salted unit-hash thresholds                   #
+# ----------------------------------------------------------------- #
 
 _HASH_DENOM = float(1 << 32)
 
@@ -48,9 +170,10 @@ def uniform_hash_unit(id_col: Column | str, salt: str = "") -> Column:
 def sample_fraction(
     df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = "sample"
 ) -> DataFrame:
-    """Keep a deterministic ``fraction`` of rows by id hash — the
-    reproducible twin of ``df.sample`` (which is seed-and-partitioning
-    dependent).  Map-side filter: pushes into the scan."""
+    """Keep a deterministic ``fraction`` of rows by salted id hash —
+    ``hash_bernoulli_sample`` with a salt, for pipelines that sample
+    the same corpus more than once and need the draws independent.
+    Map-side filter."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(uniform_hash_unit(id_col, salt) < F.lit(fraction))
@@ -98,7 +221,8 @@ def stratified_sample_by_rates(
     """Per-stratum deterministic downsampling: keep ``rates[stratum]``
     of each stratum's rows (``default_rate`` for unlisted strata).
     The rate table is a literal CASE expression — bounded config-sized
-    dicts (domains, languages, sources), never a join."""
+    dicts (domains, languages, sources), never a join.  The
+    rate-shaped complement of the quota-shaped ``stratified_sample``."""
     if any(not 0.0 <= r <= 1.0 for r in rates.values()):
         raise ValueError(f"rates must be in [0, 1]: {rates}")
     if not 0.0 <= default_rate <= 1.0:

@@ -67,6 +67,11 @@ class CorpusPrepConfig:
     decontaminate_ngram: int = 13
     sample_k: int | None = None
     pack_budget: int | None = None
+    #: label survivors with stable train/val/... splits
+    #: (operators/sampling.deterministic_split): membership is a pure
+    #: function of the doc id, so re-running prep after adding new
+    #: docs can never move an old doc's split (eval-set hygiene)
+    split_weights: dict[str, float] | None = None
     id_col: str = "doc_id"
     text_col: str = "text"
 
@@ -149,5 +154,13 @@ def prepare_corpus(
         ).select(c.id_col, "pack_id")
         result = result.join(packs, c.id_col)
         report["packed"] = result.count()
+
+    if c.split_weights is not None:
+        from data_engineering_user_session_analysis_spark.operators.sampling import deterministic_split
+
+        result = deterministic_split(result, c.split_weights, id_col=c.id_col)
+        splits = result.groupBy("split").agg(F.count("*").alias("c")).collect()
+        for r in sorted(splits, key=lambda r: r["split"]):
+            report[f"split_{r['split']}"] = r["c"]
 
     return result, report

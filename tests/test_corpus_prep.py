@@ -165,3 +165,30 @@ def test_percentile_quality_floor_in_pipeline(spark, sf_small):
     scores = {r.doc_id: r.quality_score for r in quality.collect()}
     survivors = {r.doc_id for r in top.collect()}
     assert survivors and all(scores[d] >= thr for d in survivors)
+
+
+def test_prepare_corpus_split_stage(spark, sf_small):
+    """split_weights labels survivors with disjoint covering splits
+    whose membership is stable under corpus growth — eval-set
+    hygiene for an incrementally grown corpus."""
+    corpus, _ = _corpus_with_junk(spark, sf_small)
+    cfg = CorpusPrepConfig(split_weights={"train": 0.9, "val": 0.1})
+    result, report = prepare_corpus(corpus, config=cfg)
+    n = report["neardup_deduped"]
+    assert report["split_train"] + report["split_val"] == n
+    assert report["split_train"] > report["split_val"] > 0
+    # stability: growing the corpus never moves an old doc's split
+    assignments = {(r.doc_id, r.split) for r in result.select("doc_id", "split").collect()}
+    grown = corpus.unionByName(
+        corpus.limit(50).withColumn("doc_id", F.col("doc_id") + 5_000_000)
+    )
+    regrown, _ = prepare_corpus(grown, config=cfg)
+    kept = {
+        (r.doc_id, r.split)
+        for r in regrown.select("doc_id", "split").collect()
+        if r.doc_id < 5_000_000
+    }
+    # old docs present in both runs keep their split (clone additions
+    # may dedup some away; those simply aren't compared)
+    old_ids = {d for d, _ in assignments}
+    assert {t for t in kept if t[0] in old_ids} <= assignments
