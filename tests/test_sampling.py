@@ -152,3 +152,21 @@ def test_sampling_plans_stay_map_side(corpus):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_uniform_hash_unit_reproducible_in_duckdb():
+    """Close the portability triangle: the DuckDB expression
+    ``('0x' || substr(md5(id || ':salt'), 1, 8))::UBIGINT / 2^32``
+    reproduces the unit hash byte for byte (Spark == hashlib is
+    pinned above), so an external engine can audit or re-derive any
+    sample/split this tier produced — no Spark required."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT i, ('0x' || substr(md5(i::VARCHAR || ':s'), 1, 8))::UBIGINT"
+        " / 4294967296.0 AS u FROM range(200) t(i)"
+    ).fetchall()
+    assert len(rows) == 200
+    for i, u in rows:
+        assert abs(u - _ref_unit(i, "s")) < 1e-12
