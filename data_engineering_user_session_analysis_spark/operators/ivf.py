@@ -266,6 +266,13 @@ def _two_level_arrays(seed_rows) -> dict:
     for d in range(seed_mat.shape[1]):
         acc = acc + seed_mat[:, d : d + 1] * sup_mat[np.newaxis, :, d].reshape(1, -1)
     seed_to_sup = sup_ids[order1][np.argmax(acc[:, order1], axis=1)]
+    # every super anchors its OWN cell: with unnormalized vectors a
+    # huge-norm seed can out-dot another super seed's self-assignment,
+    # leaving that super with zero cells — a vector routed there would
+    # have no second level to search (argmax over an empty axis).
+    # Self-anchoring guarantees >= 1 cell per super on both the
+    # assignment and the probe side (same array, same rule).
+    seed_to_sup[super_idx] = sup_ids
     return {
         "seed_ids": seed_ids,
         "seed_mat": seed_mat,
@@ -352,7 +359,9 @@ def ivf2_topk(
     * K cells, K1 = ⌈√K⌉ super-cells; cell seeds by the usual
       smallest-md5 rule, super seeds = the K1 smallest-md5 CELL seeds
       (a subset, so the hierarchy adds no new vectors);
-    * every cell seed is assigned to its max-dot super;
+    * every cell seed is assigned to its max-dot super, except each
+      super seed anchors its own super (guarantees every super owns
+      ≥ 1 cell — see ``_two_level_arrays``);
     * every VECTOR routes level-wise: max-dot super first, then
       max-dot cell seed WITHIN that super (ties to smallest id at
       both levels).  This is the standard two-level restriction —

@@ -894,3 +894,49 @@ def test_ivf_maintenance_survives_stale_sibling_dirs(spark, sf_small, tmp_path):
         tuple(r) for r in ivf_index_topk(spark, path, q, nprobe=2, topk=3).collect()
     )
     assert got == want
+
+
+def test_two_level_routing_survives_empty_super_hazard():
+    """With unnormalized vectors a huge-norm seed can out-dot every
+    other super seed's self-assignment; without self-anchoring that
+    super owns zero cells and routing a query there crashes (argmax
+    over an empty axis).  Pure-numpy pin on the shared helpers."""
+    import numpy as np
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        _route_two_level,
+        _two_level_arrays,
+        _two_level_probe_cells,
+    )
+
+    # one huge-norm seed that IS a super (md5 picks sids {4, 1, 2}
+    # as supers for ids 0..5 — asserted below): the huge super
+    # out-dots the other super seeds' self-assignments, so without
+    # self-anchoring supers 1 and 2 own zero cells
+    seeds = []
+    for sid in range(6):
+        v = [0.0] * 4
+        if sid == 4:
+            v = [1000.0, 1000.0, 1000.0, 1000.0]
+        else:
+            v[sid % 4] = 0.1
+        seeds.append({"sid": sid, "se": v})
+    tl = _two_level_arrays(seeds)
+    assert 4 in set(tl["sup_ids"])  # the huge seed is a super
+    # self-anchor invariant: every super owns at least its own cell
+    for s in tl["sup_ids"]:
+        assert (tl["seed_to_sup"] == s).sum() >= 1
+        assert tl["seed_to_sup"][list(tl["seed_ids"]).index(s)] == s
+    # adversarial queries (including one anti-aligned with the huge
+    # seed, which drives best_sup to the low-mass super): must route
+    # without crashing, into a cell owned by some probed super
+    x = np.array(
+        [[-1.0, -1.0, -1.0, -1.0], [0.05, 0.0, 0.0, 0.0], [0.0, 0.2, 0.0, 0.1]]
+    )
+    cells, dots = _route_two_level(x, tl)
+    assert len(cells) == 3 and np.isfinite(dots).all()
+    assert set(cells) <= set(tl["seed_ids"])
+    pc = _two_level_probe_cells(
+        [(i, list(q)) for i, q in enumerate(x)], tl, nprobe_super=1, nprobe_cell=2
+    )
+    assert all(len(v) >= 1 for v in pc.values())
