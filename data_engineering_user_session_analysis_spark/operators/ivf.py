@@ -866,9 +866,10 @@ def ivf_index_topk(
     Both scans carry ``cell IN (<probed cells>)`` — a literal
     IN-filter over the Hive partition column, so Catalyst prunes to
     exactly the probed directories (``PartitionFilters`` plan-pinned).
-    Query batch is expected anchor-scale (bounded): cell selection
-    collects O(batch · nprobe) cell ids to build the pruning literal —
-    the same bounded-collect pattern as the kernel's seed collect.
+    Cell selection is distributed in both modes; only the DISTINCT
+    probed cell ids are collected to build the pruning literal, and
+    those are bounded by K regardless of the query-batch size — the
+    same bounded-collect pattern as the kernel's seed collect.
 
     On a TWO-LEVEL index (``write_ivf_index(levels=2)``, detected via
     the ``_TWO_LEVEL`` marker) cell selection routes with the build's
@@ -880,19 +881,24 @@ def ivf_index_topk(
 
     seeds = spark.read.parquet(os.path.join(path, "centroids"))
     if _index_levels(path) == 2:
+        # cell selection as a map-only Arrow kernel over the query
+        # batch (the same _two_level_probe_cells math the one-shot
+        # operator uses, so probe == direct stays bit-identical) —
+        # the batch never touches the driver; only the DISTINCT
+        # probed cell ids do, and those are bounded by K
         tl = _two_level_arrays(seeds.orderBy("sid").collect())
-        pc = _two_level_probe_cells(
-            [
-                (r[q_id_col], r[q_vec_col])
-                for r in queries.select(q_id_col, q_vec_col).collect()
-            ],
-            tl,
-            nprobe,
-            nprobe_cell,
-        )
-        q_cells = spark.createDataFrame(
-            [(q, c) for q, cs in pc.items() for c in cs],
-            f"{q_id_col} long, cell long",
+
+        @F.pandas_udf("array<long>")
+        def probe_cells_udf(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype=object)
+            pc = _two_level_probe_cells(
+                list(enumerate(v.tolist())), tl, nprobe, nprobe_cell
+            )
+            return pd.Series([pc[i] for i in range(len(v))])
+
+        q_cells = queries.select(
+            q_id_col, F.explode(probe_cells_udf(F.col(q_vec_col))).alias("cell")
         )
     else:
         w_assign = Window.partitionBy(q_id_col).orderBy(
