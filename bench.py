@@ -108,9 +108,11 @@ def main() -> None:
         trials_log[name] = trial_times
         _clear_caches()
 
-    # Full-registry sweep (min-of-2: regression visibility for the 27
-    # non-headline queries, not a headline-grade estimate — a real
-    # regression dwarfs the extra-trial delta).
+    # Full-registry sweep (min-of-3: the r7 min-of-2 protocol left the
+    # registry minimums carrying cold-JVM noise — first trials measured
+    # 1.4-2x the second — which contaminated cross-round comparisons;
+    # three trials puts every non-replay row on the same footing as the
+    # shared-subtotal protocol).
     # Single-trial set: queries whose cost is a fixed orchestration
     # structure (the 30-day incremental replay runs ~90 deterministic
     # jobs — re-trialing measures the same structure twice and would
@@ -122,7 +124,7 @@ def main() -> None:
             continue
         best = float("inf")
         trial_times = []
-        for _ in range(1 if name in single_trial else 2):
+        for _ in range(1 if name in single_trial else 3):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trial_times.append(round(time.perf_counter() - t0, 4))
@@ -242,6 +244,7 @@ def main() -> None:
         "shared_r02_subtotal": shared_total,
         "shared_r02_protocol": "min-of-3",
         "registry_queries": registry_timings,
+        "registry_protocol": "min-of-3 (1 trial for the incremental replay)",
         "trials": trials_log,
         "full_registry_total": round(sum(all_timings.values()), 4),
         "family_subtotals": dict(sorted(family_subtotals.items())),

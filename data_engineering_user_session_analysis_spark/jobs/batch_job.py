@@ -512,7 +512,7 @@ def run_backfill(
 def main(argv: list[str]) -> None:
     """CLI contract of the reference batch job: ``job <ds>`` (plus the
     maintenance verbs ``job compact <ds>`` and
-    ``job reindex <ivf_index_path>``,
+    ``job reindex <ivf_index_path> [k_cells]``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
     operational pipeline ``job daily <ds>``)."""
@@ -549,10 +549,14 @@ def main(argv: list[str]) -> None:
     if argv[1] == "reindex":
         # rebuild a drifted persistent IVF index from its current
         # membership (the staleness signal on `append_to_ivf_index`
-        # says WHEN; this verb is the answer)
+        # says WHEN; this verb is the answer).  Optional trailing
+        # k_cells overrides the build-policy sizing — without it a
+        # two-level index re-sizes unclamped (rebuild_ivf_index reads
+        # the quantizer marker), a flat one takes the flat clamp.
         from data_engineering_user_session_analysis_spark.operators.ivf import rebuild_ivf_index
 
-        print(rebuild_ivf_index(get_spark("ivf_reindex"), argv[2]))
+        k_cells = int(argv[3]) if len(argv) > 3 else None
+        print(rebuild_ivf_index(get_spark("ivf_reindex"), argv[2], k_cells))
         return
     if argv[1] == "compact-index":
         # fold accumulated daily increments into the base members

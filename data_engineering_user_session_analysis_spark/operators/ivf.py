@@ -384,12 +384,18 @@ def ivf2_topk(
     )
     seeds = select_seeds(emb, k, id_col=id_col, vec_col=vec_col)
     tl = _two_level_arrays(seeds.orderBy("sid").collect())
+    # broadcast, not closure-capture: the two-level state is ~33 MB at
+    # K=65536 — exactly the scale this operator exists for — and a
+    # closure would re-pickle it into every task
+    bc_tl = emb.sparkSession.sparkContext.broadcast(tl)
 
     @F.pandas_udf("long")
     def route_cell(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=np.int64)
-        cells, _ = _route_two_level(np.stack(v.to_numpy()).astype(np.float64), tl)
+        cells, _ = _route_two_level(
+            np.stack(v.to_numpy()).astype(np.float64), bc_tl.value
+        )
         return pd.Series(cells)
 
     cells = emb.select(id_col, route_cell(F.col(vec_col)).alias("cell"))
@@ -565,17 +571,28 @@ def _assign_cells_cos_kernel(
     per-dimension in the fold's exact left-to-right IEEE order so
     assignment is bit-identical to the crossJoin+fold construction)
     plus the assignment COSINE — the per-vector drift observable the
-    persistent index stores and compares on append."""
+    persistent index stores and compares on append.
+
+    The O(K·dim) seed state ships as a SparkContext BROADCAST (one
+    torrent transfer per executor, dereferenced per batch), not a
+    task-closure capture — a closure is re-pickled into EVERY task,
+    which at the derived-K ceiling (K=4096, dim=64 ≈ 2 MB) multiplies
+    by the task count for no reason."""
     seed_rows = seeds.orderBy("sid").collect()
-    seed_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
-    seed_mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
-    seed_norms = np.linalg.norm(seed_mat, axis=1)
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (
+            np.array([r["sid"] for r in seed_rows], dtype=np.int64),
+            np.array([list(r["se"]) for r in seed_rows], dtype=np.float64),
+        )
+    )
 
     @F.pandas_udf("cell long, assign_cos double")
     def best_cell_cos(v: pd.Series) -> pd.DataFrame:
         if len(v) == 0:
             return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
                                  "assign_cos": pd.Series([], dtype=np.float64)})
+        seed_ids, seed_mat = bc.value
+        seed_norms = np.linalg.norm(seed_mat, axis=1)
         x = np.stack(v.to_numpy()).astype(np.float64)
         acc = np.zeros((len(v), len(seed_ids)), dtype=np.float64)
         for d in range(x.shape[1]):  # foldl order: ((0 + p0) + p1) + ...
@@ -599,16 +616,24 @@ def _assign_cells_two_level_cos_kernel(
     routing (``_route_two_level``) against the stored centroids —
     ~2·√K dots per vector instead of K — emitting the same
     (id, cell, assign_cos) surface so the index layout, staleness
-    signal, and probe economics are identical to the flat build."""
-    tl = _two_level_arrays(seeds.orderBy("sid").collect())
-    seed_norms = np.linalg.norm(tl["seed_mat"], axis=1)
-    seed_ids = tl["seed_ids"]  # ascending, so searchsorted is exact
+    signal, and probe economics are identical to the flat build.
+
+    The two-level numpy state rides a SparkContext BROADCAST — at the
+    beyond-clamp scale this kernel exists for (K=65536, dim=64 the
+    seed matrix alone is ~33 MB), a task-closure capture would be
+    re-pickled into every task."""
+    bc = emb.sparkSession.sparkContext.broadcast(
+        _two_level_arrays(seeds.orderBy("sid").collect())
+    )
 
     @F.pandas_udf("cell long, assign_cos double")
     def best_cell_cos(v: pd.Series) -> pd.DataFrame:
         if len(v) == 0:
             return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
                                  "assign_cos": pd.Series([], dtype=np.float64)})
+        tl = bc.value
+        seed_ids = tl["seed_ids"]  # ascending, so searchsorted is exact
+        seed_norms = np.linalg.norm(tl["seed_mat"], axis=1)
         x = np.stack(v.to_numpy()).astype(np.float64)
         cells, dots = _route_two_level(x, tl)
         vnorm = np.linalg.norm(x, axis=1)
@@ -639,6 +664,7 @@ def append_to_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     staleness_margin: float = 0.1,
+    allow_non_idempotent: bool = False,
 ) -> dict:
     """Fold a NEW vector shard into an existing index: assign against
     the STORED centroids (never recomputed — cell semantics stay
@@ -650,8 +676,13 @@ def append_to_ivf_index(
     re-run shard replaces exactly its own rows, the same idempotent
     per-day layout as ``append_shard_to_minhash_index``.  ``ds=None``
     is the legacy one-shot mode appending into ``members/`` directly;
-    it MUST be exactly-once (a retry double-appends) and exists for
-    ad-hoc single-increment use only.
+    a retried call DOUBLE-APPENDS (append-mode parquet has no
+    replace-my-own-rows key), so it now demands an explicit
+    ``allow_non_idempotent=True`` from callers who own exactly-once
+    delivery themselves — the un-flagged call raises instead of
+    silently arming the retry hazard.  Legacy appends keep the
+    ``assign_cos`` column (one double per row), so ``members/`` stays
+    schema-uniform with the build and the increments.
 
     Staleness signal: frozen centroids cannot follow distribution
     drift — drifted appends land far from every centroid, cells skew,
@@ -668,6 +699,13 @@ def append_to_ivf_index(
     None when the index predates the stats table)."""
     import os
 
+    if ds is None and not allow_non_idempotent:
+        raise ValueError(
+            "append_to_ivf_index(ds=None) double-appends on retry; pass a "
+            "ds for the idempotent increments layout, or "
+            "allow_non_idempotent=True if this caller owns exactly-once "
+            "delivery"
+        )
     spark = emb_new.sparkSession
     seeds = spark.read.parquet(os.path.join(path, "centroids"))
     assign = (
@@ -696,9 +734,11 @@ def append_to_ivf_index(
             "stale": None,
         }
     if ds is None:
-        out.drop("assign_cos").repartition(F.col("cell")).write.mode(
-            "append"
-        ).partitionBy("cell").parquet(os.path.join(path, "members"))
+        # assign_cos kept: members/ stays schema-uniform (dropping it
+        # forced every downstream reader into mergeSchema defensiveness)
+        out.repartition(F.col("cell")).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(os.path.join(path, "members"))
     else:
         out.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
             "cell"
@@ -755,12 +795,18 @@ def compact_ivf_increments(
 
     Crash-safe like ``rebuild_ivf_index``: the merged members land in
     a sibling dir, are verified complete, and are renamed in before
-    the increments dir is removed — a crash anywhere leaves a
-    readable index (worst case the increments are folded AND still
-    present, which double-counts nothing on the next compaction but
-    duplicates probe rows until it runs; hence increments are deleted
-    FIRST after the swap, before the .old GC).
-    Returns ``{"members_rows", "increment_rows"}``.
+    the increments dir is removed — worst case the increments are
+    folded AND still present, which double-counts nothing on the next
+    compaction but duplicates probe rows until it runs; hence
+    increments are deleted FIRST after the swap, before the .old GC.
+    The one exception to "a crash anywhere leaves a readable index"
+    is the swap itself: between renaming ``members/`` aside and
+    renaming the merged dir in, the live index briefly has no members
+    dir — a probe racing that window errors, and a crash inside it
+    leaves the members at ``members.old`` for manual rename-back.
+    Like all the maintenance verbs this assumes a single writer and
+    no concurrent probes.  Returns ``{"members_rows",
+    "increment_rows"}``.
     """
     import os
     import shutil
@@ -771,9 +817,10 @@ def compact_ivf_increments(
     members_dir = os.path.join(path, "members")
     inc = spark.read.parquet(inc_dir)
     n_inc = inc.count()
-    # mergeSchema: legacy one-shot appends drop assign_cos, so member
-    # files can be schema-mixed — merge surfaces the column with nulls
-    # for the legacy rows instead of footer-lottery dropping it
+    # mergeSchema: pre-round-8 legacy one-shot appends dropped
+    # assign_cos, so an older index's member files can be schema-mixed
+    # — merge surfaces the column with nulls for those rows instead of
+    # footer-lottery dropping it (current appends keep the column)
     base = spark.read.option("mergeSchema", "true").parquet(members_dir)
     if "assign_cos" not in base.columns:  # pre-stats index layout
         base = base.withColumn("assign_cos", F.lit(None).cast("double"))
@@ -810,16 +857,38 @@ def rebuild_ivf_index(
     """Re-derive the index from its CURRENT membership — the
     operational answer to a stale index (``job reindex``): fresh
     ⌈√N⌉-sized seed set over base + increments, every vector
-    re-assigned, stats baseline reset.  The rebuild lands in a
-    sibling ``<path>.rebuild`` directory and is swapped in only after
-    its members/_SUCCESS marker exists, so a crash mid-rebuild leaves
-    the live index untouched (and a dangling .rebuild dir to GC).
+    re-assigned, stats baseline reset.
+
+    ``k_cells=None`` re-sizes with the BUILD'S sizing policy, read
+    off the quantizer marker: a flat index takes the flat clamp
+    (``ivf_cells_for_n``), a two-level index takes the unclamped ⌈√N⌉
+    capped at 65536 — the ``ivf_topk_auto`` beyond-clamp rule.
+    Without the distinction, reindexing a two-level index built with
+    an explicit ``k_cells`` above the flat clamp (its stated use
+    case) would silently collapse it to 4096 cells while keeping the
+    ``_TWO_LEVEL`` marker — and ``job reindex`` is exactly the verb
+    the staleness signal tells operators to run.
+
+    Crash safety: the rebuild lands in a sibling ``<path>.rebuild``
+    directory and is swapped in only after its members/_SUCCESS marker
+    exists, so a crash mid-rebuild leaves the live index untouched
+    (and a dangling .rebuild dir to GC).  The swap itself is two
+    renames — old index aside, rebuild in — with a window between
+    them where ``path`` does not exist: a probe RACING the swap can
+    see a missing index, and a crash inside the window leaves the
+    index at ``<path>.old`` for manual rename-back.  The maintenance
+    verbs assume a single writer and no concurrent probes, the same
+    operational contract as the dedup-index maintenance.
     Distributed end-to-end — nothing corpus-sized touches the driver.
     Returns the new build stats."""
     import os
     import shutil
 
     vecs = _index_members(spark, path, id_col, vec_col).select(id_col, vec_col)
+    levels = _index_levels(path)
+    if k_cells is None and levels == 2:
+        n = vecs.count()
+        k_cells = min(max(math.ceil(math.sqrt(max(n, 1))), IVF_MIN_CELLS), 65536)
     tmp = path.rstrip("/") + ".rebuild"
     shutil.rmtree(tmp, ignore_errors=True)
     stats = write_ivf_index(
@@ -828,7 +897,7 @@ def rebuild_ivf_index(
         k_cells,
         id_col=id_col,
         vec_col=vec_col,
-        levels=_index_levels(path),  # rebuild keeps the build's quantizer
+        levels=levels,  # rebuild keeps the build's quantizer
     )
     # swap only after the rebuild is verifiably complete, and never
     # have a moment where the live path is deleted without its
@@ -885,15 +954,19 @@ def ivf_index_topk(
         # batch (the same _two_level_probe_cells math the one-shot
         # operator uses, so probe == direct stays bit-identical) —
         # the batch never touches the driver; only the DISTINCT
-        # probed cell ids do, and those are bounded by K
-        tl = _two_level_arrays(seeds.orderBy("sid").collect())
+        # probed cell ids do, and those are bounded by K.  The
+        # two-level state rides a broadcast (33 MB at K=65k would be
+        # re-pickled per task as a closure capture).
+        bc_tl = spark.sparkContext.broadcast(
+            _two_level_arrays(seeds.orderBy("sid").collect())
+        )
 
         @F.pandas_udf("array<long>")
         def probe_cells_udf(v: pd.Series) -> pd.Series:
             if len(v) == 0:
                 return pd.Series([], dtype=object)
             pc = _two_level_probe_cells(
-                list(enumerate(v.tolist())), tl, nprobe, nprobe_cell
+                list(enumerate(v.tolist())), bc_tl.value, nprobe, nprobe_cell
             )
             return pd.Series([pc[i] for i in range(len(v))])
 

@@ -454,11 +454,24 @@ def test_ivf_index_append_increment(spark, sf_small, tmp_path):
     write_ivf_index(emb, path)
     shift = 1_000_000
     shard = emb.limit(20).withColumn("vec_id", F.col("vec_id") + shift)
-    rep = append_to_ivf_index(shard, path)
+    # the legacy one-shot mode double-appends on retry, so the
+    # un-flagged call must fail fast instead of arming the hazard
+    import pytest
+
+    with pytest.raises(ValueError, match="non_idempotent"):
+        append_to_ivf_index(shard, path)
+    rep = append_to_ivf_index(shard, path, allow_non_idempotent=True)
     assert rep["appended"] == 20
     # clone shard of the build corpus: assignment cosines match the
     # build distribution, so the staleness signal must NOT trip
     assert rep["stale"] is False
+    # legacy appends keep assign_cos: members/ stays schema-uniform
+    # (no mergeSchema defensiveness needed downstream)
+    import os
+
+    mem = spark.read.parquet(os.path.join(path, "members"))
+    assert "assign_cos" in mem.columns
+    assert mem.filter(F.col("assign_cos").isNull()).count() == 0
 
     q = shard.limit(3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -787,7 +800,7 @@ def test_ivf2_index_append_and_rebuild_keep_quantizer(spark, sf_small, tmp_path)
     write_ivf_index(emb, path, levels=2)
     shift = 1_000_000
     shard = emb.limit(20).withColumn("vec_id", F.col("vec_id") + shift)
-    rep = append_to_ivf_index(shard, path)
+    rep = append_to_ivf_index(shard, path, allow_non_idempotent=True)
     assert rep["appended"] == 20
     # clone shard of the build corpus: two-level assignment cosines
     # match the build distribution, so staleness must not trip
@@ -940,3 +953,43 @@ def test_two_level_routing_survives_empty_super_hazard():
         [(i, list(q)) for i, q in enumerate(x)], tl, nprobe_super=1, nprobe_cell=2
     )
     assert all(len(v) >= 1 for v in pc.values())
+
+
+def test_rebuild_two_level_resizes_past_flat_clamp(spark, sf_small, tmp_path, monkeypatch):
+    """ADVICE r7: ``rebuild_ivf_index(k_cells=None)`` on a TWO-LEVEL
+    index must re-size with the unclamped sqrt(N) policy (the
+    ``ivf_topk_auto`` beyond-clamp rule), not the flat clamp —
+    collapsing a beyond-clamp index to ``IVF_MAX_CELLS`` while keeping
+    the ``_TWO_LEVEL`` marker would silently destroy the two-level
+    economics, and ``job reindex`` is exactly what the staleness
+    signal tells operators to run.  The clamp boundary is scaled down
+    to fixture size by patching the module constants (the sizing
+    functions read them at call time)."""
+    import math
+
+    from data_engineering_user_session_analysis_spark.operators import ivf
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").limit(100)
+    n = emb.count()
+    k_unclamped = max(math.ceil(math.sqrt(n)), 2)
+    assert k_unclamped > 4  # fixture sanity: leaves room for a clamp below it
+    monkeypatch.setattr(ivf, "IVF_MIN_CELLS", 2)
+    monkeypatch.setattr(ivf, "IVF_MAX_CELLS", k_unclamped - 2)
+
+    # flat index: rebuild keeps the flat clamp (the pre-fix behavior
+    # was CORRECT here, and must stay)
+    flat = str(tmp_path / "flat")
+    ivf.write_ivf_index(emb, flat, levels=1)
+    assert ivf.rebuild_ivf_index(spark, flat)["k_cells"] == k_unclamped - 2
+
+    # two-level index built beyond the (patched) clamp: rebuild must
+    # re-derive the UNCLAMPED size, not collapse to the flat clamp
+    two = str(tmp_path / "two")
+    ivf.write_ivf_index(emb, two, k_cells=k_unclamped, levels=2)
+    stats = ivf.rebuild_ivf_index(spark, two)
+    assert stats["k_cells"] == k_unclamped and stats["levels"] == 2
+
+    # an explicit CLI-style k_cells override wins over both policies
+    stats = ivf.rebuild_ivf_index(spark, two, k_cells=k_unclamped - 1)
+    assert stats["k_cells"] == k_unclamped - 1 and stats["levels"] == 2
