@@ -338,6 +338,63 @@ def _two_level_probe_cells(
     return probe_cells
 
 
+#: Geometric rank-decay constants for ``ivf2_probe_params``,
+#: calibrated against the measured 200k-vector recall curve
+#: (STRESS_sf1_r08 ``ivf2 recall curve``): the probability that a
+#: true neighbor's cell sits past the query's s-th ranked super
+#: (resp. c-th ranked cell inside probed supers) is modeled as
+#: ``rho^s`` (resp. ``rho^c``).  Conservative fits — the model must
+#: under-promise, so the auto-sizer over-probes rather than missing
+#: its target.
+IVF2_RHO_SUPER = 0.35
+IVF2_RHO_CELL = 0.60
+
+
+def ivf2_probe_params(
+    k_cells: int,
+    recall_target: float = 0.95,
+    topk: int = 3,
+    rho_super: float | None = None,
+    rho_cell: float | None = None,
+) -> dict:
+    """Pick ``(nprobe_super, nprobe_cell)`` to hit a recall target —
+    the two-level twin of the LSH tier's ``lsh_params`` sizing: a
+    closed-form model calibrated by measurement, returning its
+    prediction next to the chosen knobs so callers can log claim vs
+    outcome.
+
+    Model: a true neighbor's assigned cell appears at rank i of the
+    query's super (resp. in-super cell) ranking with geometrically
+    decaying probability, so the miss rate after probing s supers and
+    c cells factorizes as ``1 - (1-rho_super^s)(1-rho_cell^c)``.  The
+    miss budget ``1 - target`` splits evenly across the two levels
+    (``1 - sqrt(target)`` each), each solved in closed form and
+    rounded UP.  Clamps: s ≤ K1 (all supers), c ≤ K (all cells), and
+    both at least the defaults (2, 4) so auto-sizing never probes
+    less than the fixed-knob baseline.  c is floored at ``topk`` —
+    fewer probed cells than requested neighbors cannot fill the
+    result on sparse corpora."""
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
+    rs = IVF2_RHO_SUPER if rho_super is None else rho_super
+    rc = IVF2_RHO_CELL if rho_cell is None else rho_cell
+    k1 = max(math.ceil(math.sqrt(max(k_cells, 1))), 2)
+    miss_each = 1.0 - math.sqrt(recall_target)
+    s = math.ceil(math.log(miss_each) / math.log(rs))
+    c = math.ceil(math.log(miss_each) / math.log(rc))
+    s = min(max(s, 2), k1)
+    c = min(max(c, 4, topk), k_cells)
+    predicted = (1.0 - rs**s) * (1.0 - rc**c)
+    return {
+        "nprobe_super": s,
+        "nprobe_cell": c,
+        "predicted_recall": round(predicted, 4),
+        "recall_target": recall_target,
+        "rho_super": rs,
+        "rho_cell": rc,
+    }
+
+
 def ivf2_topk(
     emb: DataFrame,
     anchor_ids: tuple[int, ...],
@@ -347,6 +404,7 @@ def ivf2_topk(
     topk: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    recall_target: float | None = None,
 ) -> DataFrame:
     """Hierarchical (two-level) IVF — the production answer the flat
     operator's K-clamp points at (``IVF_MAX_CELLS``): above K ≈ 4096
@@ -377,11 +435,20 @@ def ivf2_topk(
     map-only Arrow kernel; the candidate search joins on ``cell``
     exactly like flat IVF.  Recall on clone corpora is pinned in
     tests/test_similarity.py (clones route identically by
-    construction).  Output: (q_id, neighbor_id, rank)."""
+    construction).
+
+    ``recall_target`` set: ``nprobe_super``/``nprobe_cell`` are
+    DERIVED from the calibrated sizing model (``ivf2_probe_params``)
+    instead of the fixed defaults — auto-sizing toward a
+    caller-specified recall rather than hard-coded probe widths.
+    Output: (q_id, neighbor_id, rank)."""
     n = emb.count()
     k = k_cells or min(
         max(math.ceil(math.sqrt(max(n, 1))), IVF_MIN_CELLS), 65536
     )
+    if recall_target is not None:
+        sized = ivf2_probe_params(k, recall_target=recall_target, topk=topk)
+        nprobe_super, nprobe_cell = sized["nprobe_super"], sized["nprobe_cell"]
     seeds = select_seeds(emb, k, id_col=id_col, vec_col=vec_col)
     tl = _two_level_arrays(seeds.orderBy("sid").collect())
     # broadcast, not closure-capture: the two-level state is ~33 MB at
@@ -926,6 +993,7 @@ def ivf_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe_cell: int = 4,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """Probe the persistent index: top-``topk`` exact-dot neighbors
     within each query's top-``nprobe`` cells, over the base
@@ -950,6 +1018,14 @@ def ivf_index_topk(
 
     seeds = spark.read.parquet(os.path.join(path, "centroids"))
     if _index_levels(path) == 2:
+        if recall_target is not None:
+            # auto-size the probe widths toward the caller's recall
+            # target from the stored K (one O(K) count on the tiny
+            # centroids table) — the calibrated ivf2_probe_params model
+            sized = ivf2_probe_params(
+                seeds.count(), recall_target=recall_target, topk=topk
+            )
+            nprobe, nprobe_cell = sized["nprobe_super"], sized["nprobe_cell"]
         # cell selection as a map-only Arrow kernel over the query
         # batch (the same _two_level_probe_cells math the one-shot
         # operator uses, so probe == direct stays bit-identical) —

@@ -51,6 +51,7 @@ from data_engineering_user_session_analysis_spark.queries import text_extended_q
 from data_engineering_user_session_analysis_spark.queries import dedup_queries  # noqa: E402,F401
 from data_engineering_user_session_analysis_spark.queries import similarity_queries  # noqa: E402,F401
 from data_engineering_user_session_analysis_spark.queries import multimodal_queries  # noqa: E402,F401
+from data_engineering_user_session_analysis_spark.queries import sampling_queries  # noqa: E402,F401
 
 assert len(QUERIES) == 50, (
     f"registry must stay at the 50-row driver cap, got {len(QUERIES)}: "

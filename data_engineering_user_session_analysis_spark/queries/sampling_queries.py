@@ -1,0 +1,127 @@
+"""Driver-checked row for the deterministic sampling/split tier
+(``operators/sampling.py``) — the corpus-prep family whose
+correctness previously rested on pytest alone (round-7 review).
+
+The md5-threshold math is engine-portable by construction (DuckDB's
+``md5`` + hex-slice reproduces ``uniform_hash_unit`` byte for byte —
+pinned in tests/test_sampling.py), so the oracle replays the exact
+split/sample/rate decisions and any drift in the hash, the salt
+separator, the cumulative thresholds, or the CASE rate table breaks
+the row's value hash.
+
+All weights and rates here are DYADIC rationals (0.5, 0.25, 0.125)
+on purpose: every cumulative threshold the Python normalization
+produces is an exact binary double equal to the SQL literal, so a
+``u < t`` comparison can never straddle a rounding difference
+between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.operators.sampling import (
+    _key_hash,
+    deterministic_split,
+    sample_fraction,
+    stratified_sample_by_rates,
+)
+from data_engineering_user_session_analysis_spark.queries import register
+from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+_SPLITS = {"train": 0.5, "val": 0.25, "test": 0.25}
+_RATES = {"en": 0.5, "de": 0.25}
+_DEFAULT_RATE = 0.125
+
+
+@register(
+    "sample_split_counts",
+    """
+WITH u AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS u_split,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS u_mix,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strata'), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS u_strata,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS id_hash
+  FROM documents
+), labeled AS (
+  SELECT *,
+    CASE WHEN u_split < 0.5 THEN 'train'
+         WHEN u_split < 0.75 THEN 'val'
+         ELSE 'test' END AS split,
+    u_mix < 0.5 AS in_mix,
+    u_strata < (CASE lang WHEN 'en' THEN 0.5
+                          WHEN 'de' THEN 0.25
+                          ELSE 0.125 END) AS in_strata
+  FROM u
+)
+SELECT split,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(id_hash) AS BIGINT) AS id_checksum,
+  CAST(count(CASE WHEN in_mix THEN 1 END) AS BIGINT) AS n_sampled,
+  CAST(coalesce(sum(CASE WHEN in_mix THEN id_hash END), 0) AS BIGINT)
+    AS sampled_checksum,
+  CAST(count(CASE WHEN in_strata THEN 1 END) AS BIGINT) AS n_rate_kept
+FROM labeled GROUP BY split
+""",
+)
+def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split audit of the deterministic sampling tier: label every
+    document with ``deterministic_split`` (train/val/test by salted
+    cumulative hash thresholds), then count — per split — the
+    survivors of an independent ``sample_fraction`` draw (salt
+    ``mix``: the draws must NOT correlate with the split) and of a
+    per-language ``stratified_sample_by_rates`` CASE table, plus an
+    id-hash checksum of each membership set (counts alone would miss
+    a wrong-rows/right-count defect).
+
+    Plan shape: the samplers are pure map-side filters over one scan
+    lineage; the three tiny per-split aggregates (≤3 rows each) meet
+    in broadcast joins.  At 100 TB the heavy side stays one
+    shuffle-per-aggregate over 3-row groups — the audit is scan-bound,
+    exactly like the samplers it checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = deterministic_split(docs, _SPLITS, id_col="doc_id")
+    id_hash = _key_hash(F.col("doc_id"))
+    base = split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(id_hash).alias("id_checksum"),
+    )
+    sampled = (
+        sample_fraction(split, 0.5, id_col="doc_id", salt="mix")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(id_hash).alias("sampled_checksum"),
+        )
+    )
+    kept = (
+        stratified_sample_by_rates(
+            split,
+            _RATES,
+            strata_col="lang",
+            id_col="doc_id",
+            default_rate=_DEFAULT_RATE,
+            salt="strata",
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_rate_kept"))
+    )
+    return (
+        base.join(F.broadcast(sampled), "split", "left")
+        .join(F.broadcast(kept), "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "id_checksum",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("sampled_checksum", F.lit(0)).cast("long").alias(
+                "sampled_checksum"
+            ),
+            F.coalesce("n_rate_kept", F.lit(0)).alias("n_rate_kept"),
+        )
+    )

@@ -448,54 +448,6 @@ def props_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "session_time_to_convert",
-    _SESSIONIZED_CTE
-    + """
-, conv AS (
-  SELECT user_id, session_id,
-    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view_ts,
-    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase_ts
-  FROM sessionized GROUP BY user_id, session_id
-)
-SELECT user_id, session_id,
-  CAST(date_diff('second', first_view_ts, first_purchase_ts) AS BIGINT)
-    AS seconds_to_convert
-FROM conv
-WHERE first_view_ts IS NOT NULL AND first_purchase_ts IS NOT NULL
-  AND first_purchase_ts >= first_view_ts
-""",
-)
-def session_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversion latency per session: first view -> first purchase
-    (conditional-min aggregation + null-safe filtering) — the
-    funnel-timing analytic the reference's commented reports reach
-    toward (``spark_jobs/spark_batch_job.py:110-118``)."""
-    s = _sessionized(spark, sf_dir)
-    conv = s.groupBy("user_id", "session_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-            "first_view_ts"
-        ),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
-            "first_purchase_ts"
-        ),
-    )
-    from data_engineering_user_session_analysis_spark.operators.sessionize import epoch_seconds
-
-    return conv.filter(
-        F.col("first_view_ts").isNotNull()
-        & F.col("first_purchase_ts").isNotNull()
-        & (F.col("first_purchase_ts") >= F.col("first_view_ts"))
-    ).select(
-        "user_id",
-        "session_id",
-        (
-            epoch_seconds(F.col("first_purchase_ts"))
-            - epoch_seconds(F.col("first_view_ts"))
-        ).alias("seconds_to_convert"),
-    )
-
-
-@register(
     "cohort_retention",
     """
 WITH firsts AS (

@@ -634,6 +634,123 @@ def measure_embeddings_100x(spark, replicas: int = 100) -> dict:
     return res
 
 
+def measure_ivf2_recall_curve(spark, replicas: int = 100) -> dict:
+    """Recall-vs-nprobe curve for the TWO-LEVEL quantizer at the
+    200k-vector decade (VERDICT r07 next #4): build the levels=2
+    persistent index ONCE, then sweep (nprobe_super, nprobe_cell)
+    probe-only (probe == direct is pinned in tests, so the curve
+    transfers to the one-shot operator).  Ground truth is exact
+    brute-force top-3 for the fixed anchors.  The measured curve
+    calibrates ``ivf2_probe_params``'s geometric rank-decay
+    constants, and the auto-sized point for the default 0.95 target
+    is measured alongside the grid so the sizing claim is evidence,
+    not extrapolation."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf2_probe_params,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        foldl_dot_column,
+    )
+    from data_engineering_user_session_analysis_spark.queries.similarity_queries import ANCHOR_IDS
+
+    _quiesce(spark)
+    base = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    shift = SHIFTS["embeddings"]["vec_id"]
+    emb = (
+        base.crossJoin(
+            F.broadcast(spark.range(replicas).select(F.col("id").alias("_r")))
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * F.lit(shift))
+        .drop("_r")
+        .localCheckpoint(eager=True)
+    )
+    n = emb.count()
+    import math as _math
+
+    k = max(_math.ceil(_math.sqrt(n)), 16)
+    res: dict = {
+        "label": f"ivf2 recall curve ({replicas} clone shards)",
+        "n_vectors": n,
+        "k_cells": k,
+    }
+    q = emb.filter(F.col("vec_id").isin(*ANCHOR_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    true3 = {
+        (r.q_id, r.neighbor_id)
+        for r in F.broadcast(q)
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            foldl_dot_column("q_emb", "embedding").alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    idx = tempfile.mkdtemp(prefix="stress_ivf2curve_")
+    try:
+        _, res["index_build_sec"] = timed(
+            lambda: write_ivf_index(emb, idx, k_cells=k, levels=2)
+        )
+        curve = []
+        for ns in (1, 2, 3, 4, 6, 8):
+            for nc in (2, 4, 8, 16, 32):
+                got, sec = timed(
+                    lambda ns=ns, nc=nc: {
+                        (r.q_id, r.neighbor_id)
+                        for r in ivf_index_topk(
+                            spark, idx, q, nprobe=ns, topk=3, nprobe_cell=nc
+                        ).collect()
+                    }
+                )
+                curve.append(
+                    {
+                        "nprobe_super": ns,
+                        "nprobe_cell": nc,
+                        "recall_at_3": round(len(true3 & got) / len(true3), 4),
+                        "probe_sec": sec,
+                    }
+                )
+        res["curve"] = curve
+        # the auto-sized point for the default target, measured
+        sized = ivf2_probe_params(k, recall_target=0.95)
+        got, sec = timed(
+            lambda: {
+                (r.q_id, r.neighbor_id)
+                for r in ivf_index_topk(
+                    spark,
+                    idx,
+                    q,
+                    nprobe=sized["nprobe_super"],
+                    topk=3,
+                    nprobe_cell=sized["nprobe_cell"],
+                ).collect()
+            }
+        )
+        res["auto_sized"] = {
+            **sized,
+            "measured_recall_at_3": round(len(true3 & got) / len(true3), 4),
+            "probe_sec": sec,
+        }
+        return res
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def measure_events_100x(spark, replicas: int = 100) -> dict:
     """Second scaling decade for the CORE reference workload:
     gap-sessionization + rollup over 100 clone shards of the sf0.1
@@ -862,6 +979,135 @@ def measure_docs_index(spark, n_days: int = 12, planted: int = 250) -> dict:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def measure_vectors_index(spark, n_days: int = 12, planted: int = 250) -> dict:
+    """Daily-shard replay through the PERSISTENT hyperplane-LSH
+    vector index (`operators/dedup_index.py` — the
+    `run_vectors_index_step` pattern, new in r7 with fixture-scale
+    tests only): day r probes all prior days for cosine near-dups,
+    drops the hits, and indexes the survivors under its own ds
+    partition.  The vector twin of ``measure_docs_index``: the claim
+    under test is PROBE SECONDS PER DAY staying ~flat while the
+    indexed corpus grows to n_days × the shard, plus exact recovery
+    of the planted clone load.
+
+    Shard construction: day 0 is the real sf0.1 embeddings; each
+    later day carries shifted ids with per-(day, vector) SYNTHETIC
+    md5-derived embeddings (pairwise ~orthogonal — no cosine-0.9
+    match with anything, any day) plus ``planted`` EXACT copies of
+    day-0 vectors, so every day's probe has a known true-dup load
+    that does not compound across days."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        append_shard_to_vector_index,
+        incremental_vector_neardup,
+    )
+
+    _quiesce(spark)
+    base = spark.read.parquet(os.path.join(BASE, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    n_base = base.count()
+    dim = len(base.select("embedding").first()["embedding"])
+    shift = SHIFTS["embeddings"]["vec_id"]
+
+    def synth_vec(r: int):
+        # deterministic pseudo-random unit-ish vector per (day, vec):
+        # 4 md5 hex chars per element -> [-0.5, 0.5).  Two independent
+        # such vectors have |cos| ~ 1/sqrt(dim) — never near 0.9.
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"d{r}x"),
+                                F.col("vec_id").cast("string"),
+                                F.lit("x"),
+                                j.cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(65536.0)
+                - F.lit(0.5)
+            ).cast("float"),
+        )
+
+    idx = tempfile.mkdtemp(prefix="stress_vecindex_")
+    days = []
+    indexed_total = 0
+    try:
+        for r in range(n_days):
+            ds = f"2024-02-{r + 1:02d}"
+            if r == 0:
+                shard = base
+            else:
+                synth = base.withColumn(
+                    "vec_id", F.col("vec_id") + r * shift
+                ).withColumn("embedding", synth_vec(r))
+                copies = (
+                    base.orderBy("vec_id")
+                    .limit(planted)
+                    .withColumn("vec_id", F.col("vec_id") + r * shift + 500_000)
+                )
+                shard = synth.unionByName(copies)
+            shard = shard.localCheckpoint(eager=True)
+            rec = {"day": r, "ds": ds, "index_vectors_before": indexed_total}
+            if r == 0:
+                hits_ids = None
+                rec["probe_sec"] = None
+                rec["dup_hits"] = None
+            else:
+                (pairs, rec["probe_sec"]) = timed(
+                    lambda: incremental_vector_neardup(
+                        spark, shard, idx, threshold=0.9, before_ds=ds
+                    )
+                    .select(F.col("vec_b").alias("vec_id"))
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                hits_ids = pairs
+                rec["dup_hits"] = pairs.count()
+            clean = (
+                shard
+                if hits_ids is None
+                else shard.join(hits_ids, "vec_id", "left_anti")
+            )
+            _, rec["index_sec"] = timed(
+                lambda: append_shard_to_vector_index(clean, idx, ds)
+            )
+            rec["indexed_rows"] = clean.count()
+            indexed_total += rec["indexed_rows"]
+            days.append(rec)
+        probe_secs = [d["probe_sec"] for d in days if d["probe_sec"] is not None]
+        return {
+            "label": f"vector index replay ({n_days} days, shard={n_base})",
+            "n_days": n_days,
+            "shard_vectors": n_base,
+            "planted_copies": planted,
+            "final_index_vectors": indexed_total,
+            "days": days,
+            "probe_sec_per_day": probe_secs,
+            "planted_recovery_exact": all(
+                d["dup_hits"] == planted for d in days if d["day"] > 0
+            ),
+            "probe_flatness_last_over_first": (
+                round(probe_secs[-1] / probe_secs[0], 2) if probe_secs else None
+            ),
+        }
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def run_tier(tier: str) -> list[dict]:
     """One measurement tier in THIS process.  Tiers are designed to
     run in separate JVMs: a single long-lived session accumulates
@@ -917,6 +1163,10 @@ def run_tier(tier: str) -> list[dict]:
     if tier == "ivfmaint":
         build(spark)
         return [measure_ivf_maintenance(spark)]
+    if tier == "ivf2recall":
+        return [measure_ivf2_recall_curve(spark)]
+    if tier == "vecindex":
+        return [measure_vectors_index(spark)]
     if tier == "ingest":
         build(spark)
         return [
@@ -961,6 +1211,10 @@ def main() -> None:
         tiers.append("docsindex")
     if "--ivf-maint" in sys.argv or os.environ.get("SPARK_GRAFT_IVFMAINT"):
         tiers.append("ivfmaint")
+    if "--ivf2-recall" in sys.argv or os.environ.get("SPARK_GRAFT_IVF2RECALL"):
+        tiers.append("ivf2recall")
+    if "--vec-index" in sys.argv or os.environ.get("SPARK_GRAFT_VECINDEX"):
+        tiers.append("vecindex")
 
     me = os.path.abspath(__file__)
     results: dict[str, list[dict]] = {}

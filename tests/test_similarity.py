@@ -727,12 +727,54 @@ def test_ivf2_two_level_recall_on_clone_corpus(spark, sf_small):
         .filter(F.col("rank") <= 3)
         .collect()
     }
-    clones.unpersist()
     recall = len(true3 & got3) / len(true3)
     # clones route identically (same vector -> same super -> same
     # cell), so an anchor's clones are always searchable; the top-3
     # ARE the clones on this corpus
     assert recall >= 0.9, f"two-level IVF recall collapsed: {recall:.3f}"
+
+    # auto-sizing (r08): a caller-specified recall target derives the
+    # probe widths through the calibrated ivf2_probe_params model and
+    # must MEET the target on the clone corpus (the sizing widens the
+    # probe beyond the fixed (2, 4) baseline, so recall can only rise)
+    got_auto = {
+        (r.q_id, r.neighbor_id)
+        for r in ivf2_topk(clones, anchors, topk=3, recall_target=0.95).collect()
+    }
+    clones.unpersist()
+    recall_auto = len(true3 & got_auto) / len(true3)
+    assert recall_auto >= 0.95, (
+        f"auto-sized two-level probe missed its 0.95 target: {recall_auto:.3f}"
+    )
+    assert recall_auto >= recall  # wider probe never loses neighbors
+
+
+def test_ivf2_probe_params_sizing_model():
+    """The closed-form sizing: monotone in the target, clamped to the
+    hierarchy bounds, never narrower than the fixed (2, 4) defaults,
+    and honest about its prediction (>= target within the clamps)."""
+    import pytest
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf2_probe_params,
+    )
+
+    base = ivf2_probe_params(448)  # the 200k-vector derived K
+    assert base["nprobe_super"] >= 2 and base["nprobe_cell"] >= 4
+    assert base["predicted_recall"] >= base["recall_target"]
+    stricter = ivf2_probe_params(448, recall_target=0.99)
+    assert stricter["nprobe_super"] >= base["nprobe_super"]
+    assert stricter["nprobe_cell"] >= base["nprobe_cell"]
+    assert stricter["predicted_recall"] >= 0.99
+    # clamps: a tiny hierarchy cannot probe more supers/cells than exist
+    tiny = ivf2_probe_params(4, recall_target=0.999)
+    assert tiny["nprobe_super"] <= 2  # K1 = ceil(sqrt(4)) = 2
+    assert tiny["nprobe_cell"] <= 4
+    # topk floors the cell budget: 10 requested neighbors need >= 10 cells
+    wide = ivf2_probe_params(448, recall_target=0.5, topk=10)
+    assert wide["nprobe_cell"] >= 10
+    with pytest.raises(ValueError):
+        ivf2_probe_params(448, recall_target=1.5)
 
 
 def test_ivf2_persistent_index_matches_direct(spark, sf_small, tmp_path):
