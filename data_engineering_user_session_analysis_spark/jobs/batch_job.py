@@ -323,6 +323,7 @@ def run_vectors_index_step(
     out_dir: str,
     ds: str,
     threshold: float = 0.9,
+    target_days: int = 365,
 ) -> dict:
     """Daily embedding-shard dedup-index step — the vector twin of
     ``run_docs_index_step``: probe the persistent hyperplane-LSH
@@ -333,7 +334,14 @@ def run_vectors_index_step(
     partition (``vector_index/{buckets,vectors}/ds=<ds>`` overwrite).
 
     Day 1 (no prior index) self-dedups the shard with the star-edge
-    graph (``lsh_dedup_edges_auto`` → ``dedup_canonical``) instead.
+    graph (``lsh_dedup_edges_auto`` → ``dedup_canonical``) instead,
+    and freezes the index geometry sized for ``target_days`` of
+    shards at today's size (``vector_index_geometry``): a
+    hyperplane index's candidate load grows as N/2^planes under a
+    FIXED geometry, so the budget math must run against the corpus
+    the index will grow into — the fixture-scale default geometry
+    measured a 3.7× probe-cost rise over an 11× replay before this
+    sizing existed (STRESS r08 ``vector index replay``).
     """
     from data_engineering_user_session_analysis_spark.operators.dedup import dedup_canonical
     from data_engineering_user_session_analysis_spark.operators.dedup_index import (
@@ -373,7 +381,9 @@ def run_vectors_index_step(
         report["dup_hits"] = None  # first day: self-dedup only
     # the survivor set feeds two index writes plus the count below
     clean = clean.localCheckpoint(eager=True)
-    append_shard_to_vector_index(clean, idx, ds)
+    append_shard_to_vector_index(
+        clean, idx, ds, target_n=max(report["shard_rows"], 1) * target_days
+    )
     report["indexed_rows"] = clean.count()
     return report
 

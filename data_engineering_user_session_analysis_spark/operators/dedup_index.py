@@ -304,6 +304,52 @@ _TABLES = 8
 _PLANES = 4
 
 
+def vector_index_geometry(target_n: int, dim: int = _DIM) -> dict:
+    """Size the index's frozen LSH geometry for a TARGET corpus — the
+    persistent-index twin of the one-shot tier's ``lsh_params``
+    scale-aware sizing.  A hyperplane index freezes (tables, planes)
+    at creation (signatures are only joinable within one geometry),
+    so the budget math must run against the corpus the index will
+    GROW INTO, not the first shard: with fixed planes, random-pair
+    candidates grow as shard·N·tables/2^planes — LINEAR in the
+    indexed corpus (measured: the 12-day replay's probe cost rose
+    3.7× over 11× growth at the legacy planes=4 before this sizing
+    existed, STRESS r08).  Each extra plane halves the candidate
+    load and costs one bit per signature, so over-provisioning is
+    cheap; ``lsh_params``'s fixpoint picks planes from the candidate
+    budget at ``target_n`` and tables from the near-dup recall
+    target.  Returns ``{"dim", "tables", "planes",
+    "predicted_recall_at_threshold", ...}`` (the lsh_params
+    predictions ride along for the caller's logs)."""
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import lsh_params
+
+    p = lsh_params(max(int(target_n), 2))
+    return {"dim": dim, "tables": p["tables"], "planes": p["planes"], **{
+        k: v for k, v in p.items() if k not in ("tables", "planes")
+    }}
+
+
+def _write_vector_params(spark, path: str, dim: int, tables: int, planes: int) -> None:
+    """Persist the index geometry FIRST (before any bucket/vector
+    write): every later append and probe must bucket with the
+    build's geometry — a shard bucketed with different planes lands
+    in a disjoint signature space and silently never matches."""
+    spark.createDataFrame(
+        [{"dim": dim, "tables": tables, "planes": planes}]
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "params"))
+
+
+def _read_vector_params(spark, path: str) -> "dict | None":
+    """The stored geometry, or None for a pre-params (legacy) index —
+    legacy indexes keep the original module defaults, so nothing
+    built before the params table changes behavior."""
+    d = os.path.join(path, "params")
+    if not os.path.isdir(d):
+        return None
+    r = spark.read.parquet(d).first()
+    return {"dim": int(r["dim"]), "tables": int(r["tables"]), "planes": int(r["planes"])}
+
+
 def _vector_bucket_table(
     emb: DataFrame, id_col: str, vec_col: str, dim: int, tables: int, planes: int
 ) -> DataFrame:
@@ -336,10 +382,27 @@ def write_vector_index(
     tables: int = _TABLES,
     planes: int = _PLANES,
     mode: str = "overwrite",
+    target_n: "int | None" = None,
 ) -> None:
     """Persist the hyperplane-LSH probe surface (id, table, sig) and
     the vectors+norms for exact verification.  The hyperplanes are
-    md5-deterministic, so no weights accompany the index."""
+    md5-deterministic, so no weights accompany the index — but the
+    GEOMETRY does (``params/``, written first): appends and probes
+    bucket with the stored (dim, tables, planes), never their own
+    defaults.  ``target_n`` sizes the geometry for the corpus the
+    index will grow into (``vector_index_geometry``); without it the
+    module defaults apply (fixture scale — a production index should
+    always pass its growth target)."""
+    if target_n is not None:
+        g = vector_index_geometry(target_n, dim)
+        dim, tables, planes = g["dim"], g["tables"], g["planes"]
+    spark = emb.sparkSession
+    if mode == "append":
+        stored = _read_vector_params(spark, path)
+        if stored is not None:
+            dim, tables, planes = stored["dim"], stored["tables"], stored["planes"]
+    else:
+        _write_vector_params(spark, path, dim, tables, planes)
     _vector_bucket_table(emb, id_col, vec_col, dim, tables, planes).write.mode(
         mode
     ).parquet(os.path.join(path, "buckets"))
@@ -374,6 +437,7 @@ def append_shard_to_vector_index(
     dim: int = _DIM,
     tables: int = _TABLES,
     planes: int = _PLANES,
+    target_n: "int | None" = None,
 ) -> None:
     """Idempotent per-day variant of ``append_to_vector_index`` — the
     embedding twin of ``append_shard_to_minhash_index``: the shard
@@ -386,7 +450,23 @@ def append_shard_to_vector_index(
     ``_SUCCESS`` marker is the day's presence signal
     (``vector_shard_indexed``) — a crash anywhere leaves a day that
     reads as incomplete and gets rebuilt by its re-run, never
-    candidates that verify against missing or mismatched vectors."""
+    candidates that verify against missing or mismatched vectors.
+
+    Geometry: an EXISTING index's stored ``params/`` always wins (a
+    shard bucketed with different planes would live in a disjoint
+    signature space and never match).  The FIRST shard creates the
+    index and freezes the geometry — from ``target_n``
+    (``vector_index_geometry``) when given, else the module-default
+    fixture geometry; the daily verb (``run_vectors_index_step``)
+    passes a year-of-shards target by default."""
+    stored = _read_vector_params(emb.sparkSession, path)
+    if stored is not None:
+        dim, tables, planes = stored["dim"], stored["tables"], stored["planes"]
+    else:
+        if target_n is not None:
+            g = vector_index_geometry(target_n, dim)
+            dim, tables, planes = g["dim"], g["tables"], g["planes"]
+        _write_vector_params(emb.sparkSession, path, dim, tables, planes)
     _retract_day_marker(path, ds)
     _vector_norm_table(emb, id_col, vec_col).write.mode("overwrite").parquet(
         os.path.join(path, "vectors", f"ds={ds}")
@@ -425,6 +505,11 @@ def incremental_vector_neardup(
     ``_SUCCESS``-complete ones."""
     from data_engineering_user_session_analysis_spark.operators.vector_lsh import foldl_dot_column
 
+    stored = _read_vector_params(spark, path)
+    if stored is not None:
+        # probe with the BUILD's geometry — the new shard's signatures
+        # must live in the same space as the stored buckets
+        dim, tables, planes = stored["dim"], stored["tables"], stored["planes"]
     # shard-scale cache, caller-consumed — same lifecycle note as
     # incremental_neardup_pairs above.
     b_new = _vector_bucket_table(

@@ -345,7 +345,10 @@ def _two_level_probe_cells(
 #: (resp. c-th ranked cell inside probed supers) is modeled as
 #: ``rho^s`` (resp. ``rho^c``).  Conservative fits — the model must
 #: under-promise, so the auto-sizer over-probes rather than missing
-#: its target.
+#: its target.  rho_cell=0.6 ⇒ the 0.95 target needs c ≥ 8, which is
+#: exactly the measured recall-1.0 frontier at 200k (every grid
+#: point with c ≥ max(8, 2s) measured 1.0; (6,8) and (8,8) measured
+#: 0.9 — hence the 2s coupling below).
 IVF2_RHO_SUPER = 0.35
 IVF2_RHO_CELL = 0.60
 
@@ -373,7 +376,17 @@ def ivf2_probe_params(
     both at least the defaults (2, 4) so auto-sizing never probes
     less than the fixed-knob baseline.  c is floored at ``topk`` —
     fewer probed cells than requested neighbors cannot fill the
-    result on sparse corpora."""
+    result on sparse corpora.
+
+    One coupling the 200k measurement forced (STRESS r08): the probe
+    ranks the candidate cells of ALL probed supers in one global
+    list, so widening the super probe DILUTES the ranking — a
+    high-dot cell from a foreign super can displace the true
+    neighbor's cell from the top-c (measured: recall at fixed c=4
+    FALLS 0.9→0.8→0.7 as s goes 2→4→6, and (6,8)/(8,8) measured 0.9
+    where every c ≥ max(8, 2s) point measured 1.0).  Hence the floor
+    ``c ≥ 2s``: per-super cell depth never drops below 2 as the
+    super width grows."""
     if not 0.0 < recall_target < 1.0:
         raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
     rs = IVF2_RHO_SUPER if rho_super is None else rho_super
@@ -383,7 +396,7 @@ def ivf2_probe_params(
     s = math.ceil(math.log(miss_each) / math.log(rs))
     c = math.ceil(math.log(miss_each) / math.log(rc))
     s = min(max(s, 2), k1)
-    c = min(max(c, 4, topk), k_cells)
+    c = min(max(c, 4, topk, 2 * s), k_cells)
     predicted = (1.0 - rs**s) * (1.0 - rc**c)
     return {
         "nprobe_super": s,

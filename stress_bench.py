@@ -1083,14 +1083,24 @@ def measure_vectors_index(spark, n_days: int = 12, planted: int = 250) -> dict:
                 else shard.join(hits_ids, "vec_id", "left_anti")
             )
             _, rec["index_sec"] = timed(
-                lambda: append_shard_to_vector_index(clean, idx, ds)
+                lambda: append_shard_to_vector_index(
+                    # the daily verb's production sizing: geometry for a
+                    # year of shards, frozen by the first day (stored
+                    # params win afterwards)
+                    clean, idx, ds, target_n=n_base * 365
+                )
             )
             rec["indexed_rows"] = clean.count()
             indexed_total += rec["indexed_rows"]
             days.append(rec)
         probe_secs = [d["probe_sec"] for d in days if d["probe_sec"] is not None]
+        from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+            _read_vector_params,
+        )
+
         return {
             "label": f"vector index replay ({n_days} days, shard={n_base})",
+            "geometry": _read_vector_params(spark, idx),
             "n_days": n_days,
             "shard_vectors": n_base,
             "planted_copies": planted,

@@ -183,3 +183,53 @@ def test_rerun_retracts_completeness_marker_first(spark, sf_small, tmp_path):
     # and a completed re-run restores it
     append_shard_to_minhash_index(docs, idx, "2024-01-01")
     assert shard_indexed(idx, "2024-01-01")
+
+
+def test_vector_index_geometry_is_frozen_and_shared(spark, sf_small, tmp_path):
+    """STRESS r08 fix: the index geometry is sized at creation for the
+    corpus it will GROW INTO (``target_n``) and persisted in
+    ``params/``; every later append and probe buckets with the STORED
+    geometry even when called with conflicting arguments — a clone
+    planted across days can only hit at cos 1.0 if both days share
+    one signature space."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_vector_params,
+        append_shard_to_vector_index,
+        incremental_vector_neardup,
+        vector_index_geometry,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    day1 = emb.orderBy("vec_id").limit(50)
+    idx = str(tmp_path / "vec_idx")
+    append_shard_to_vector_index(day1, idx, "2024-01-01", target_n=100_000)
+    g = _read_vector_params(spark, idx)
+    want = vector_index_geometry(100_000)
+    assert (g["tables"], g["planes"]) == (want["tables"], want["planes"])
+    # sized past the fixture default: the candidate budget at 100k
+    # needs deeper buckets than planes=4
+    assert g["planes"] > 4
+
+    # a day-2 append called with a CONFLICTING explicit geometry must
+    # still land in the stored one (stored params win) ...
+    src = day1.first()
+    clone = spark.createDataFrame(
+        [(9_000_000, src.embedding)], "vec_id long, embedding array<double>"
+    ).withColumn(
+        # match the fixture element type: this shard is APPENDED into
+        # vectors/, and a double-typed day would break the union scan
+        "embedding",
+        F.col("embedding").cast(day1.schema["embedding"].dataType),
+    )
+    append_shard_to_vector_index(clone, idx, "2024-01-02", planes=2, tables=2)
+    # ... so a day-3 probe (also defaulting differently) finds the
+    # planted cross-day clone at cosine 1.0
+    hits = incremental_vector_neardup(
+        spark, clone, idx, threshold=0.9, before_ds="2024-01-03"
+    ).collect()
+    assert any(
+        r.vec_b == 9_000_000 and abs(r.cosine - 1.0) < 1e-9 for r in hits
+    ), hits

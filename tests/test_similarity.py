@@ -773,6 +773,10 @@ def test_ivf2_probe_params_sizing_model():
     # topk floors the cell budget: 10 requested neighbors need >= 10 cells
     wide = ivf2_probe_params(448, recall_target=0.5, topk=10)
     assert wide["nprobe_cell"] >= 10
+    # the measured-coupling floor: widening the super probe dilutes
+    # the global cell ranking, so cell depth tracks super width
+    coupled = ivf2_probe_params(4096, recall_target=0.999)
+    assert coupled["nprobe_cell"] >= 2 * coupled["nprobe_super"]
     with pytest.raises(ValueError):
         ivf2_probe_params(448, recall_target=1.5)
 
