@@ -522,7 +522,8 @@ def run_backfill(
 def main(argv: list[str]) -> None:
     """CLI contract of the reference batch job: ``job <ds>`` (plus the
     maintenance verbs ``job compact <ds>`` and
-    ``job reindex <ivf_index_path> [k_cells]``,
+    ``job reindex <ivf_index_path> [k_cells]`` /
+    ``job reindex-vectors <vector_index_path> <target_n>``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
     operational pipeline ``job daily <ds>``)."""
@@ -567,6 +568,20 @@ def main(argv: list[str]) -> None:
 
         k_cells = int(argv[3]) if len(argv) > 3 else None
         print(rebuild_ivf_index(get_spark("ivf_reindex"), argv[2], k_cells))
+        return
+    if argv[1] == "reindex-vectors":
+        # re-bucket the persistent vector index under a geometry sized
+        # for the corpus it has grown into (`job reindex-vectors
+        # <path> <target_n>`) — the vector twin of `reindex`
+        from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+            rebuild_vector_index,
+        )
+
+        print(
+            rebuild_vector_index(
+                get_spark("vector_reindex"), argv[2], int(argv[3])
+            )
+        )
         return
     if argv[1] == "compact-index":
         # fold accumulated daily increments into the base members

@@ -481,6 +481,87 @@ def append_shard_to_vector_index(
 vector_shard_indexed = shard_indexed
 
 
+def rebuild_vector_index(
+    spark: SparkSession,
+    path: str,
+    target_n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Re-bucket the ENTIRE index under a geometry sized for
+    ``target_n`` — the operational answer when the corpus outgrows
+    the geometry it was frozen with (the vector twin of
+    ``rebuild_ivf_index``): with fixed planes the random-candidate
+    load per probe grows as N/2^planes, so an index that blew past
+    its creation-time ``target_n`` pays linearly growing probes until
+    it is re-bucketed.  Signatures are deterministic functions of
+    (vector, geometry), so the rebuild recomputes every bucket row
+    from the stored vectors — no re-ingestion.
+
+    Layout-preserving: a ds-partitioned index keeps its per-day
+    ``vectors/ds=*`` shards and gets per-day bucket partitions with
+    their ``_SUCCESS`` completeness markers restored (the daily
+    verbs' probe/idempotence contract survives the rebuild); a flat
+    legacy index stays flat.
+
+    Crash safety mirrors ``rebuild_ivf_index``: the rebuild lands in
+    ``<path>.rebuild`` and is swapped in with two renames — same
+    rename-window and single-writer/no-concurrent-probe caveats.
+    Returns ``{"n_vectors", "geometry", "layout"}``."""
+    import shutil
+
+    g = vector_index_geometry(target_n)
+    vecs = spark.read.parquet(os.path.join(path, "vectors"))
+    layout = "ds" if "ds" in vecs.columns else "flat"
+    tmp = path.rstrip("/") + ".rebuild"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _write_vector_params(spark, tmp, g["dim"], g["tables"], g["planes"])
+    n = vecs.count()
+    if layout == "ds":
+        # vectors copied shard-for-shard, buckets recomputed per day in
+        # ONE partitioned job each; per-day _SUCCESS markers restored
+        # after (a bulk partitionBy write only stamps the top level)
+        vecs.write.mode("overwrite").partitionBy("ds").parquet(
+            os.path.join(tmp, "vectors")
+        )
+        from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+            signature_column,
+        )
+
+        (
+            vecs.select(
+                F.col(id_col),
+                F.col("ds"),
+                F.posexplode(
+                    signature_column(vec_col, g["dim"], g["tables"], g["planes"])
+                ).alias("t", "sig"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("ds")
+            .parquet(os.path.join(tmp, "buckets"))
+        )
+        for d in os.listdir(os.path.join(tmp, "buckets")):
+            if d.startswith("ds="):
+                open(os.path.join(tmp, "buckets", d, "_SUCCESS"), "w").close()
+    else:
+        vecs.write.mode("overwrite").parquet(os.path.join(tmp, "vectors"))
+        _vector_bucket_table(
+            vecs.drop("nrm"), id_col, vec_col, g["dim"], g["tables"], g["planes"]
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "buckets"))
+    if not os.path.exists(os.path.join(tmp, "buckets", "_SUCCESS")):
+        raise RuntimeError(f"rebuild at {tmp} is incomplete (no buckets/_SUCCESS)")
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "n_vectors": n,
+        "geometry": {"dim": g["dim"], "tables": g["tables"], "planes": g["planes"]},
+        "layout": layout,
+    }
+
+
 def incremental_vector_neardup(
     spark: SparkSession,
     new_emb: DataFrame,

@@ -233,3 +233,71 @@ def test_vector_index_geometry_is_frozen_and_shared(spark, sf_small, tmp_path):
     assert any(
         r.vec_b == 9_000_000 and abs(r.cosine - 1.0) < 1e-9 for r in hits
     ), hits
+
+
+def test_rebuild_vector_index_rebuckets_under_new_geometry(spark, sf_small, tmp_path):
+    """The geometry-outgrown maintenance verb: rebuild re-buckets the
+    whole ds-partitioned index under a target_n-sized geometry while
+    preserving the per-day layout — prior days keep their completeness
+    markers, cross-day probes still hit, and a post-rebuild append
+    lands in the NEW geometry (stored params win)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_vector_params,
+        append_shard_to_vector_index,
+        incremental_vector_neardup,
+        rebuild_vector_index,
+        vector_index_geometry,
+        vector_shard_indexed,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    median = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    day1 = emb.filter(F.col("vec_id") <= median)
+    day2 = emb.filter(F.col("vec_id") > median)
+    idx = str(tmp_path / "vec_idx")
+    # built at the fixture default geometry (planes=4)
+    append_shard_to_vector_index(day1, idx, "2024-01-01")
+    append_shard_to_vector_index(day2, idx, "2024-01-02")
+    before = {
+        (frozenset((r.vec_a, r.vec_b)), round(r.cosine, 9))
+        for r in incremental_vector_neardup(
+            spark, day2, idx, threshold=0.4, before_ds="2024-01-02"
+        ).collect()
+    }
+    assert before, "fixture has cross-shard near-dup vectors"
+
+    rep = rebuild_vector_index(spark, idx, target_n=100_000)
+    want = vector_index_geometry(100_000)
+    assert rep["layout"] == "ds"
+    assert rep["geometry"]["planes"] == want["planes"] > 4
+    assert _read_vector_params(spark, idx)["planes"] == want["planes"]
+    # the daily contract survives: completeness markers restored
+    assert vector_shard_indexed(idx, "2024-01-01")
+    assert vector_shard_indexed(idx, "2024-01-02")
+
+    # exact clones (cos 1.0) are geometry-invariant: every clone pair
+    # found before MUST still be found; deeper planes may shed
+    # sub-threshold pairs (the documented recall trade)
+    after = {
+        (frozenset((r.vec_a, r.vec_b)), round(r.cosine, 9))
+        for r in incremental_vector_neardup(
+            spark, day2, idx, threshold=0.4, before_ds="2024-01-02"
+        ).collect()
+    }
+    exact_before = {p for p in before if p[1] == 1.0}
+    assert exact_before <= after
+
+    # a post-rebuild day-3 clone probes + appends in the new geometry
+    src = day2.orderBy("vec_id").first()
+    clone = spark.createDataFrame(
+        [(9_000_000, src.embedding)], "vec_id long, embedding array<double>"
+    ).withColumn("embedding", F.col("embedding").cast(day2.schema["embedding"].dataType))
+    hits = incremental_vector_neardup(
+        spark, clone, idx, threshold=0.9, before_ds="2024-01-03"
+    ).collect()
+    assert any(
+        r.vec_b == 9_000_000 and abs(r.cosine - 1.0) < 1e-9 for r in hits
+    ), hits
