@@ -190,6 +190,94 @@ def ivf_topk(
     )
 
 
+def kmeans_refine_seeds(
+    emb: DataFrame,
+    k_cells: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refine the deterministic md5-sample seeds — the
+    "production quality wants k-means" knob the module docstring
+    names: random seeds give unbalanced cells on clustered data (a
+    fat cell makes every probe touching it pay N_fat dots), and a few
+    Lloyd rounds move centroids toward cluster means, evening cell
+    sizes and tightening assignment cosines.
+
+    The update is SPHERICAL k-means (normalized per-cell mean): with
+    unit-norm centroids, the kernel's max-dot assignment IS max-cosine
+    assignment, and Lloyd's alternation provably never decreases the
+    mean assignment cosine — the quality metric the persistent index
+    already stores as its staleness baseline (so refined builds start
+    from a measurably tighter baseline).  An unnormalized mean update
+    has no such guarantee under dot assignment.
+
+    Each iteration is one map-only Arrow assignment pass
+    (``_assign_cells_kernel`` — the same kernel the index build uses)
+    plus one ``applyInPandas`` per-cell vectorized mean (ONE shuffle
+    on ``cell``; K groups of ~N/K vectors — never a per-dimension
+    explode, which would shuffle N·dim rows).  Cells that lose all
+    members (or with a vanishing mean) keep their previous centroid.
+    Output is a ``(sid, se)`` seeds DataFrame with synthetic dense
+    sids (centroids are means, not corpus vectors), drop-in for
+    ``ivf_topk`` / ``write_ivf_index(seeds=...)``.
+
+    Determinism note: the per-cell mean sums floats in partition
+    order, so centroids can differ in final ulps across runs —
+    refined seeds are for QUALITY paths; oracle-replayable fixtures
+    keep the md5-sample seeds.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = emb.sparkSession
+    seeds = select_seeds(emb, k_cells, id_col=id_col, vec_col=vec_col)
+
+    def _mean_per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+        # normalize MEMBERS first: sum_i cos(x_i, c) is linear in
+        # x_i/||x_i||, so the maximizing unit c is the normalized mean
+        # of the UNIT members — meaning raw vectors would weight each
+        # member by its norm and break the monotonicity argument
+        nrms = np.linalg.norm(mat, axis=1)
+        unit = mat[nrms > 0] / nrms[nrms > 0, np.newaxis]
+        m = unit.mean(axis=0) if len(unit) else np.zeros(mat.shape[1])
+        nrm = float(np.linalg.norm(m))
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                # a vanishing mean (antipodal members) yields None ->
+                # the coalesce keeps the previous seed
+                "mean_vec": [(m / nrm).tolist() if nrm > 1e-12 else None],
+            }
+        )
+
+    for _ in range(iters):
+        assigned = _assign_cells_kernel(emb, seeds, id_col, vec_col)
+        means = (
+            emb.join(assigned, id_col)
+            .select(F.col("cell"), F.col(vec_col).alias("_vec"))
+            .groupBy("cell")
+            .applyInPandas(_mean_per_cell, "cell long, mean_vec array<double>")
+        )
+        # empty cells keep their previous centroid (left join + coalesce)
+        seeds = (
+            seeds.join(means, seeds["sid"] == means["cell"], "left")
+            .select(
+                "sid",
+                F.coalesce(F.col("mean_vec"), F.col("se")).alias("se"),
+            )
+            .localCheckpoint(eager=True)  # cut the per-iter lineage
+        )
+    # dense synthetic sids: centroids are means, not corpus vectors,
+    # so the original ids would be misleading; ordering by old sid
+    # keeps the mapping deterministic
+    w = Window.orderBy("sid")
+    return (
+        seeds.withColumn("_new_sid", F.row_number().over(w) - 1)
+        .select(F.col("_new_sid").cast("long").alias("sid"), "se")
+    )
+
+
 def ivf_topk_auto(
     emb: DataFrame,
     anchor_ids: tuple[int, ...],
@@ -197,6 +285,7 @@ def ivf_topk_auto(
     topk: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    recall_target: float | None = None,
 ) -> DataFrame:
     """Scale-aware IVF: K derived from the MEASURED corpus size
     (K ≈ √N — one count() job, the same measured-sizing pattern as
@@ -210,7 +299,14 @@ def ivf_topk_auto(
     instead of silently degrading into 4096 ever-fatter cells:
     ``nprobe`` becomes the super probe width and 4 cells are searched
     inside the probed supers.  The switch is pinned equal to calling
-    ``ivf2_topk`` directly (tests/test_similarity.py)."""
+    ``ivf2_topk`` directly (tests/test_similarity.py).
+
+    ``recall_target`` flows through both regimes: beyond the clamp it
+    reaches ``ivf2_topk``'s calibrated sizing; in the flat regime the
+    probe depth takes the sizing model's CELL axis (a flat probe is
+    the s=1 restriction — no super dilution, so the cell-decay solve
+    is the conservative bound; the 200k curve measured recall 1.0
+    everywhere on the s=1 row)."""
     n = emb.count()
     k_unclamped = max(math.ceil(math.sqrt(max(n, 1))), IVF_MIN_CELLS)
     if k_unclamped > IVF_MAX_CELLS:
@@ -222,7 +318,11 @@ def ivf_topk_auto(
             topk=topk,
             id_col=id_col,
             vec_col=vec_col,
+            recall_target=recall_target,
         )
+    if recall_target is not None:
+        sized = ivf2_probe_params(k_unclamped, recall_target=recall_target, topk=topk)
+        nprobe = max(nprobe, sized["nprobe_cell"])
     seeds = select_seeds(emb, k_unclamped, id_col=id_col, vec_col=vec_col)
     return ivf_topk(
         emb,
@@ -530,6 +630,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: int = 1,
+    seeds: DataFrame | None = None,
 ) -> dict:
     """Persist an IVF index so query batches probe WITHOUT
     re-assigning the corpus (the similarity-search twin of the
@@ -555,6 +656,10 @@ def write_ivf_index(
     and the advisory stats last (a missing stats dir only disables
     the staleness comparison, never the index).
 
+    ``seeds`` overrides the deterministic md5-sample centroids with a
+    caller-supplied ``(sid, se)`` set (``kmeans_refine_seeds`` — the
+    quality path); ``k_cells`` is then taken from the given set.
+
     ``levels=2`` builds the index with the TWO-LEVEL quantizer
     (``ivf2_topk``'s routing — ~2·√K dots per vector instead of K),
     the serving form for beyond-the-clamp corpora where a flat K
@@ -572,7 +677,13 @@ def write_ivf_index(
         raise ValueError(f"levels must be 1 or 2, got {levels!r}")
     n = emb.count()
     k = k_cells or ivf_cells_for_n(n)
-    seeds = select_seeds(emb, k, id_col=id_col, vec_col=vec_col)
+    if seeds is None:
+        seeds = select_seeds(emb, k, id_col=id_col, vec_col=vec_col)
+    else:
+        # caller-supplied centroids (e.g. kmeans_refine_seeds): the
+        # index stores and probes whatever (sid, se) rows it is given
+        # — every downstream verb reads centroids/ and never re-derives
+        k = seeds.count()
     seeds.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )

@@ -310,6 +310,19 @@ def measure_vectors(
     res["ivf2_recall_at_3"] = (
         round(len(true3 & ivf2) / len(true3), 4) if true3 else None
     )
+    # the auto-sized probe point (recall_target API, r08): the sizing
+    # model's claim measured next to the fixed-knob baseline
+    (ivf2a, res["ivf2_auto_sec"]) = timed(
+        lambda: {
+            (r.q_id, r.neighbor_id)
+            for r in ivf2_topk(
+                emb_c, ANCHOR_IDS, topk=3, recall_target=0.95
+            ).collect()
+        }
+    )
+    res["ivf2_auto_recall_at_3"] = (
+        round(len(true3 & ivf2a) / len(true3), 4) if true3 else None
+    )
     emb_c.unpersist()
     return res
 

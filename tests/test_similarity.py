@@ -146,9 +146,21 @@ def test_ivf_auto_recall_on_clone_corpus(spark, sf_small):
         .filter(F.col("rank") <= 3)
         .collect()
     }
-    clones.unpersist()
     recall = len(true3 & ivf3) / len(true3)
     assert recall >= 0.9, f"derived-K IVF recall collapsed on clones: {recall:.3f}"
+
+    # flat-regime recall_target (r08): the auto entry point widens the
+    # probe through the sizing model's cell axis and must meet the
+    # caller's target on the clone corpus
+    auto = {
+        (r.q_id, r.neighbor_id)
+        for r in ivf_topk_auto(clones, anchors, topk=3, recall_target=0.95).collect()
+    }
+    clones.unpersist()
+    recall_auto = len(true3 & auto) / len(true3)
+    assert recall_auto >= 0.95, (
+        f"flat auto-sized probe missed its 0.95 target: {recall_auto:.3f}"
+    )
 
 
 def test_ivf_kernel_assignment_equals_fold_construction(spark, sf_small):
@@ -1039,3 +1051,64 @@ def test_rebuild_two_level_resizes_past_flat_clamp(spark, sf_small, tmp_path, mo
     # an explicit CLI-style k_cells override wins over both policies
     stats = ivf.rebuild_ivf_index(spark, two, k_cells=k_unclamped - 1)
     assert stats["k_cells"] == k_unclamped - 1 and stats["levels"] == 2
+
+
+def test_kmeans_refined_seeds_tighten_assignment(spark, sf_small, tmp_path):
+    """Spherical Lloyd refinement: the refined centroid set must
+    (a) have the documented shape (K dense sids, unit-norm vectors),
+    (b) yield a MEAN ASSIGNMENT COSINE at least as tight as the
+    md5-sample baseline (the refinement's entire reason to exist —
+    and the metric the persistent index stores as its staleness
+    baseline), and (c) be a drop-in for the persistent index build
+    with clone retrieval intact."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        _assign_cells_cos_kernel,
+        ivf_index_topk,
+        kmeans_refine_seeds,
+        select_seeds,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    k = 16
+    refined = kmeans_refine_seeds(emb, k, iters=3).cache()
+    rows = refined.collect()
+    assert sorted(r["sid"] for r in rows) == list(range(k))
+    for r in rows:
+        assert abs(float(np.linalg.norm(r["se"])) - 1.0) < 1e-9
+
+    def mean_cos(seeds_df):
+        return (
+            _assign_cells_cos_kernel(emb, seeds_df, "vec_id", "embedding")
+            .agg(F.avg("assign_cos"))
+            .first()[0]
+        )
+
+    base = mean_cos(select_seeds(emb, k))
+    tightened = mean_cos(refined)
+    assert tightened >= base - 1e-6, (base, tightened)
+
+    # drop-in for the persistent index: build with refined centroids,
+    # clone query retrieves its origin through the stored index
+    path = str(tmp_path / "ivf_refined")
+    stats = write_ivf_index(emb, path, seeds=refined)
+    assert stats["k_cells"] == k
+    assert stats["mean_assign_cos"] >= base - 1e-6
+    shift = 1_000_000
+    q = (
+        emb.limit(3)
+        .select(
+            (F.col("vec_id") + shift).alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    top = ivf_index_topk(spark, path, q, nprobe=2, topk=1).collect()
+    assert len(top) == 3
+    for r in top:
+        assert r.neighbor_id == r.q_id - shift
+    refined.unpersist()
+    emb.unpersist()
