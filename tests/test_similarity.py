@@ -1112,3 +1112,37 @@ def test_kmeans_refined_seeds_tighten_assignment(spark, sf_small, tmp_path):
         assert r.neighbor_id == r.q_id - shift
     refined.unpersist()
     emb.unpersist()
+
+
+def test_refined_seeds_compose_with_two_level_index(spark, sf_small, tmp_path):
+    """The quality knob composes with the beyond-clamp quantizer:
+    a levels=2 index built on kmeans-refined centroids (synthetic
+    dense sids) must derive its super hierarchy from the STORED
+    centroids and keep clone retrieval intact — the md5-of-sid super
+    selection and the self-anchoring rule make no assumption about
+    sids being corpus vector ids."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        _index_levels,
+        ivf_index_topk,
+        kmeans_refine_seeds,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    refined = kmeans_refine_seeds(emb, 16, iters=2)
+    path = str(tmp_path / "ivf2_refined")
+    stats = write_ivf_index(emb, path, seeds=refined, levels=2)
+    assert stats["levels"] == 2 and _index_levels(path) == 2
+    assert stats["k_cells"] == 16
+    shift = 1_000_000
+    q = emb.limit(3).select(
+        (F.col("vec_id") + shift).alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    top = ivf_index_topk(spark, path, q, nprobe=2, topk=1, nprobe_cell=4).collect()
+    emb.unpersist()
+    assert len(top) == 3
+    for r in top:
+        assert r.neighbor_id == r.q_id - shift
