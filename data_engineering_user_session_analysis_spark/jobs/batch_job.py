@@ -522,7 +522,7 @@ def run_backfill(
 def main(argv: list[str]) -> None:
     """CLI contract of the reference batch job: ``job <ds>`` (plus the
     maintenance verbs ``job compact <ds>`` and
-    ``job reindex <ivf_index_path> [k_cells]`` /
+    ``job reindex <ivf_index_path> [k_cells] [refine_iters]`` /
     ``job reindex-vectors <vector_index_path> <target_n>``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
@@ -567,7 +567,13 @@ def main(argv: list[str]) -> None:
         from data_engineering_user_session_analysis_spark.operators.ivf import rebuild_ivf_index
 
         k_cells = int(argv[3]) if len(argv) > 3 else None
-        print(rebuild_ivf_index(get_spark("ivf_reindex"), argv[2], k_cells))
+        refine_iters = int(argv[4]) if len(argv) > 4 else 0
+        print(
+            rebuild_ivf_index(
+                get_spark("ivf_reindex"), argv[2], k_cells,
+                refine_iters=refine_iters,
+            )
+        )
         return
     if argv[1] == "reindex-vectors":
         # re-bucket the persistent vector index under a geometry sized

@@ -1044,6 +1044,7 @@ def rebuild_ivf_index(
     k_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> dict:
     """Re-derive the index from its CURRENT membership — the
     operational answer to a stale index (``job reindex``): fresh
@@ -1059,6 +1060,13 @@ def rebuild_ivf_index(
     case) would silently collapse it to 4096 cells while keeping the
     ``_TWO_LEVEL`` marker — and ``job reindex`` is exactly the verb
     the staleness signal tells operators to run.
+
+    ``refine_iters > 0`` rebuilds on SPHERICAL-K-MEANS-refined
+    centroids (``kmeans_refine_seeds``) instead of the raw md5
+    sample — the operational route to a quality rebuild: a reindex
+    is already the response to a degraded staleness signal, and
+    refined centroids reset the ``mean_assign_cos`` baseline
+    measurably tighter (so the signal regains headroom).
 
     Crash safety: the rebuild lands in a sibling ``<path>.rebuild``
     directory and is swapped in only after its members/_SUCCESS marker
@@ -1080,6 +1088,12 @@ def rebuild_ivf_index(
     if k_cells is None and levels == 2:
         n = vecs.count()
         k_cells = min(max(math.ceil(math.sqrt(max(n, 1))), IVF_MIN_CELLS), 65536)
+    seeds = None
+    if refine_iters > 0:
+        k_for_refine = k_cells or ivf_cells_for_n(vecs.count())
+        seeds = kmeans_refine_seeds(
+            vecs, k_for_refine, iters=refine_iters, id_col=id_col, vec_col=vec_col
+        )
     tmp = path.rstrip("/") + ".rebuild"
     shutil.rmtree(tmp, ignore_errors=True)
     stats = write_ivf_index(
@@ -1089,6 +1103,7 @@ def rebuild_ivf_index(
         id_col=id_col,
         vec_col=vec_col,
         levels=levels,  # rebuild keeps the build's quantizer
+        seeds=seeds,
     )
     # swap only after the rebuild is verifiably complete, and never
     # have a moment where the live path is deleted without its

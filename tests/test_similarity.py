@@ -1146,3 +1146,36 @@ def test_refined_seeds_compose_with_two_level_index(spark, sf_small, tmp_path):
     assert len(top) == 3
     for r in top:
         assert r.neighbor_id == r.q_id - shift
+
+
+def test_reindex_with_refinement_tightens_baseline(spark, sf_small, tmp_path):
+    """``rebuild_ivf_index(refine_iters>0)`` — the operational quality
+    rebuild: the reindex that answers a degraded staleness signal must
+    reset the stored ``mean_assign_cos`` baseline measurably TIGHTER
+    than the md5-sample build it replaces (that is its entire point),
+    while keeping the index probeable."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf_index_topk,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    path = str(tmp_path / "ivf")
+    base_stats = write_ivf_index(emb, path)
+    new_stats = rebuild_ivf_index(spark, path, refine_iters=2)
+    assert new_stats["mean_assign_cos"] > base_stats["mean_assign_cos"], (
+        base_stats["mean_assign_cos"], new_stats["mean_assign_cos"],
+    )
+    assert new_stats["n_vectors"] == base_stats["n_vectors"]
+    shift = 1_000_000
+    q = emb.limit(3).select(
+        (F.col("vec_id") + shift).alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    top = ivf_index_topk(spark, path, q, nprobe=2, topk=1).collect()
+    assert len(top) == 3
+    for r in top:
+        assert r.neighbor_id == r.q_id - shift
