@@ -347,6 +347,7 @@ def run_vectors_index_step(
     from data_engineering_user_session_analysis_spark.operators.dedup_index import (
         append_shard_to_vector_index,
         incremental_vector_neardup,
+        vector_index_outgrown,
         vector_shard_indexed,
     )
     from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
@@ -385,6 +386,11 @@ def run_vectors_index_step(
         clean, idx, ds, target_n=max(report["shard_rows"], 1) * target_days
     )
     report["indexed_rows"] = clean.count()
+    # the geometry-outgrown signal (the vector twin of the IVF
+    # staleness report): a fixed-geometry index past its design point
+    # pays linearly growing probes SILENTLY — surface it daily so the
+    # operator knows when `job reindex-vectors` is due
+    report["index_outgrown"] = vector_index_outgrown(spark, idx)
     return report
 
 

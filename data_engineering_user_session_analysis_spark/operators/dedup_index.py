@@ -329,25 +329,63 @@ def vector_index_geometry(target_n: int, dim: int = _DIM) -> dict:
     }}
 
 
-def _write_vector_params(spark, path: str, dim: int, tables: int, planes: int) -> None:
+def _write_vector_params(
+    spark, path: str, dim: int, tables: int, planes: int,
+    target_n: "int | None" = None,
+) -> None:
     """Persist the index geometry FIRST (before any bucket/vector
     write): every later append and probe must bucket with the
     build's geometry — a shard bucketed with different planes lands
-    in a disjoint signature space and silently never matches."""
+    in a disjoint signature space and silently never matches.
+    ``target_n`` (when the geometry was sized) rides along as the
+    design point the outgrown check compares against."""
     spark.createDataFrame(
-        [{"dim": dim, "tables": tables, "planes": planes}]
+        [{"dim": dim, "tables": tables, "planes": planes,
+          "target_n": int(target_n) if target_n is not None else None}],
+        "dim int, tables int, planes int, target_n bigint",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "params"))
 
 
 def _read_vector_params(spark, path: str) -> "dict | None":
     """The stored geometry, or None for a pre-params (legacy) index —
     legacy indexes keep the original module defaults, so nothing
-    built before the params table changes behavior."""
+    built before the params table changes behavior.  ``target_n`` is
+    None for params written before the design point was recorded."""
     d = os.path.join(path, "params")
     if not os.path.isdir(d):
         return None
     r = spark.read.parquet(d).first()
-    return {"dim": int(r["dim"]), "tables": int(r["tables"]), "planes": int(r["planes"])}
+    return {
+        "dim": int(r["dim"]),
+        "tables": int(r["tables"]),
+        "planes": int(r["planes"]),
+        "target_n": int(r["target_n"])
+        if "target_n" in r.__fields__ and r["target_n"] is not None
+        else None,
+    }
+
+
+def vector_index_outgrown(spark, path: str, margin: float = 1.0) -> dict:
+    """The vector index's staleness twin: has the indexed corpus
+    grown past the design point its geometry was sized for?  A
+    fixed-geometry index degrades SILENTLY — probes keep returning
+    correct verified pairs while the random-candidate load (and so
+    probe cost) grows linearly past ``target_n`` — so the signal
+    must come from an explicit check, not from wrong results.  One
+    column-pruned count over ``vectors/`` vs the stored design
+    point; ``outgrown=True`` when ``indexed_n > target_n · margin``.
+    The operational answer is ``rebuild_vector_index`` (``job
+    reindex-vectors``) with a new target.  ``target_n`` is None
+    (check disabled) for legacy/fixture indexes that never declared
+    a design point."""
+    stored = _read_vector_params(spark, path)
+    target = stored.get("target_n") if stored else None
+    n = spark.read.parquet(os.path.join(path, "vectors")).count()
+    return {
+        "indexed_n": n,
+        "target_n": target,
+        "outgrown": (n > target * margin) if target else None,
+    }
 
 
 def _vector_bucket_table(
@@ -402,7 +440,7 @@ def write_vector_index(
         if stored is not None:
             dim, tables, planes = stored["dim"], stored["tables"], stored["planes"]
     else:
-        _write_vector_params(spark, path, dim, tables, planes)
+        _write_vector_params(spark, path, dim, tables, planes, target_n)
     _vector_bucket_table(emb, id_col, vec_col, dim, tables, planes).write.mode(
         mode
     ).parquet(os.path.join(path, "buckets"))
@@ -466,7 +504,7 @@ def append_shard_to_vector_index(
         if target_n is not None:
             g = vector_index_geometry(target_n, dim)
             dim, tables, planes = g["dim"], g["tables"], g["planes"]
-        _write_vector_params(emb.sparkSession, path, dim, tables, planes)
+        _write_vector_params(emb.sparkSession, path, dim, tables, planes, target_n)
     _retract_day_marker(path, ds)
     _vector_norm_table(emb, id_col, vec_col).write.mode("overwrite").parquet(
         os.path.join(path, "vectors", f"ds={ds}")
@@ -515,7 +553,7 @@ def rebuild_vector_index(
     layout = "ds" if "ds" in vecs.columns else "flat"
     tmp = path.rstrip("/") + ".rebuild"
     shutil.rmtree(tmp, ignore_errors=True)
-    _write_vector_params(spark, tmp, g["dim"], g["tables"], g["planes"])
+    _write_vector_params(spark, tmp, g["dim"], g["tables"], g["planes"], target_n)
     n = vecs.count()
     if layout == "ds":
         # vectors copied shard-for-shard, buckets recomputed per day in

@@ -301,3 +301,43 @@ def test_rebuild_vector_index_rebuckets_under_new_geometry(spark, sf_small, tmp_
     assert any(
         r.vec_b == 9_000_000 and abs(r.cosine - 1.0) < 1e-9 for r in hits
     ), hits
+
+
+def test_vector_index_outgrown_signal(spark, sf_small, tmp_path):
+    """The geometry-outgrown check: under the design point the signal
+    is quiet; once the indexed corpus passes target_n it trips — and
+    a reindex with a bigger target clears it.  Legacy/fixture indexes
+    without a declared design point report None (check disabled), not
+    a spurious alarm."""
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        append_shard_to_vector_index,
+        rebuild_vector_index,
+        vector_index_outgrown,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    idx = str(tmp_path / "vec_idx")
+    append_shard_to_vector_index(emb, idx, "2024-01-01", target_n=n * 10)
+    sig = vector_index_outgrown(spark, idx)
+    assert sig == {"indexed_n": n, "target_n": n * 10, "outgrown": False}
+
+    # grow past the design point: 10 more shards
+    from pyspark.sql import functions as F
+
+    for r in range(1, 11):
+        shard = emb.withColumn("vec_id", F.col("vec_id") + r * 1_000_000)
+        append_shard_to_vector_index(shard, idx, f"2024-01-{r + 1:02d}")
+    sig = vector_index_outgrown(spark, idx)
+    assert sig["indexed_n"] == n * 11 and sig["outgrown"] is True
+
+    # the operational answer clears the signal
+    rebuild_vector_index(spark, idx, target_n=n * 100)
+    sig = vector_index_outgrown(spark, idx)
+    assert sig["outgrown"] is False and sig["target_n"] == n * 100
+
+    # no declared design point -> check disabled, never a false alarm
+    idx2 = str(tmp_path / "vec_idx_legacy")
+    append_shard_to_vector_index(emb, idx2, "2024-01-01")
+    assert vector_index_outgrown(spark, idx2)["outgrown"] is None
