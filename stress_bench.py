@@ -1131,6 +1131,53 @@ def measure_vectors_index(spark, n_days: int = 12, planted: int = 250) -> dict:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def measure_kmeans_refinement(spark, replicas: int = 100, iters: int = 3) -> dict:
+    """Does the spherical-k-means quality knob hold at the 200k
+    decade?  Reports the md5-sample baseline vs refined mean
+    assignment cosine and max-cell fraction at derived K, plus the
+    refinement wall cost (iters × (one Arrow assignment pass + one
+    per-cell mean)) — the measured version of the operator's
+    fixture-scale claim."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        _assign_cells_cos_kernel,
+        ivf_cells_for_n,
+        kmeans_refine_seeds,
+        select_seeds,
+    )
+
+    _quiesce(spark)
+    base = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    shift = SHIFTS["embeddings"]["vec_id"]
+    emb = (
+        base.crossJoin(
+            F.broadcast(spark.range(replicas).select(F.col("id").alias("_r")))
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * F.lit(shift))
+        .drop("_r")
+        .localCheckpoint(eager=True)
+    )
+    n = emb.count()
+    k = ivf_cells_for_n(n)
+
+    def quality(seeds) -> dict:
+        a = _assign_cells_cos_kernel(emb, seeds, "vec_id", "embedding")
+        agg = a.agg(F.avg("assign_cos").alias("mc")).first()
+        mx = a.groupBy("cell").count().agg(F.max("count")).first()[0]
+        return {"mean_assign_cos": round(float(agg["mc"]), 4),
+                "max_cell_frac": round(mx / n, 4)}
+
+    res = {"label": f"kmeans refinement ({replicas} clone shards)",
+           "n_vectors": n, "k_cells": k, "iters": iters}
+    res["md5_baseline"] = quality(select_seeds(emb, k))
+    refined, res["refine_sec"] = timed(
+        lambda: kmeans_refine_seeds(emb, k, iters=iters).localCheckpoint(eager=True)
+    )
+    res["refined"] = quality(refined)
+    return res
+
+
 def run_tier(tier: str) -> list[dict]:
     """One measurement tier in THIS process.  Tiers are designed to
     run in separate JVMs: a single long-lived session accumulates
@@ -1190,6 +1237,8 @@ def run_tier(tier: str) -> list[dict]:
         return [measure_ivf2_recall_curve(spark)]
     if tier == "vecindex":
         return [measure_vectors_index(spark)]
+    if tier == "kmeansrefine":
+        return [measure_kmeans_refinement(spark)]
     if tier == "ingest":
         build(spark)
         return [
@@ -1238,6 +1287,8 @@ def main() -> None:
         tiers.append("ivf2recall")
     if "--vec-index" in sys.argv or os.environ.get("SPARK_GRAFT_VECINDEX"):
         tiers.append("vecindex")
+    if "--kmeans-refine" in sys.argv or os.environ.get("SPARK_GRAFT_KMEANSREFINE"):
+        tiers.append("kmeansrefine")
 
     me = os.path.abspath(__file__)
     results: dict[str, list[dict]] = {}
