@@ -79,11 +79,13 @@ def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-hash checksum of each membership set (counts alone would miss
     a wrong-rows/right-count defect).
 
-    Plan shape: the samplers are pure map-side filters over one scan
-    lineage; the three tiny per-split aggregates (≤3 rows each) meet
-    in broadcast joins.  At 100 TB the heavy side stays one
-    shuffle-per-aggregate over 3-row groups — the audit is scan-bound,
-    exactly like the samplers it checks."""
+    Plan shape (verified via .explain): the samplers are pure
+    map-side filters; the three aggregate branches each scan
+    documents COLUMN-PRUNED to doc_id (+lang for the rate branch) —
+    the wide text column never leaves parquet — and the three ≤3-row
+    results meet in broadcast joins with zero Python stages.  At
+    100 TB the audit reads two narrow columns three times; the
+    production samplers themselves stay single-scan filters."""
     docs = load_table(spark, sf_dir, "documents")
     split = deterministic_split(docs, _SPLITS, id_col="doc_id")
     id_hash = _key_hash(F.col("doc_id"))
