@@ -564,6 +564,13 @@ def ivf2_topk(
         nprobe_super, nprobe_cell = sized["nprobe_super"], sized["nprobe_cell"]
     seeds = select_seeds(emb, k, id_col=id_col, vec_col=vec_col)
     tl = _two_level_arrays(seeds.orderBy("sid").collect())
+    # the routing UDF's closure references this module's functions —
+    # ship the package to the Python workers (same convention as
+    # pandas_ops/multimodal; a plain session from a foreign cwd has
+    # no other way to import it)
+    from data_engineering_user_session_analysis_spark.runtime import ensure_worker_imports
+
+    ensure_worker_imports(emb.sparkSession)
     # broadcast, not closure-capture: the two-level state is ~33 MB at
     # K=65536 — exactly the scale this operator exists for — and a
     # closure would re-pickle it into every task
@@ -813,6 +820,9 @@ def _assign_cells_two_level_cos_kernel(
     beyond-clamp scale this kernel exists for (K=65536, dim=64 the
     seed matrix alone is ~33 MB), a task-closure capture would be
     re-pickled into every task."""
+    from data_engineering_user_session_analysis_spark.runtime import ensure_worker_imports
+
+    ensure_worker_imports(emb.sparkSession)  # kernel references _route_two_level
     bc = emb.sparkSession.sparkContext.broadcast(
         _two_level_arrays(seeds.orderBy("sid").collect())
     )
@@ -1172,6 +1182,11 @@ def ivf_index_topk(
         # probed cell ids do, and those are bounded by K.  The
         # two-level state rides a broadcast (33 MB at K=65k would be
         # re-pickled per task as a closure capture).
+        from data_engineering_user_session_analysis_spark.runtime import (
+            ensure_worker_imports,
+        )
+
+        ensure_worker_imports(spark)  # UDF references _two_level_probe_cells
         bc_tl = spark.sparkContext.broadcast(
             _two_level_arrays(seeds.orderBy("sid").collect())
         )
