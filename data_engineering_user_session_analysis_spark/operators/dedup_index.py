@@ -439,6 +439,13 @@ def write_vector_index(
         stored = _read_vector_params(spark, path)
         if stored is not None:
             dim, tables, planes = stored["dim"], stored["tables"], stored["planes"]
+        else:
+            # first write into a fresh path via append: the geometry used
+            # here must be the one every later append/probe reads back —
+            # without this, a target_n-sized first append buckets in one
+            # signature space while later calls fall back to module
+            # defaults and silently never match (ADVICE r8)
+            _write_vector_params(spark, path, dim, tables, planes, target_n)
     else:
         _write_vector_params(spark, path, dim, tables, planes, target_n)
     _vector_bucket_table(emb, id_col, vec_col, dim, tables, planes).write.mode(
@@ -538,9 +545,13 @@ def rebuild_vector_index(
 
     Layout-preserving: a ds-partitioned index keeps its per-day
     ``vectors/ds=*`` shards and gets per-day bucket partitions with
-    their ``_SUCCESS`` completeness markers restored (the daily
-    verbs' probe/idempotence contract survives the rebuild); a flat
-    legacy index stays flat.
+    their ``_SUCCESS`` completeness markers restored — but only for
+    days that were marker-complete in the PRE-rebuild index, so a
+    previously crashed, partially-written day stays invisible to
+    probes until its own re-run (the daily verbs' probe/idempotence
+    contract survives the rebuild); a flat legacy index stays flat.
+    The stored ``dim`` is preserved (it defines the hash family and
+    the vectors' shape); only (tables, planes) are re-sized.
 
     Crash safety mirrors ``rebuild_ivf_index``: the rebuild lands in
     ``<path>.rebuild`` and is swapped in with two renames — same
@@ -548,7 +559,13 @@ def rebuild_vector_index(
     Returns ``{"n_vectors", "geometry", "layout"}``."""
     import shutil
 
-    g = vector_index_geometry(target_n)
+    stored = _read_vector_params(spark, path)
+    # the stored dim is part of the index's identity (signature_column's
+    # matmul shape and the hash family both depend on it) — a rebuild
+    # re-buckets under new (tables, planes) but must never change dim
+    g = vector_index_geometry(
+        target_n, dim=stored["dim"] if stored is not None else _DIM
+    )
     vecs = spark.read.parquet(os.path.join(path, "vectors"))
     layout = "ds" if "ds" in vecs.columns else "flat"
     tmp = path.rstrip("/") + ".rebuild"
@@ -558,7 +575,17 @@ def rebuild_vector_index(
     if layout == "ds":
         # vectors copied shard-for-shard, buckets recomputed per day in
         # ONE partitioned job each; per-day _SUCCESS markers restored
-        # after (a bulk partitionBy write only stamps the top level)
+        # after (a bulk partitionBy write only stamps the top level) —
+        # but ONLY for days that were complete BEFORE the rebuild: the
+        # marker is the daily verbs' completeness signal, and stamping a
+        # previously crashed, partially-written day would promote it to
+        # probe-visible without its re-run (ADVICE r8)
+        pre_complete = {
+            d
+            for d in os.listdir(os.path.join(path, "buckets"))
+            if d.startswith("ds=")
+            and os.path.exists(os.path.join(path, "buckets", d, "_SUCCESS"))
+        }
         vecs.write.mode("overwrite").partitionBy("ds").parquet(
             os.path.join(tmp, "vectors")
         )
@@ -579,7 +606,7 @@ def rebuild_vector_index(
             .parquet(os.path.join(tmp, "buckets"))
         )
         for d in os.listdir(os.path.join(tmp, "buckets")):
-            if d.startswith("ds="):
+            if d.startswith("ds=") and d in pre_complete:
                 open(os.path.join(tmp, "buckets", d, "_SUCCESS"), "w").close()
     else:
         vecs.write.mode("overwrite").parquet(os.path.join(tmp, "vectors"))

@@ -1162,7 +1162,11 @@ def ivf_index_topk(
     quantizer: ``nprobe`` ranks supers and ``nprobe_cell`` cells are
     searched inside them (the ``ivf2_topk`` probe semantics —
     matching the direct operator is pinned in tests).  ``nprobe_cell``
-    is ignored on a flat index.  Output: (q_id, neighbor_id, rank)."""
+    is ignored on a flat index.  ``recall_target`` works in BOTH
+    regimes: two-level takes the full (s, c) solve; flat maps the
+    target onto the sizing model's cell axis, matching
+    ``ivf_topk_auto``'s flat-regime behavior.  Output: (q_id,
+    neighbor_id, rank)."""
     import os
 
     seeds = spark.read.parquet(os.path.join(path, "centroids"))
@@ -1204,6 +1208,17 @@ def ivf_index_topk(
             q_id_col, F.explode(probe_cells_udf(F.col(q_vec_col))).alias("cell")
         )
     else:
+        if recall_target is not None:
+            # flat regime: the probe depth takes the sizing model's CELL
+            # axis, exactly as ivf_topk_auto maps the target below the
+            # clamp (a flat probe is the s=1 restriction — no super
+            # dilution, so the cell-decay solve is the conservative
+            # bound).  Previously the target was silently ignored here,
+            # inconsistent with the auto path (ADVICE r8).
+            sized = ivf2_probe_params(
+                seeds.count(), recall_target=recall_target, topk=topk
+            )
+            nprobe = max(nprobe, sized["nprobe_cell"])
         w_assign = Window.partitionBy(q_id_col).orderBy(
             F.col("dot").desc(), F.col("sid").asc()
         )

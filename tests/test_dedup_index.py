@@ -341,3 +341,122 @@ def test_vector_index_outgrown_signal(spark, sf_small, tmp_path):
     idx2 = str(tmp_path / "vec_idx_legacy")
     append_shard_to_vector_index(emb, idx2, "2024-01-01")
     assert vector_index_outgrown(spark, idx2)["outgrown"] is None
+
+
+def test_append_mode_on_fresh_path_persists_sized_geometry(spark, sf_small, tmp_path):
+    """ADVICE r8 (medium): write_vector_index(mode='append',
+    target_n=...) on a FRESH path must persist the geometry it
+    actually bucketed with — otherwise later appends/probes fall back
+    to module defaults and bucket in a disjoint signature space,
+    silently missing every cross-write near-dup."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_vector_params,
+        incremental_vector_neardup,
+        vector_index_geometry,
+        write_vector_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    day1 = emb.orderBy("vec_id").limit(50)
+    idx = str(tmp_path / "vec_idx_append_fresh")
+    write_vector_index(day1, idx, mode="append", target_n=100_000)
+    g = _read_vector_params(spark, idx)
+    want = vector_index_geometry(100_000)
+    assert g is not None, "fresh-path append must write params/"
+    assert (g["tables"], g["planes"]) == (want["tables"], want["planes"])
+    assert g["target_n"] == 100_000
+
+    # a later default-argument append lands in the STORED geometry, so
+    # a planted clone hits across the two writes at cosine 1.0
+    src = day1.first()
+    clone = spark.createDataFrame(
+        [(9_000_000, src.embedding)], "vec_id long, embedding array<double>"
+    ).withColumn(
+        "embedding", F.col("embedding").cast(day1.schema["embedding"].dataType)
+    )
+    write_vector_index(clone, idx, mode="append")
+    hits = incremental_vector_neardup(spark, clone, idx, threshold=0.9).collect()
+    assert any(
+        r.vec_b == 9_000_000 and abs(r.cosine - 1.0) < 1e-9 for r in hits
+    ), hits
+
+
+def test_rebuild_vector_index_preserves_stored_dim(spark, tmp_path):
+    """ADVICE r8: a rebuild re-sizes (tables, planes) but must keep the
+    STORED dim — dim defines the hash family and the vectors' matmul
+    shape, so sizing the new geometry with the default dim would crash
+    (or silently re-hash) an index built at a non-default dim."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_vector_params,
+        incremental_vector_neardup,
+        rebuild_vector_index,
+        write_vector_index,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "vec_idx_dim16")
+    write_vector_index(emb, idx, dim=dim)
+    assert _read_vector_params(spark, idx)["dim"] == dim
+
+    rep = rebuild_vector_index(spark, idx, target_n=100_000)
+    assert rep["geometry"]["dim"] == dim
+    assert _read_vector_params(spark, idx)["dim"] == dim
+
+    # the rebuilt index still probes: an exact clone hits at cos 1.0
+    src = emb.first()
+    clone = spark.createDataFrame(
+        [(9_000_000, src.embedding)], "vec_id long, embedding array<double>"
+    )
+    hits = incremental_vector_neardup(
+        spark, clone, idx, threshold=0.9, dim=dim
+    ).collect()
+    assert any(
+        r.vec_b == 9_000_000 and abs(r.cosine - 1.0) < 1e-9 for r in hits
+    ), hits
+
+
+def test_rebuild_does_not_promote_incomplete_days(spark, sf_small, tmp_path):
+    """ADVICE r8: the rebuild restores per-day _SUCCESS markers only
+    for days that were complete BEFORE it ran — a crashed,
+    partially-written day must stay invisible to probes until its own
+    re-run, not get promoted to complete by an unrelated rebuild."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _retract_day_marker,
+        append_shard_to_vector_index,
+        rebuild_vector_index,
+        vector_shard_indexed,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    median = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    day1 = emb.filter(F.col("vec_id") <= median)
+    day2 = emb.filter(F.col("vec_id") > median)
+    idx = str(tmp_path / "vec_idx_crash")
+    append_shard_to_vector_index(day1, idx, "2024-01-01")
+    append_shard_to_vector_index(day2, idx, "2024-01-02")
+    # simulate a crashed day-2 re-run: marker retracted, rewrite never
+    # finished
+    _retract_day_marker(idx, "2024-01-02")
+    assert not vector_shard_indexed(idx, "2024-01-02")
+
+    rebuild_vector_index(spark, idx, target_n=100_000)
+    assert vector_shard_indexed(idx, "2024-01-01")
+    assert not vector_shard_indexed(idx, "2024-01-02"), (
+        "rebuild must not promote a previously incomplete day"
+    )
+    # the day's own re-run is what restores it
+    append_shard_to_vector_index(day2, idx, "2024-01-02")
+    assert vector_shard_indexed(idx, "2024-01-02")

@@ -1179,3 +1179,41 @@ def test_reindex_with_refinement_tightens_baseline(spark, sf_small, tmp_path):
     assert len(top) == 3
     for r in top:
         assert r.neighbor_id == r.q_id - shift
+
+
+def test_ivf_index_recall_target_applies_on_flat_index(spark, sf_small, tmp_path):
+    """ADVICE r8: recall_target must not be silently ignored on a flat
+    (levels=1) index — it maps onto the sizing model's cell axis,
+    matching ivf_topk_auto's flat-regime behavior.  Pin: the
+    target-driven probe equals an explicit-nprobe probe at the derived
+    width, and derives strictly more probed cells than the default."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf2_probe_params,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.queries.similarity_queries import ANCHOR_IDS
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    path = str(tmp_path / "ivf_flat_rt")
+    rep = write_ivf_index(emb, path)
+    q = emb.filter(F.col("vec_id").isin(*ANCHOR_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    derived = ivf2_probe_params(rep["k_cells"], recall_target=0.99, topk=3)[
+        "nprobe_cell"
+    ]
+    assert derived > 2, "0.99 must widen the probe beyond the default nprobe=2"
+    got = {
+        tuple(r)
+        for r in ivf_index_topk(spark, path, q, recall_target=0.99).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ivf_index_topk(spark, path, q, nprobe=derived).collect()
+    }
+    assert got == want and len(got) > 0
+    emb.unpersist()
