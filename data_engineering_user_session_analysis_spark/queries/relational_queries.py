@@ -34,7 +34,12 @@ FROM events WHERE event_type = 'signup'
 def user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (SURVEY.md §2.6) at (user, day) grain:
     user-days with both a purchase and an error but no signup —
-    INTERSECT then EXCEPT (distinct semantics)."""
+    INTERSECT then EXCEPT (distinct semantics).  ``intersect``
+    compiles to a LeftSemi join and ``subtract`` to a LeftAnti join
+    (since round 9 this row is the registry's anti-join carrier —
+    the retired ``customers_no_orders`` row was permanently 0-row;
+    non-vacuity of the anti path here is pinned in
+    tests/test_tpch.py::test_anti_join_non_vacuous)."""
     ev = load_events(spark, sf_dir)
 
     def days(event_type: str) -> DataFrame:
@@ -42,8 +47,11 @@ def user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.date_format("ts", "yyyy-MM-dd").alias("date")
         )
 
-    return days("purchase").intersect(days("error")).exceptAll(
-        days("signup").distinct()
+    # left side is already distinct (intersect output), so EXCEPT
+    # DISTINCT ≡ EXCEPT ALL here — and subtract() plans as a LeftAnti
+    # join rather than exceptAll's replicate-union rewrite
+    return days("purchase").intersect(days("error")).subtract(
+        days("signup")
     )
 
 

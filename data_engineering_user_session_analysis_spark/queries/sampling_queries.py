@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 
 from data_engineering_user_session_analysis_spark.operators.sampling import (
     _key_hash,
+    apply_mixture,
     deterministic_split,
+    mixture_rates,
     sample_fraction,
     stratified_sample_by_rates,
 )
@@ -126,4 +128,91 @@ def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.coalesce("n_rate_kept", F.lit(0)).alias("n_rate_kept"),
         )
+    )
+
+
+# Mixture inputs chosen so every mixture_rates output is an EXACT
+# binary double (the oracle replays them as SQL literals): caps
+# en 1792·2/0.5 = 7168, de 256·2/0.25 = 2048, fr 224·2/0.25 = 1792
+# → binding domain fr, total 1792, rates {en: 0.5, de: 1.75, fr: 2.0}
+# — one stratum per realization path (downsample / whole+fractional
+# upsample / whole-copy upsample); zh and es carry no target share
+# and must be dropped.
+_AVAILABLE = {"en": 1792.0, "de": 256.0, "fr": 224.0}
+_SHARES = {"en": 0.5, "de": 0.25, "fr": 0.25}
+_MAX_REPEAT = 2.0
+
+
+@register(
+    "mixture_realization_counts",
+    """
+WITH u AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mixture'), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS u_mix,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mixture:de:1'), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS u_de1,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS id_hash
+  FROM documents
+), realized AS (
+  SELECT lang, doc_id, id_hash, 0 AS cp FROM u WHERE lang = 'en' AND u_mix < 0.5
+  UNION ALL SELECT lang, doc_id, id_hash, 0 FROM u WHERE lang = 'de'
+  UNION ALL SELECT lang, doc_id, id_hash, 1 FROM u WHERE lang = 'de' AND u_de1 < 0.75
+  UNION ALL SELECT lang, doc_id, id_hash, 0 FROM u WHERE lang = 'fr'
+  UNION ALL SELECT lang, doc_id, id_hash, 1 FROM u WHERE lang = 'fr'
+)
+SELECT lang,
+  CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.75 ELSE 2.0 END AS DOUBLE)
+    AS rate,
+  'fr' AS binding_domain,
+  CAST(1792.0 AS DOUBLE) AS total_mass,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(sum(id_hash * (cp + 1)) AS BIGINT) AS row_checksum,
+  CAST(max(cp) AS BIGINT) AS max_copy
+FROM realized GROUP BY lang
+""",
+)
+def mixture_realization_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain audit of the data-mixture tier: ``mixture_rates``
+    solves the binding-domain LP driver-side (config-sized dicts) and
+    ``apply_mixture`` realizes it map-side — en downsampled at 0.5
+    (CASE-rate filter), de upsampled at 1.75 (one whole copy plus a
+    hash-selected fractional epoch, salt ``mixture:de:1``), fr
+    duplicated at exactly 2.0, zh/es dropped.  The row emits the
+    COMPUTED solve outputs (rate per domain, binding domain, total
+    mass) as columns next to realized counts, distinct-doc counts, a
+    copy-weighted id-hash checksum (pins WHICH rows carry the extra
+    epoch, not just how many), and the max copy index; the oracle
+    replays the salted md5 epoch selection byte for byte and
+    hardcodes the expected solve, so drift in either the LP or the
+    realization fails the hash.
+
+    Plan shape: the samplers are literal CASE filters plus a
+    ``sequence``/``explode`` copy fan-out — map-side end to end, one
+    shuffle for the final 3-group aggregate; the scan is
+    column-pruned to (doc_id, lang).  At 100 TB the realization is a
+    single pass whose output size is rate·N by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    mr = mixture_rates(_AVAILABLE, _SHARES, max_repeat=_MAX_REPEAT)
+    mixed = apply_mixture(
+        docs.select("doc_id", "lang"),
+        mr["rates"],
+        strata_col="lang",
+        id_col="doc_id",
+        salt="mixture",
+    )
+    rate = None
+    for d, r in mr["rates"].items():
+        cond = F.col("lang") == F.lit(d)
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    id_hash = _key_hash(F.col("doc_id"))
+    return mixed.groupBy("lang").agg(
+        F.first(rate).alias("rate"),
+        F.first(F.lit(mr["binding_domain"])).alias("binding_domain"),
+        F.first(F.lit(float(mr["total"]))).alias("total_mass"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(id_hash * (F.col("copy") + F.lit(1))).alias("row_checksum"),
+        F.max("copy").cast("long").alias("max_copy"),
     )
