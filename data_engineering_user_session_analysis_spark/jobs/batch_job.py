@@ -324,6 +324,8 @@ def run_vectors_index_step(
     ds: str,
     threshold: float = 0.9,
     target_days: int = 365,
+    auto_rebuild: bool = False,
+    rebuild_margin: float = 1.0,
 ) -> dict:
     """Daily embedding-shard dedup-index step — the vector twin of
     ``run_docs_index_step``: probe the persistent hyperplane-LSH
@@ -342,11 +344,27 @@ def run_vectors_index_step(
     the index will grow into — the fixture-scale default geometry
     measured a 3.7× probe-cost rise over an 11× replay before this
     sizing existed (STRESS r08 ``vector index replay``).
+
+    ``auto_rebuild=True`` gives the outgrown alarm a CONSUMER: when
+    today's post-append check trips (``indexed_n > target_n ·
+    rebuild_margin``), the step immediately runs
+    ``rebuild_vector_index`` sized from the OBSERVED daily rate
+    (``ceil(indexed_n / days_indexed) · target_days``, floored at
+    2·indexed_n so the new design point always clears the corpus
+    with headroom even when growth outpaced ``target_days``), then
+    re-checks.  Off by default — a rebuild rewrites the whole index,
+    so unattended deployments opt in while others key off the
+    report: ``index_outgrown`` is the alarm, ``index_rebuilt`` is
+    None unless a rebuild ran (an orchestrator can alert on
+    ``outgrown and not rebuilt``).
     """
+    import math
+
     from data_engineering_user_session_analysis_spark.operators.dedup import dedup_canonical
     from data_engineering_user_session_analysis_spark.operators.dedup_index import (
         append_shard_to_vector_index,
         incremental_vector_neardup,
+        rebuild_vector_index,
         vector_index_outgrown,
         vector_shard_indexed,
     )
@@ -390,7 +408,21 @@ def run_vectors_index_step(
     # staleness report): a fixed-geometry index past its design point
     # pays linearly growing probes SILENTLY — surface it daily so the
     # operator knows when `job reindex-vectors` is due
-    report["index_outgrown"] = vector_index_outgrown(spark, idx)
+    report["index_outgrown"] = vector_index_outgrown(spark, idx, margin=rebuild_margin)
+    report["index_rebuilt"] = None
+    if auto_rebuild and report["index_outgrown"]["outgrown"]:
+        days_indexed = len(complete_days) + 1
+        observed_daily = math.ceil(
+            report["index_outgrown"]["indexed_n"] / days_indexed
+        )
+        new_target = max(
+            observed_daily * target_days,
+            2 * report["index_outgrown"]["indexed_n"],
+        )
+        report["index_rebuilt"] = rebuild_vector_index(spark, idx, new_target)
+        report["index_outgrown"] = vector_index_outgrown(
+            spark, idx, margin=rebuild_margin
+        )
     return report
 
 
@@ -403,6 +435,7 @@ def run_daily_pipeline(
     compact_previous: bool = True,
     docs_path: str | None = None,
     emb_path: str | None = None,
+    auto_rebuild_vector_index: bool = False,
 ) -> dict:
     """The composed daily operational verb (``job daily <ds>``) — the
     sequence a real deployment runs once per day, chaining the
@@ -425,7 +458,10 @@ def run_daily_pipeline(
        against all prior days' index, drop dups, index survivors;
     6. **vector-index probe** (``run_vectors_index_step``, only when
        ``emb_path`` names today's embedding shard): the cosine twin
-       of step 5 over the persistent hyperplane-LSH index.
+       of step 5 over the persistent hyperplane-LSH index; with
+       ``auto_rebuild_vector_index=True`` an outgrown geometry is
+       rebuilt in-line (sized from the observed daily rate) instead
+       of only alarming in the report.
 
     Every step is an idempotent per-day overwrite, so re-running any
     day replaces exactly that day's outputs (pinned by
@@ -487,7 +523,8 @@ def run_daily_pipeline(
         )
     if emb_path is not None:
         report["vector_index"] = run_vectors_index_step(
-            spark, emb_path, out_dir, ds
+            spark, emb_path, out_dir, ds,
+            auto_rebuild=auto_rebuild_vector_index,
         )
     return report
 

@@ -375,9 +375,13 @@ def vector_index_outgrown(spark, path: str, margin: float = 1.0) -> dict:
     column-pruned count over ``vectors/`` vs the stored design
     point; ``outgrown=True`` when ``indexed_n > target_n · margin``.
     The operational answer is ``rebuild_vector_index`` (``job
-    reindex-vectors``) with a new target.  ``target_n`` is None
-    (check disabled) for legacy/fixture indexes that never declared
-    a design point."""
+    reindex-vectors``) with a new target — or, unattended,
+    ``run_vectors_index_step(auto_rebuild=True)``, which consumes
+    this signal in-line and rebuilds sized from the observed daily
+    rate (pinned in tests/test_batch_job.py::
+    test_vectors_index_step_auto_rebuilds_outgrown_geometry).
+    ``target_n`` is None (check disabled) for legacy/fixture indexes
+    that never declared a design point."""
     stored = _read_vector_params(spark, path)
     target = stored.get("target_n") if stored else None
     n = spark.read.parquet(os.path.join(path, "vectors")).count()

@@ -390,3 +390,68 @@ def test_vectors_index_step_probes_and_is_idempotent(spark, sf_small, tmp_path):
     assert r2_rerun == r2
     ds_parts = sorted(os.listdir(os.path.join(out, "vector_index", "buckets")))
     assert ds_parts == ["ds=2024-01-01", "ds=2024-01-02"]
+
+
+def test_vectors_index_step_auto_rebuilds_outgrown_geometry(spark, sf_small, tmp_path):
+    """The outgrown alarm's consumer (VERDICT r08 #5): a 4-day replay
+    with a deliberately small design horizon (target_days=2) trips
+    the geometry-outgrown check on day 3 — with ``auto_rebuild=True``
+    the step rebuilds in-line sized from the observed daily rate,
+    clears the alarm, and day 4 still catches planted clones of
+    day-1 vectors ACROSS the rebuild (the re-bucketed signature
+    space stays probe-correct)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import run_vectors_index_step
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_vector_params,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    shards = [emb.filter(F.col("vec_id") % 4 == i) for i in range(3)]
+    clones = shards[0].orderBy("vec_id").limit(5).withColumn(
+        "vec_id", F.col("vec_id") + 2_000_000
+    )
+    shards.append(emb.filter(F.col("vec_id") % 4 == 3).unionByName(clones))
+    paths = []
+    for i, s in enumerate(shards):
+        p = str(tmp_path / f"shard{i}")
+        s.write.parquet(p)
+        paths.append(p)
+    out = str(tmp_path / "serving")
+    idx = os.path.join(out, "vector_index")
+    days = [f"2024-01-0{i + 1}" for i in range(4)]
+
+    r1 = run_vectors_index_step(
+        spark, paths[0], out, days[0], target_days=2, auto_rebuild=True
+    )
+    # day 1 freezes the design point at shard_rows · target_days
+    assert _read_vector_params(spark, idx)["target_n"] == r1["shard_rows"] * 2
+
+    r2 = run_vectors_index_step(
+        spark, paths[1], out, days[1], target_days=2, auto_rebuild=True
+    )
+    # at (not past) the design point: the alarm must NOT trip early
+    assert r2["index_rebuilt"] is None
+
+    r3 = run_vectors_index_step(
+        spark, paths[2], out, days[2], target_days=2, auto_rebuild=True
+    )
+    assert r3["index_rebuilt"] is not None, "day 3 exceeds the 2-day horizon"
+    assert r3["index_outgrown"]["outgrown"] is False, "rebuild must clear the alarm"
+    new = _read_vector_params(spark, idx)
+    assert new["target_n"] >= 2 * r3["index_outgrown"]["indexed_n"]
+    assert new["target_n"] > r1["shard_rows"] * 2
+
+    r4 = run_vectors_index_step(
+        spark, paths[3], out, days[3], target_days=2, auto_rebuild=True
+    )
+    # clones of day-1 vectors hit through the REBUILT signature space
+    assert r4["dup_hits"] >= 4
+    # per-day completeness markers survived the rebuild for all
+    # pre-rebuild-complete days (probe surface stayed whole)
+    ds_parts = sorted(
+        p for p in os.listdir(os.path.join(idx, "buckets")) if p.startswith("ds=")
+    )
+    assert ds_parts == [f"ds={d}" for d in days]
