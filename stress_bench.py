@@ -647,7 +647,9 @@ def measure_embeddings_100x(spark, replicas: int = 100) -> dict:
     return res
 
 
-def measure_ivf2_recall_curve(spark, replicas: int = 100) -> dict:
+def measure_ivf2_recall_curve(
+    spark, replicas: int = 100, k_cells: int | None = None
+) -> dict:
     """Recall-vs-nprobe curve for the TWO-LEVEL quantizer at the
     200k-vector decade (VERDICT r07 next #4): build the levels=2
     persistent index ONCE, then sweep (nprobe_super, nprobe_cell)
@@ -657,7 +659,14 @@ def measure_ivf2_recall_curve(spark, replicas: int = 100) -> dict:
     calibrates ``ivf2_probe_params``'s geometric rank-decay
     constants, and the auto-sized point for the default 0.95 target
     is measured alongside the grid so the sizing claim is evidence,
-    not extrapolation."""
+    not extrapolation.
+
+    Round 9 (VERDICT r08 next #1) re-runs the same grid at the NEXT
+    decade — ``replicas=500`` → 1M vectors — in two geometries:
+    the natural K=⌈√N⌉=1000, and an explicit ``k_cells=4096`` (the
+    flat clamp's boundary, the K regime a beyond-clamp corpus
+    actually runs with at N ≈ 16.7M) so the decay-constant fit is
+    validated both along N and along K."""
     import shutil
     import tempfile
 
@@ -688,9 +697,11 @@ def measure_ivf2_recall_curve(spark, replicas: int = 100) -> dict:
     n = emb.count()
     import math as _math
 
-    k = max(_math.ceil(_math.sqrt(n)), 16)
+    k = k_cells or max(_math.ceil(_math.sqrt(n)), 16)
     res: dict = {
-        "label": f"ivf2 recall curve ({replicas} clone shards)",
+        "label": f"ivf2 recall curve ({replicas} clone shards"
+        + (f", k_cells={k_cells}" if k_cells else "")
+        + ")",
         "n_vectors": n,
         "k_cells": k,
     }
@@ -1178,6 +1189,169 @@ def measure_kmeans_refinement(spark, replicas: int = 100, iters: int = 3) -> dic
     return res
 
 
+def measure_kmeans_refinement_e2e(
+    spark, n_centers: int = 200, iters: int = 3, sigma: float = 0.2
+) -> dict:
+    """The END-TO-END k-means refinement measurement (VERDICT r08
+    next #2): the proxy-metric pin (tighter mean assignment cosine)
+    says the knob does *something*; this measures what it exists FOR
+    — probe wall-time and recall of a REFINED persistent index vs
+    the md5-seed index at EQUAL nprobe, plus cell balance, on a
+    CLUSTERED (non-clone) corpus.
+
+    Corpus: ``n_centers`` sf0.1 embeddings (unit vectors) act as
+    cluster centers with SKEWED sizes (250–1750 md5-noise-perturbed
+    points each, ~n_centers·1000 total): element-wise ``± sigma/2``
+    uniform noise at sigma=0.2 gives within-cluster cosine ≈ 0.9 to
+    the center / ≈ 0.8 between siblings vs ≈ 0 cross-cluster — real
+    neighbor structure, not clones, in exactly the shape (fat + thin
+    clusters) where random seeds give unbalanced cells and Lloyd
+    rounds are supposed to pay off.  Queries are 10 in-corpus points
+    (one per first-10 center); ground truth is exact brute-force
+    top-3.  Both indexes are the FLAT persistent form (same K, same
+    probe code path); only the centroids differ."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf_cells_for_n,
+        ivf_index_topk,
+        kmeans_refine_seeds,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        foldl_dot_column,
+    )
+
+    _quiesce(spark)
+    base = spark.read.parquet(os.path.join(BASE, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    shift = SHIFTS["embeddings"]["vec_id"]
+
+    def perturbed():
+        # deterministic per-(vec, dim) noise: 4 md5 hex chars →
+        # [-sigma/2, sigma/2), added element-wise — same family as the
+        # replay tier's synth_vec, but anchored at the center
+        return F.transform(
+            F.col("embedding"),
+            lambda e, j: (
+                e
+                + (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("vec_id").cast("string"),
+                                    F.lit("n"),
+                                    j.cast("string"),
+                                )
+                            ),
+                            1,
+                            4,
+                        ),
+                        16,
+                        10,
+                    ).cast("double")
+                    / F.lit(65536.0)
+                    - F.lit(0.5)
+                )
+                * F.lit(sigma)
+            ).cast("float"),
+        )
+
+    centers = base.orderBy("vec_id").limit(n_centers)
+    # skewed cluster sizes: 250 + (id·2503 mod 1500) ∈ [250, 1750)
+    emb = (
+        centers.withColumn(
+            "_copies", F.lit(250) + F.pmod(F.col("vec_id") * F.lit(2503), F.lit(1500))
+        )
+        .withColumn("_r", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * F.lit(shift))
+        .withColumn("embedding", perturbed())
+        .drop("_copies", "_r")
+        .repartition(max(spark.sparkContext.defaultParallelism, 32))
+        .localCheckpoint(eager=True)
+    )
+    n = emb.count()
+    k = ivf_cells_for_n(n)
+    res: dict = {
+        "label": f"kmeans refinement e2e ({n_centers} skewed clusters, sigma={sigma})",
+        "n_vectors": n,
+        "k_cells": k,
+        "iters": iters,
+    }
+    q_ids = [r.vec_id + shift for r in centers.select("vec_id").orderBy("vec_id").limit(10).collect()]
+    q = emb.filter(F.col("vec_id").isin(*q_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    true3 = {
+        (r.q_id, r.neighbor_id)
+        for r in F.broadcast(q)
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            foldl_dot_column("q_emb", "embedding").alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    refined, res["refine_sec"] = timed(
+        lambda: kmeans_refine_seeds(emb, k, iters=iters).localCheckpoint(eager=True)
+    )
+    idx_md5 = tempfile.mkdtemp(prefix="stress_kmref_md5_")
+    idx_ref = tempfile.mkdtemp(prefix="stress_kmref_ref_")
+    try:
+        for name, path, seeds in (
+            ("md5_seeds", idx_md5, None),
+            ("refined_seeds", idx_ref, refined),
+        ):
+            build, build_sec = timed(
+                lambda path=path, seeds=seeds: write_ivf_index(
+                    emb, path, k_cells=k, seeds=seeds
+                )
+            )
+            entry = {
+                "build_sec": build_sec,
+                "mean_assign_cos": build["mean_assign_cos"],
+                "max_cell_frac": build["max_cell_frac"],
+                "probes": [],
+            }
+            for np_ in (1, 2, 4):
+                best = None
+                for _ in range(2):  # min-of-2: first trial eats stage warmup
+                    got, sec = timed(
+                        lambda path=path, np_=np_: {
+                            (r.q_id, r.neighbor_id)
+                            for r in ivf_index_topk(
+                                spark, path, q, nprobe=np_, topk=3
+                            ).collect()
+                        }
+                    )
+                    best = sec if best is None else min(best, sec)
+                entry["probes"].append(
+                    {
+                        "nprobe": np_,
+                        "recall_at_3": round(len(true3 & got) / len(true3), 4),
+                        "probe_sec": best,
+                    }
+                )
+            res[name] = entry
+        return res
+    finally:
+        shutil.rmtree(idx_md5, ignore_errors=True)
+        shutil.rmtree(idx_ref, ignore_errors=True)
+
+
 def run_tier(tier: str) -> list[dict]:
     """One measurement tier in THIS process.  Tiers are designed to
     run in separate JVMs: a single long-lived session accumulates
@@ -1235,10 +1409,24 @@ def run_tier(tier: str) -> list[dict]:
         return [measure_ivf_maintenance(spark)]
     if tier == "ivf2recall":
         return [measure_ivf2_recall_curve(spark)]
+    if tier == "ivf2recall1m":
+        # round-9 validation: the decay-constant fit at the next
+        # decade (1M vectors), both the natural K=1000 and the
+        # clamp-boundary K=4096 geometry
+        return [
+            measure_ivf2_recall_curve(spark, replicas=500),
+            measure_ivf2_recall_curve(spark, replicas=500, k_cells=4096),
+        ]
     if tier == "vecindex":
         return [measure_vectors_index(spark)]
     if tier == "kmeansrefine":
         return [measure_kmeans_refinement(spark)]
+    if tier == "kmeansrefine2e":
+        return [measure_kmeans_refinement_e2e(spark)]
+    if tier == "docs1m":
+        # round-9: one more doubling for the docs star tier (500k →
+        # 1M docs) — edges/doc + wall-time linearity evidence
+        return [measure_docs_100x(spark, replicas=200)]
     if tier == "ingest":
         build(spark)
         return [
