@@ -569,14 +569,29 @@ def main(argv: list[str]) -> None:
     ``job reindex-vectors <vector_index_path> <target_n>``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
-    operational pipeline ``job daily <ds>``)."""
+    operational pipeline ``job daily <ds> [--auto-rebuild-vectors]``
+    — the index steps read today's shard locations from
+    ``DOCS_SHARD_PATH`` / ``EMB_SHARD_PATH`` and are skipped when
+    unset)."""
     from data_engineering_user_session_analysis_spark import get_spark
 
     if argv[1] == "daily":
+        # --auto-rebuild-vectors: let the vector-index step consume its
+        # own outgrown alarm (rebuild in-line) instead of only
+        # reporting it — the unattended-deployment posture
+        auto_rebuild = "--auto-rebuild-vectors" in argv
+        argv = [a for a in argv if a != "--auto-rebuild-vectors"]
         ds = argv[2]
         lake = argv[3] if len(argv) > 3 else os.environ.get("LAKE_PATH", "/tmp/events_lake")
         out = argv[4] if len(argv) > 4 else os.environ.get("SERVING_PATH", "/tmp/serving")
-        report = run_daily_pipeline(get_spark("daily_pipeline"), lake, ds, out)
+        report = run_daily_pipeline(
+            get_spark("daily_pipeline"), lake, ds, out,
+            # today's doc/embedding shards for the dedup-index steps
+            # (steps skipped when unset, same as the Python API)
+            docs_path=os.environ.get("DOCS_SHARD_PATH"),
+            emb_path=os.environ.get("EMB_SHARD_PATH"),
+            auto_rebuild_vector_index=auto_rebuild,
+        )
         print(report)
         return
     if argv[1] == "sessions":

@@ -226,6 +226,15 @@ def kmeans_refine_seeds(
     order, so centroids can differ in final ulps across runs —
     refined seeds are for QUALITY paths; oracle-replayable fixtures
     keep the md5-sample seeds.
+
+    Measured END-TO-END (STRESS_sf1_r09 ``kmeans refinement e2e``,
+    193k vectors in 200 skew-sized clusters, K=440, 3 iters =
+    11.5 s): at EQUAL nprobe the refined persistent index reaches
+    recall@3 1.0 at nprobe=2 where the md5-seed index plateaus at
+    0.83 even at nprobe=4; mean assignment cosine 0.78 → 0.91, max
+    cell fraction 0.0126 → 0.0089 (flatter cells), probe wall-time
+    ~10% lower — the probe-side benefit the knob exists for, not
+    just the proxy metric.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
