@@ -449,15 +449,18 @@ def _two_level_probe_cells(
 
 #: Geometric rank-decay constants for ``ivf2_probe_params``,
 #: calibrated against the measured 200k-vector recall curve
-#: (STRESS_sf1_r08 ``ivf2 recall curve``): the probability that a
-#: true neighbor's cell sits past the query's s-th ranked super
-#: (resp. c-th ranked cell inside probed supers) is modeled as
-#: ``rho^s`` (resp. ``rho^c``).  Conservative fits — the model must
-#: under-promise, so the auto-sizer over-probes rather than missing
-#: its target.  rho_cell=0.6 ⇒ the 0.95 target needs c ≥ 8, which is
-#: exactly the measured recall-1.0 frontier at 200k (every grid
-#: point with c ≥ max(8, 2s) measured 1.0; (6,8) and (8,8) measured
-#: 0.9 — hence the 2s coupling below).
+#: (STRESS_sf1_r08 ``ivf2 recall curve``) and VALIDATED at the next
+#: decade — two 1M-vector curves, natural K=1000 and clamp-boundary
+#: K=4096 (STRESS_sf1_r09): the probability that a true neighbor's
+#: cell sits past the query's s-th ranked super (resp. c-th ranked
+#: cell inside probed supers) is modeled as ``rho^s`` (resp.
+#: ``rho^c``).  Conservative fits — the model must under-promise, so
+#: the auto-sizer over-probes rather than missing its target.
+#: rho_cell=0.6 ⇒ the 0.95 target needs c ≥ 8, the measured
+#: recall-1.0 frontier at 200k/K=448 AND 1M/K=1000.  The decay
+#: constants transferred across the decade unchanged; what did NOT
+#: transfer was the dilution coupling — see the ``2·√(K/1000)``
+#: scaling note in ``ivf2_probe_params``.
 IVF2_RHO_SUPER = 0.35
 IVF2_RHO_CELL = 0.60
 
@@ -493,9 +496,20 @@ def ivf2_probe_params(
     high-dot cell from a foreign super can displace the true
     neighbor's cell from the top-c (measured: recall at fixed c=4
     FALLS 0.9→0.8→0.7 as s goes 2→4→6, and (6,8)/(8,8) measured 0.9
-    where every c ≥ max(8, 2s) point measured 1.0).  Hence the floor
-    ``c ≥ 2s``: per-super cell depth never drops below 2 as the
-    super width grows."""
+    where every c ≥ max(8, 2s) point measured 1.0).
+
+    The round-9 decade validation (STRESS_sf1_r09, two 1M-vector
+    curves) showed the dilution DEEPENS with K: at K=1000 the 200k
+    frontier transferred exactly (auto point (4,8) measured recall
+    1.0), but at K=4096 — the geometry a beyond-clamp corpus
+    actually runs — (4,8) measured 0.9 and the recall-1.0 frontier
+    sat at ``c ≥ max(8, 4s)`` ((4,16) measured 1.0).  The candidate
+    pool a probed super contributes scales as K/K1 = √K, so the
+    coupling is fit as ``c ≥ g·s`` with ``g = max(2,
+    round(2·√(K/1000)))``: g=2 at K ≤ ~2000 (the r08 behavior,
+    unchanged), g=4 at K=4096 (matches the measured frontier), g=16
+    at K=65536 (0.1% of cells per super — still cheap).  Returned
+    as ``cell_coupling`` so callers can log the regime."""
     if not 0.0 < recall_target < 1.0:
         raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
     rs = IVF2_RHO_SUPER if rho_super is None else rho_super
@@ -505,7 +519,8 @@ def ivf2_probe_params(
     s = math.ceil(math.log(miss_each) / math.log(rs))
     c = math.ceil(math.log(miss_each) / math.log(rc))
     s = min(max(s, 2), k1)
-    c = min(max(c, 4, topk, 2 * s), k_cells)
+    g = max(2, round(2.0 * math.sqrt(k_cells / 1000.0)))
+    c = min(max(c, 4, topk, g * s), k_cells)
     predicted = (1.0 - rs**s) * (1.0 - rc**c)
     return {
         "nprobe_super": s,
@@ -514,6 +529,7 @@ def ivf2_probe_params(
         "recall_target": recall_target,
         "rho_super": rs,
         "rho_cell": rc,
+        "cell_coupling": g,
     }
 
 

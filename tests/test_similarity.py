@@ -789,6 +789,19 @@ def test_ivf2_probe_params_sizing_model():
     # the global cell ranking, so cell depth tracks super width
     coupled = ivf2_probe_params(4096, recall_target=0.999)
     assert coupled["nprobe_cell"] >= 2 * coupled["nprobe_super"]
+    # K-scaled coupling (STRESS_sf1_r09, 1M-vector validation): the
+    # 200k-calibrated c >= 2s frontier transferred to K=1000 (auto
+    # point (4,8) measured recall 1.0) but NOT to K=4096, where (4,8)
+    # measured 0.9 and the recall-1.0 frontier sat at c >= 4s —
+    # (4,16) measured 1.0.  g = max(2, round(2*sqrt(K/1000))).
+    at_1000 = ivf2_probe_params(1000, recall_target=0.95)
+    assert (at_1000["nprobe_super"], at_1000["nprobe_cell"]) == (4, 8)
+    assert at_1000["cell_coupling"] == 2
+    at_4096 = ivf2_probe_params(4096, recall_target=0.95)
+    assert (at_4096["nprobe_super"], at_4096["nprobe_cell"]) == (4, 16)
+    assert at_4096["cell_coupling"] == 4
+    # r08's 200k point is untouched by the re-fit
+    assert ivf2_probe_params(448, recall_target=0.95)["cell_coupling"] == 2
     with pytest.raises(ValueError):
         ivf2_probe_params(448, recall_target=1.5)
 
