@@ -330,7 +330,9 @@ def ivf_topk_auto(
             recall_target=recall_target,
         )
     if recall_target is not None:
-        sized = ivf2_probe_params(k_unclamped, recall_target=recall_target, topk=topk)
+        sized = ivf2_probe_params(
+            k_unclamped, recall_target=recall_target, topk=topk, levels=1
+        )
         nprobe = max(nprobe, sized["nprobe_cell"])
     seeds = select_seeds(emb, k_unclamped, id_col=id_col, vec_col=vec_col)
     return ivf_topk(
@@ -471,6 +473,7 @@ def ivf2_probe_params(
     topk: int = 3,
     rho_super: float | None = None,
     rho_cell: float | None = None,
+    levels: int = 2,
 ) -> dict:
     """Pick ``(nprobe_super, nprobe_cell)`` to hit a recall target —
     the two-level twin of the LSH tier's ``lsh_params`` sizing: a
@@ -509,7 +512,15 @@ def ivf2_probe_params(
     round(2·√(K/1000)))``: g=2 at K ≤ ~2000 (the r08 behavior,
     unchanged), g=4 at K=4096 (matches the measured frontier), g=16
     at K=65536 (0.1% of cells per super — still cheap).  Returned
-    as ``cell_coupling`` so callers can log the regime."""
+    as ``cell_coupling`` so callers can log the regime.
+
+    ``levels=1`` (the FLAT callers — ``ivf_topk_auto`` below the
+    clamp, ``ivf_index_topk`` on a flat index) skips the coupling
+    floor: dilution is a two-level phenomenon (foreign supers'
+    cells crowding one global ranking), and every measured s=1 row
+    — 200k/K=448, 1M/K=1000, 1M/K=4096 — sits at recall 1.0 for
+    all c, so the plain cell-decay solve is already conservative
+    for a flat probe."""
     if not 0.0 < recall_target < 1.0:
         raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
     rs = IVF2_RHO_SUPER if rho_super is None else rho_super
@@ -519,7 +530,7 @@ def ivf2_probe_params(
     s = math.ceil(math.log(miss_each) / math.log(rs))
     c = math.ceil(math.log(miss_each) / math.log(rc))
     s = min(max(s, 2), k1)
-    g = max(2, round(2.0 * math.sqrt(k_cells / 1000.0)))
+    g = max(2, round(2.0 * math.sqrt(k_cells / 1000.0))) if levels == 2 else 0
     c = min(max(c, 4, topk, g * s), k_cells)
     predicted = (1.0 - rs**s) * (1.0 - rc**c)
     return {
@@ -1241,7 +1252,7 @@ def ivf_index_topk(
             # bound).  Previously the target was silently ignored here,
             # inconsistent with the auto path (ADVICE r8).
             sized = ivf2_probe_params(
-                seeds.count(), recall_target=recall_target, topk=topk
+                seeds.count(), recall_target=recall_target, topk=topk, levels=1
             )
             nprobe = max(nprobe, sized["nprobe_cell"])
         w_assign = Window.partitionBy(q_id_col).orderBy(

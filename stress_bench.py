@@ -1142,6 +1142,126 @@ def measure_vectors_index(spark, n_days: int = 12, planted: int = 250) -> dict:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def measure_vector_index_auto_rebuild(
+    spark, n_days: int = 12, target_days: int = 3, planted: int = 250
+) -> dict:
+    """The auto-rebuild consumer under replay (VERDICT r08 next #5's
+    measured half): drive ``run_vectors_index_step(auto_rebuild=True)``
+    with a deliberately short design horizon (``target_days=3``) so
+    the corpus outgrows its geometry mid-replay, and record per-day
+    step seconds plus which days rebuilt.  The claim under test:
+    probe+append cost GROWS while the geometry is outgrown-pending
+    (pre-rebuild days run on a too-small plane budget) and the
+    rebuild resets it — the operational difference between an alarm
+    with a consumer and an alarm in a report nobody reads.
+
+    Shards are the replay tier's construction (day 0 real, later
+    days orthogonal synthetics + ``planted`` exact day-0 copies), so
+    the dup load is known and constant per day."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import (
+        run_vectors_index_step,
+    )
+
+    _quiesce(spark)
+    base = spark.read.parquet(os.path.join(BASE, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    n_base = base.count()
+    dim = len(base.select("embedding").first()["embedding"])
+    shift = SHIFTS["embeddings"]["vec_id"]
+
+    def synth_vec(r: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"a{r}x"),
+                                F.col("vec_id").cast("string"),
+                                F.lit("x"),
+                                j.cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(65536.0)
+                - F.lit(0.5)
+            ).cast("float"),
+        )
+
+    out = tempfile.mkdtemp(prefix="stress_vecautorb_")
+    days = []
+    try:
+        for r in range(n_days):
+            ds = f"2024-03-{r + 1:02d}"
+            if r == 0:
+                shard = base
+            else:
+                synth = base.withColumn(
+                    "vec_id", F.col("vec_id") + r * shift
+                ).withColumn("embedding", synth_vec(r))
+                copies = (
+                    base.orderBy("vec_id")
+                    .limit(planted)
+                    .withColumn("vec_id", F.col("vec_id") + r * shift + 500_000)
+                )
+                shard = synth.unionByName(copies)
+            p = os.path.join(out, f"shard{r}")
+            shard.write.mode("overwrite").parquet(p)
+            rep, sec = timed(
+                lambda p=p, ds=ds: run_vectors_index_step(
+                    spark,
+                    p,
+                    out,
+                    ds,
+                    target_days=target_days,
+                    auto_rebuild=True,
+                )
+            )
+            days.append(
+                {
+                    "day": r,
+                    "ds": ds,
+                    "step_sec": sec,
+                    "dup_hits": rep["dup_hits"],
+                    "rebuilt": rep["index_rebuilt"] is not None,
+                    "geometry_after": (
+                        rep["index_rebuilt"]["geometry"]
+                        if rep["index_rebuilt"]
+                        else None
+                    ),
+                    "indexed_n": rep["index_outgrown"]["indexed_n"],
+                    "target_n": rep["index_outgrown"]["target_n"],
+                }
+            )
+        rebuild_days = [d["day"] for d in days if d["rebuilt"]]
+        return {
+            "label": f"vector index auto-rebuild replay ({n_days} days, horizon {target_days})",
+            "n_days": n_days,
+            "shard_vectors": n_base,
+            "planted_copies": planted,
+            "target_days": target_days,
+            "rebuild_days": rebuild_days,
+            "days": days,
+            "planted_recovery_exact": all(
+                d["dup_hits"] == planted for d in days if d["day"] > 0
+            ),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def measure_kmeans_refinement(spark, replicas: int = 100, iters: int = 3) -> dict:
     """Does the spherical-k-means quality knob hold at the 200k
     decade?  Reports the md5-sample baseline vs refined mean
@@ -1419,6 +1539,8 @@ def run_tier(tier: str) -> list[dict]:
         ]
     if tier == "vecindex":
         return [measure_vectors_index(spark)]
+    if tier == "vecautorebuild":
+        return [measure_vector_index_auto_rebuild(spark)]
     if tier == "kmeansrefine":
         return [measure_kmeans_refinement(spark)]
     if tier == "kmeansrefine2e":

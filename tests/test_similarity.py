@@ -802,6 +802,11 @@ def test_ivf2_probe_params_sizing_model():
     assert at_4096["cell_coupling"] == 4
     # r08's 200k point is untouched by the re-fit
     assert ivf2_probe_params(448, recall_target=0.95)["cell_coupling"] == 2
+    # flat callers (levels=1) skip the dilution floor entirely: no
+    # super probe, no foreign-super crowding — every measured s=1 row
+    # (200k/K=448, 1M/K=1000, 1M/K=4096) sits at recall 1.0
+    flat = ivf2_probe_params(4096, recall_target=0.95, levels=1)
+    assert flat["cell_coupling"] == 0 and flat["nprobe_cell"] == 8
     with pytest.raises(ValueError):
         ivf2_probe_params(448, recall_target=1.5)
 
@@ -1216,7 +1221,7 @@ def test_ivf_index_recall_target_applies_on_flat_index(spark, sf_small, tmp_path
     q = emb.filter(F.col("vec_id").isin(*ANCHOR_IDS)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    derived = ivf2_probe_params(rep["k_cells"], recall_target=0.99, topk=3)[
+    derived = ivf2_probe_params(rep["k_cells"], recall_target=0.99, topk=3, levels=1)[
         "nprobe_cell"
     ]
     assert derived > 2, "0.99 must widen the probe beyond the default nprobe=2"
