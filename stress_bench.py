@@ -1537,6 +1537,11 @@ def run_tier(tier: str) -> list[dict]:
             measure_ivf2_recall_curve(spark, replicas=500),
             measure_ivf2_recall_curve(spark, replicas=500, k_cells=4096),
         ]
+    if tier == "ivf2recall4m":
+        # round-9 follow-through: the RE-FIT coupling at 4× the cell
+        # occupancy (4M vectors on the same K=4096 geometry — cell
+        # size ~1000, the load shape of a true beyond-clamp corpus)
+        return [measure_ivf2_recall_curve(spark, replicas=2000, k_cells=4096)]
     if tier == "vecindex":
         return [measure_vectors_index(spark)]
     if tier == "vecautorebuild":
