@@ -667,6 +667,38 @@ def measure_ivf2_recall_curve(
     flat clamp's boundary, the K regime a beyond-clamp corpus
     actually runs with at N ≈ 16.7M) so the decay-constant fit is
     validated both along N and along K."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.queries.similarity_queries import ANCHOR_IDS
+
+    _quiesce(spark)
+    base = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    shift = SHIFTS["embeddings"]["vec_id"]
+    emb = (
+        base.crossJoin(
+            F.broadcast(spark.range(replicas).select(F.col("id").alias("_r")))
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * F.lit(shift))
+        .drop("_r")
+        .localCheckpoint(eager=True)
+    )
+    q = emb.filter(F.col("vec_id").isin(*ANCHOR_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    label = (
+        f"ivf2 recall curve ({replicas} clone shards"
+        + (f", k_cells={k_cells}" if k_cells else "")
+        + ")"
+    )
+    return _ivf2_recall_grid(spark, emb, q, k_cells, label)
+
+
+def _ivf2_recall_grid(spark, emb, q, k_cells, label) -> dict:
+    """Shared measurement harness for the two-level recall curves:
+    exact brute-force top-3 ground truth for the given queries, one
+    ``levels=2`` index build, the 30-point (nprobe_super,
+    nprobe_cell) grid probe-only, and the auto-sized point for the
+    default 0.95 target measured alongside."""
     import shutil
     import tempfile
 
@@ -681,33 +713,12 @@ def measure_ivf2_recall_curve(
     from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
         foldl_dot_column,
     )
-    from data_engineering_user_session_analysis_spark.queries.similarity_queries import ANCHOR_IDS
 
-    _quiesce(spark)
-    base = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
-    shift = SHIFTS["embeddings"]["vec_id"]
-    emb = (
-        base.crossJoin(
-            F.broadcast(spark.range(replicas).select(F.col("id").alias("_r")))
-        )
-        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * F.lit(shift))
-        .drop("_r")
-        .localCheckpoint(eager=True)
-    )
     n = emb.count()
     import math as _math
 
     k = k_cells or max(_math.ceil(_math.sqrt(n)), 16)
-    res: dict = {
-        "label": f"ivf2 recall curve ({replicas} clone shards"
-        + (f", k_cells={k_cells}" if k_cells else "")
-        + ")",
-        "n_vectors": n,
-        "k_cells": k,
-    }
-    q = emb.filter(F.col("vec_id").isin(*ANCHOR_IDS)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
+    res: dict = {"label": label, "n_vectors": n, "k_cells": k}
     w = Window.partitionBy("q_id").orderBy(
         F.col("dot").desc(), F.col("neighbor_id").asc()
     )
@@ -773,6 +784,28 @@ def measure_ivf2_recall_curve(
         return res
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def measure_ivf2_recall_curve_clustered(
+    spark, n_centers: int = 1000, k_cells: int | None = None, sigma: float = 0.2
+) -> dict:
+    """The two-level recall grid on a CLUSTERED NON-CLONE corpus —
+    the strongest calibration data for ``ivf2_probe_params``: on
+    clone corpora an anchor's true top-3 are same-cell copies, so
+    the task EASES as replication grows (the honest caveat on the
+    1M/4M clone curves); here neighbors are noise-perturbed siblings
+    with real ranking structure (within-cluster cosine ≈ 0.8,
+    cross ≈ 0), so a probe that misses the right cells actually
+    misses.  ``n_centers=1000`` → ~1M points in skew-sized
+    clusters."""
+    _quiesce(spark)
+    emb, q = _clustered_embeddings(spark, n_centers, sigma)
+    label = (
+        f"ivf2 recall curve clustered ({n_centers} skewed clusters, sigma={sigma}"
+        + (f", k_cells={k_cells}" if k_cells else "")
+        + ")"
+    )
+    return _ivf2_recall_grid(spark, emb, q, k_cells, label)
 
 
 def measure_events_100x(spark, replicas: int = 100) -> dict:
@@ -1309,6 +1342,75 @@ def measure_kmeans_refinement(spark, replicas: int = 100, iters: int = 3) -> dic
     return res
 
 
+def _clustered_embeddings(spark, n_centers: int, sigma: float):
+    """A CLUSTERED non-clone corpus with real neighbor structure:
+    ``n_centers`` sf0.1 embeddings (unit vectors) act as cluster
+    centers with SKEWED sizes (``250 + (id·2503 mod 1500)``
+    md5-noise-perturbed points each, mean ~1000/center): element-wise
+    ``± sigma/2`` uniform noise at sigma=0.2 gives within-cluster
+    cosine ≈ 0.9 to the center / ≈ 0.8 between siblings vs ≈ 0
+    cross-cluster.  Returns ``(emb, q)`` — the corpus plus 10
+    in-corpus query points (one per first-10 center)."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(os.path.join(BASE, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    shift = SHIFTS["embeddings"]["vec_id"]
+
+    def perturbed():
+        # deterministic per-(vec, dim) noise: 4 md5 hex chars →
+        # [-sigma/2, sigma/2), added element-wise — same family as the
+        # replay tier's synth_vec, but anchored at the center
+        return F.transform(
+            F.col("embedding"),
+            lambda e, j: (
+                e
+                + (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("vec_id").cast("string"),
+                                    F.lit("n"),
+                                    j.cast("string"),
+                                )
+                            ),
+                            1,
+                            4,
+                        ),
+                        16,
+                        10,
+                    ).cast("double")
+                    / F.lit(65536.0)
+                    - F.lit(0.5)
+                )
+                * F.lit(sigma)
+            ).cast("float"),
+        )
+
+    centers = base.orderBy("vec_id").limit(n_centers)
+    emb = (
+        centers.withColumn(
+            "_copies", F.lit(250) + F.pmod(F.col("vec_id") * F.lit(2503), F.lit(1500))
+        )
+        .withColumn("_r", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * F.lit(shift))
+        .withColumn("embedding", perturbed())
+        .drop("_copies", "_r")
+        .repartition(max(spark.sparkContext.defaultParallelism, 32))
+        .localCheckpoint(eager=True)
+    )
+    q_ids = [
+        r.vec_id + shift
+        for r in centers.select("vec_id").orderBy("vec_id").limit(10).collect()
+    ]
+    q = emb.filter(F.col("vec_id").isin(*q_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return emb, q
+
+
 def measure_kmeans_refinement_e2e(
     spark, n_centers: int = 200, iters: int = 3, sigma: float = 0.2
 ) -> dict:
@@ -1347,55 +1449,7 @@ def measure_kmeans_refinement_e2e(
     )
 
     _quiesce(spark)
-    base = spark.read.parquet(os.path.join(BASE, "embeddings.parquet")).select(
-        "vec_id", "embedding"
-    )
-    shift = SHIFTS["embeddings"]["vec_id"]
-
-    def perturbed():
-        # deterministic per-(vec, dim) noise: 4 md5 hex chars →
-        # [-sigma/2, sigma/2), added element-wise — same family as the
-        # replay tier's synth_vec, but anchored at the center
-        return F.transform(
-            F.col("embedding"),
-            lambda e, j: (
-                e
-                + (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.col("vec_id").cast("string"),
-                                    F.lit("n"),
-                                    j.cast("string"),
-                                )
-                            ),
-                            1,
-                            4,
-                        ),
-                        16,
-                        10,
-                    ).cast("double")
-                    / F.lit(65536.0)
-                    - F.lit(0.5)
-                )
-                * F.lit(sigma)
-            ).cast("float"),
-        )
-
-    centers = base.orderBy("vec_id").limit(n_centers)
-    # skewed cluster sizes: 250 + (id·2503 mod 1500) ∈ [250, 1750)
-    emb = (
-        centers.withColumn(
-            "_copies", F.lit(250) + F.pmod(F.col("vec_id") * F.lit(2503), F.lit(1500))
-        )
-        .withColumn("_r", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
-        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * F.lit(shift))
-        .withColumn("embedding", perturbed())
-        .drop("_copies", "_r")
-        .repartition(max(spark.sparkContext.defaultParallelism, 32))
-        .localCheckpoint(eager=True)
-    )
+    emb, q = _clustered_embeddings(spark, n_centers, sigma)
     n = emb.count()
     k = ivf_cells_for_n(n)
     res: dict = {
@@ -1404,10 +1458,6 @@ def measure_kmeans_refinement_e2e(
         "k_cells": k,
         "iters": iters,
     }
-    q_ids = [r.vec_id + shift for r in centers.select("vec_id").orderBy("vec_id").limit(10).collect()]
-    q = emb.filter(F.col("vec_id").isin(*q_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
     w = Window.partitionBy("q_id").orderBy(
         F.col("dot").desc(), F.col("neighbor_id").asc()
     )
@@ -1536,6 +1586,13 @@ def run_tier(tier: str) -> list[dict]:
         return [
             measure_ivf2_recall_curve(spark, replicas=500),
             measure_ivf2_recall_curve(spark, replicas=500, k_cells=4096),
+        ]
+    if tier == "ivf2recallclu":
+        # round-9: the non-clone calibration — 1M clustered points in
+        # both the natural and the clamp-boundary geometry
+        return [
+            measure_ivf2_recall_curve_clustered(spark, 1000),
+            measure_ivf2_recall_curve_clustered(spark, 1000, k_cells=4096),
         ]
     if tier == "ivf2recall4m":
         # round-9 follow-through: the RE-FIT coupling at 4× the cell
