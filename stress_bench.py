@@ -693,12 +693,15 @@ def measure_ivf2_recall_curve(
     return _ivf2_recall_grid(spark, emb, q, k_cells, label)
 
 
-def _ivf2_recall_grid(spark, emb, q, k_cells, label) -> dict:
+def _ivf2_recall_grid(spark, emb, q, k_cells, label, seeds=None) -> dict:
     """Shared measurement harness for the two-level recall curves:
     exact brute-force top-3 ground truth for the given queries, one
-    ``levels=2`` index build, the 30-point (nprobe_super,
-    nprobe_cell) grid probe-only, and the auto-sized point for the
-    default 0.95 target measured alongside."""
+    ``levels=2`` index build (optionally from caller-supplied
+    ``seeds`` — the refined-centroid variants), the 30-point
+    (nprobe_super, nprobe_cell) grid probe-only, and the auto-sized
+    point for the default 0.95 target measured alongside.  Build
+    quality stats (mean assignment cosine, max cell fraction) are
+    recorded so seed variants are comparable."""
     import shutil
     import tempfile
 
@@ -738,9 +741,11 @@ def _ivf2_recall_grid(spark, emb, q, k_cells, label) -> dict:
     }
     idx = tempfile.mkdtemp(prefix="stress_ivf2curve_")
     try:
-        _, res["index_build_sec"] = timed(
-            lambda: write_ivf_index(emb, idx, k_cells=k, levels=2)
+        build, res["index_build_sec"] = timed(
+            lambda: write_ivf_index(emb, idx, k_cells=k, levels=2, seeds=seeds)
         )
+        res["mean_assign_cos"] = round(build["mean_assign_cos"], 4)
+        res["max_cell_frac"] = round(build["max_cell_frac"], 5)
         curve = []
         for ns in (1, 2, 3, 4, 6, 8):
             for nc in (2, 4, 8, 16, 32):
@@ -787,7 +792,11 @@ def _ivf2_recall_grid(spark, emb, q, k_cells, label) -> dict:
 
 
 def measure_ivf2_recall_curve_clustered(
-    spark, n_centers: int = 1000, k_cells: int | None = None, sigma: float = 0.2
+    spark,
+    n_centers: int = 1000,
+    k_cells: int | None = None,
+    sigma: float = 0.2,
+    refine_iters: int = 0,
 ) -> dict:
     """The two-level recall grid on a CLUSTERED NON-CLONE corpus —
     the strongest calibration data for ``ivf2_probe_params``: on
@@ -797,15 +806,41 @@ def measure_ivf2_recall_curve_clustered(
     with real ranking structure (within-cluster cosine ≈ 0.8,
     cross ≈ 0), so a probe that misses the right cells actually
     misses.  ``n_centers=1000`` → ~1M points in skew-sized
-    clusters."""
+    clusters.
+
+    ``refine_iters > 0`` builds the index from spherical-k-means
+    refined seeds instead of the md5 sample — the paired run that
+    separates "probe model wrong" from "centroid placement wrong"
+    (the md5-seed run measured recall 0.57/0.73 at the auto point vs
+    0.97 predicted, with even (8,32) topping out at 0.80-0.87 —
+    probe width was NOT the binding factor)."""
     _quiesce(spark)
     emb, q = _clustered_embeddings(spark, n_centers, sigma)
+    seeds = None
+    refine_sec = None
+    if refine_iters > 0:
+        from data_engineering_user_session_analysis_spark.operators.ivf import (
+            ivf_cells_for_n,
+            kmeans_refine_seeds,
+        )
+
+        k = k_cells or ivf_cells_for_n(emb.count())
+        seeds, refine_sec = timed(
+            lambda: kmeans_refine_seeds(emb, k, iters=refine_iters).localCheckpoint(
+                eager=True
+            )
+        )
     label = (
         f"ivf2 recall curve clustered ({n_centers} skewed clusters, sigma={sigma}"
         + (f", k_cells={k_cells}" if k_cells else "")
+        + (f", refined x{refine_iters}" if refine_iters else "")
         + ")"
     )
-    return _ivf2_recall_grid(spark, emb, q, k_cells, label)
+    res = _ivf2_recall_grid(spark, emb, q, k_cells, label, seeds=seeds)
+    if refine_sec is not None:
+        res["refine_iters"] = refine_iters
+        res["refine_sec"] = refine_sec
+    return res
 
 
 def measure_events_100x(spark, replicas: int = 100) -> dict:
@@ -1594,6 +1629,12 @@ def run_tier(tier: str) -> list[dict]:
             measure_ivf2_recall_curve_clustered(spark, 1000),
             measure_ivf2_recall_curve_clustered(spark, 1000, k_cells=4096),
         ]
+    if tier == "ivf2recallcluref":
+        # round-9 paired run: same 1M clustered corpus, natural
+        # geometry, but the index built from k-means-refined seeds —
+        # isolates centroid placement from probe width as the cause
+        # of the md5-seed run's model breach
+        return [measure_ivf2_recall_curve_clustered(spark, 1000, refine_iters=3)]
     if tier == "ivf2recall4m":
         # round-9 follow-through: the RE-FIT coupling at 4× the cell
         # occupancy (4M vectors on the same K=4096 geometry — cell
