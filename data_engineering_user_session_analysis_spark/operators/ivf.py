@@ -520,7 +520,28 @@ def ivf2_probe_params(
     cells crowding one global ranking), and every measured s=1 row
     — 200k/K=448, 1M/K=1000, 1M/K=4096 — sits at recall 1.0 for
     all c, so the plain cell-decay solve is already conservative
-    for a flat probe."""
+    for a flat probe.
+
+    DOMAIN: the model predicts PROBE misses, assuming the true
+    neighbors' cells rank well for the query — i.e. centroids
+    placed where the data is.  md5-sample seeds satisfy that on
+    clone/near-dup corpora (every calibration point above), but on
+    a CLUSTERED corpus random corpus points make poor centroids and
+    the prediction can be breached with probe width not binding at
+    all: the 1M clustered grids (STRESS_sf1_r09) measured 0.57
+    (K=1000) / 0.73 (K=4096) at the 0.97-predicted auto point, with
+    even (8,32) topping out at 0.80–0.87.  Centroid QUALITY is the
+    lever — building with ``kmeans_refine_seeds`` /
+    ``refine_iters`` moves the same auto point 0.57 → 0.70 and the
+    grid ceiling 0.87 → 0.97 on the 1M corpus (the paired
+    ``refined x3`` clustered grid), and restores the target
+    outright at fixture scale (pin:
+    test_refined_seeds_restore_auto_sizer_on_clustered_corpus) —
+    but 3 refine rounds do NOT recover the prediction at 1M.  So:
+    on strongly clustered (non-near-dup) corpora treat
+    ``recall_target`` as a probe-width heuristic, refine seeds,
+    and VALIDATE recall against an exact-kNN sample (as the stress
+    grids do) instead of trusting the clone-fit prediction."""
     if not 0.0 < recall_target < 1.0:
         raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
     rs = IVF2_RHO_SUPER if rho_super is None else rho_super

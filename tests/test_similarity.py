@@ -1166,6 +1166,70 @@ def test_refined_seeds_compose_with_two_level_index(spark, sf_small, tmp_path):
         assert r.neighbor_id == r.q_id - shift
 
 
+def test_refined_seeds_restore_auto_sizer_on_clustered_corpus(spark, tmp_path):
+    """The sizing model's DOMAIN pin (STRESS_sf1_r09 clustered
+    grids): on a clustered non-clone corpus with md5-sample seeds the
+    model's recall prediction can be breached — centroid placement,
+    not probe width, binds (the 1M md5-seed grids measured 0.57/0.73
+    at the 0.97-predicted auto point with even (8,32) at ≤ 0.87).
+    k-means refinement is the documented remedy: at EQUAL auto-sized
+    probe widths the refined two-level index must recall at least as
+    well as the md5-seed build and clear 0.9 on a corpus shaped like
+    the stress tier's (skew-sized noise-perturbed clusters)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf_index_topk,
+        kmeans_refine_seeds,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n_centers = 32, 24
+    centers = rng.randn(n_centers, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for i in range(n_centers):
+        for _ in range(40 + (i * 37) % 160):  # skew-sized clusters
+            v = centers[i] + rng.uniform(-0.1, 0.1, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    k = int(np.ceil(np.sqrt(len(rows))))
+
+    # exact ground truth + query points (first member of 10 clusters)
+    mat = np.array([r[1] for r in rows])
+    q_ids = [int(np.sum([40 + (j * 37) % 160 for j in range(i)])) for i in range(10)]
+    true3 = set()
+    for qi in q_ids:
+        dots = mat @ mat[qi]
+        dots[qi] = -np.inf
+        for nb in np.argsort(-dots)[:3]:
+            true3.add((qi, int(nb)))
+    q = emb.filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    recalls = {}
+    for name, seeds in (
+        ("md5", None),
+        ("refined", kmeans_refine_seeds(emb, k, iters=3)),
+    ):
+        path = str(tmp_path / f"ivf2_{name}")
+        write_ivf_index(emb, path, k_cells=k, levels=2, seeds=seeds)
+        got = {
+            (r.q_id, r.neighbor_id)
+            for r in ivf_index_topk(
+                spark, path, q, topk=3, recall_target=0.95
+            ).collect()
+        }
+        recalls[name] = len(true3 & got) / len(true3)
+    emb.unpersist()
+    assert recalls["refined"] >= recalls["md5"] - 1e-9, recalls
+    assert recalls["refined"] >= 0.9, recalls
+
+
 def test_reindex_with_refinement_tightens_baseline(spark, sf_small, tmp_path):
     """``rebuild_ivf_index(refine_iters>0)`` — the operational quality
     rebuild: the reindex that answers a degraded staleness signal must
