@@ -565,7 +565,7 @@ def run_backfill(
 def main(argv: list[str]) -> None:
     """CLI contract of the reference batch job: ``job <ds>`` (plus the
     maintenance verbs ``job compact <ds>`` and
-    ``job reindex <ivf_index_path> [k_cells] [refine_iters]`` /
+    ``job reindex <ivf_index_path> [k_cells] [refine_iters] [seed_init]`` /
     ``job reindex-vectors <vector_index_path> <target_n>``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
@@ -626,10 +626,11 @@ def main(argv: list[str]) -> None:
 
         k_cells = int(argv[3]) if len(argv) > 3 else None
         refine_iters = int(argv[4]) if len(argv) > 4 else 0
+        seed_init = argv[5] if len(argv) > 5 else "md5"
         print(
             rebuild_ivf_index(
                 get_spark("ivf_reindex"), argv[2], k_cells,
-                refine_iters=refine_iters,
+                refine_iters=refine_iters, seed_init=seed_init,
             )
         )
         return

@@ -69,6 +69,217 @@ def select_seeds(
     )
 
 
+def select_seeds_d2(
+    emb: DataFrame,
+    k_cells: int,
+    rounds: int = 4,
+    oversample: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """D²-weighted seed selection (the k-means|| scheme of Bahmani et
+    al., VLDB 2012, in its spherical form) — the seeding that fixes
+    what the md5 sample structurally cannot: a uniform sample draws
+    seeds ∝ cluster SIZE, so on a corpus of many natural clusters the
+    small ones expect zero seeds (1M points / 1000 clusters / K=1000
+    ⇒ ~37% of clusters unseeded) and Lloyd rounds rarely migrate a
+    centroid across empty cosine space into them.  That starvation is
+    the measured failure of the 1M clustered grids (STRESS_sf1_r09:
+    auto-point recall 0.57 md5 / 0.70 after x3 Lloyd, vs 0.97
+    predicted).  D² sampling draws new seeds ∝ squared distance to
+    the nearest existing seed, so unseeded clusters are found with
+    probability ∝ their spread, not their population.
+
+    Each round is ONE map-only Arrow pass (``_max_cos_matmul_kernel``
+    against the broadcast candidate set — d² = 2·(1−cos) on the unit
+    sphere, BLAS-scored: the init has no bit-parity obligation, see
+    the kernel docstring) plus one bounded TakeOrdered: candidates
+    are drawn by
+    Efraimidis–Spirakis weighted reservoir keys (u^(1/w), realized as
+    ln(u)/d² with a DETERMINISTIC md5(id:round) uniform — the same
+    engine-portable hash-randomness discipline as the sampling
+    operators), top ``⌈oversample·K⌉`` per round.  The driver never
+    holds more than the O(rounds·oversample·K) candidate set — the
+    same bounded-by-K collect class as the seed arrays themselves.
+
+    The final reduction to K seeds runs DRIVER-SIDE: one distributed
+    weighting pass (each candidate weighted by the corpus points it
+    wins), then weighted spherical k-means over the ≤ rounds·2K
+    candidate matrix in numpy — at the K=4096 ceiling that is a
+    ~32k×64 problem, microseconds next to one corpus pass.
+
+    Output is the standard ``(sid, se)`` seeds frame (dense synthetic
+    sids), drop-in for ``write_ivf_index(seeds=...)`` /
+    ``kmeans_refine_seeds(init="d2")``.  Like refined seeds, d²
+    seeds are a QUALITY path (float means, not corpus vectors);
+    oracle-replayable fixtures keep ``select_seeds``."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    l_round = int(math.ceil(oversample * k_cells))
+    # first seed: the md5-min corpus vector (deterministic)
+    first = select_seeds(emb, 1, id_col=id_col, vec_col=vec_col)
+    cand_rows = [(0, list(r["se"])) for r in first.collect()]
+    if not cand_rows:
+        raise ValueError("select_seeds_d2 on an empty corpus")
+    spark = emb.sparkSession
+    for rnd in range(rounds):
+        cand_df = spark.createDataFrame(
+            cand_rows, "sid long, se array<double>"
+        )
+        scored = _max_cos_matmul_kernel(emb, cand_df, id_col, vec_col)
+        # Efraimidis–Spirakis key u^(1/w) ⟺ maximize ln(u)/w; w = d²
+        # = 2(1−cos) clipped at 0 (w=0 ⇒ −inf: already-covered points
+        # are never drawn).  u from md5(id:round) — deterministic.
+        u = F.greatest(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(rnd)))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(16**15)),
+            F.lit(1e-18),
+        )
+        w = F.greatest(F.lit(0.0), F.lit(2.0) * (F.lit(1.0) - F.col("assign_cos")))
+        # TakeOrdered over narrow (id, key) rows first; only the l
+        # winners join back for their vectors (broadcast semi-join) —
+        # never a corpus-wide shuffle of the embedding column.
+        winners = (
+            scored.withColumn(
+                "_key",
+                F.when(w > 0, F.log(u) / w).otherwise(F.lit(float("-inf"))),
+            )
+            .orderBy(F.desc("_key"), F.col(id_col))
+            .limit(l_round)
+            .select(id_col)
+        )
+        picked = (
+            emb.join(F.broadcast(winners), id_col)
+            .select(vec_col)
+            .collect()
+        )
+        base = len(cand_rows)
+        cand_rows = cand_rows + [
+            (base + i, [float(x) for x in r[vec_col]]) for i, r in enumerate(picked)
+        ]
+    # weight candidates by the corpus points they win, then reduce
+    # driver-side with weighted spherical k-means
+    cand_df = spark.createDataFrame(cand_rows, "sid long, se array<double>")
+    counts = {
+        r["cell"]: r["n"]
+        for r in _max_cos_matmul_kernel(emb, cand_df, id_col, vec_col)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    mat = np.array([v for _, v in cand_rows], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    mat = mat[nrm > 0] / nrm[nrm > 0, np.newaxis]
+    wts = np.array(
+        [counts.get(sid, 0) for (sid, _), keep in zip(cand_rows, nrm > 0) if keep],
+        dtype=np.float64,
+    )
+    if len(mat) <= k_cells:
+        seeds = [(i, row.tolist()) for i, row in enumerate(mat)]
+        return spark.createDataFrame(seeds, "sid long, se array<double>")
+    centers = _weighted_spherical_kmeans(mat, wts, k_cells)
+    return spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(centers)],
+        "sid long, se array<double>",
+    )
+
+
+def _max_cos_matmul_kernel(
+    emb: DataFrame, seeds: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """BLAS twin of ``_assign_cells_cos_kernel`` for the D²-init
+    passes: one ``x @ seedsᵀ`` matmul per Arrow batch instead of the
+    per-dimension foldl sweep.  The foldl order exists so index
+    ASSIGNMENT is bit-identical to the crossJoin+fold construction —
+    a parity the init does not need (its output feeds a weighted
+    sample and a weight histogram, never the stored assignment) —
+    and it allocates a (batch × C) temp per dimension, which at the
+    init's growing candidate sets (C up to rounds·2K ≫ K) turns
+    into a memory-bandwidth burn: the first 1M d2 run spent 30+ min
+    in the fold kernel (66% kernel time, allocation churn) where
+    the matmul form finishes the same passes in seconds.  Scores by
+    COSINE (both sides normalized — d² = 2(1−cos) is the sphere
+    distance the sampler weights by).  Deterministic for a fixed
+    environment; not bit-portable across BLAS builds — acceptable
+    for a quality path (the reproducibility-bearing parts are the
+    md5 draws and the RandomState(0) reduction)."""
+    seed_rows = seeds.orderBy("sid").collect()
+    mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
+    nrms = np.linalg.norm(mat, axis=1)
+    nrms[nrms == 0] = 1.0
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (np.array([r["sid"] for r in seed_rows], dtype=np.int64), mat / nrms[:, np.newaxis])
+    )
+
+    @F.pandas_udf("cell long, assign_cos double")
+    def best_cos(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame(
+                {"cell": pd.Series([], dtype=np.int64),
+                 "assign_cos": pd.Series([], dtype=np.float64)}
+            )
+        seed_ids, unit_seeds = bc.value
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        xn = np.linalg.norm(x, axis=1)
+        xn[xn == 0] = 1.0
+        cos = (x / xn[:, np.newaxis]) @ unit_seeds.T
+        idx = np.argmax(cos, axis=1)
+        return pd.DataFrame(
+            {"cell": seed_ids[idx], "assign_cos": cos[np.arange(len(v)), idx]}
+        )
+
+    return emb.select(id_col, best_cos(F.col(vec_col)).alias("_a")).select(
+        id_col, F.col("_a.cell").alias("cell"), F.col("_a.assign_cos").alias("assign_cos")
+    )
+
+
+def _weighted_spherical_kmeans(
+    unit_mat: np.ndarray, weights: np.ndarray, k: int, iters: int = 10
+) -> np.ndarray:
+    """Driver-side weighted spherical k-means over the (small)
+    candidate matrix: weighted-k-means++ init (deterministic
+    ``RandomState(0)``) then Lloyd with normalized weighted means.
+    Zero-weight candidates still count with weight 1e-9 so isolated
+    candidates (a cluster's only representative) are not discarded."""
+    w = np.maximum(weights, 1e-9)
+    rng = np.random.RandomState(0)
+    # weighted k-means++: first pick ∝ weight, then ∝ weight·d²
+    centers = np.empty((k, unit_mat.shape[1]), dtype=np.float64)
+    idx = rng.choice(len(unit_mat), p=w / w.sum())
+    centers[0] = unit_mat[idx]
+    best_cos = unit_mat @ centers[0]
+    for j in range(1, k):
+        d2 = np.maximum(0.0, 2.0 * (1.0 - best_cos))
+        p = w * d2
+        s = p.sum()
+        if s <= 0:
+            # all candidates covered: fill remaining from the heaviest
+            centers[j:] = unit_mat[np.argsort(-w)[: k - j]]
+            break
+        idx = rng.choice(len(unit_mat), p=p / s)
+        centers[j] = unit_mat[idx]
+        best_cos = np.maximum(best_cos, unit_mat @ centers[j])
+    for _ in range(iters):
+        assign = np.argmax(unit_mat @ centers.T, axis=1)
+        for j in range(k):
+            sel = assign == j
+            if not sel.any():
+                continue
+            m = (unit_mat[sel] * w[sel, np.newaxis]).sum(axis=0)
+            n = np.linalg.norm(m)
+            if n > 1e-12:
+                centers[j] = m / n
+    return centers
+
+
 def _fold_dot(a_col: str, b_col: str):
     """The interpreted ``F.aggregate`` fold dot product — bit-identical
     to ``foldl_dot_column`` (pinned in tests/test_similarity.py), but
@@ -196,6 +407,7 @@ def kmeans_refine_seeds(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "md5",
 ) -> DataFrame:
     """Lloyd-refine the deterministic md5-sample seeds — the
     "production quality wants k-means" knob the module docstring
@@ -238,8 +450,16 @@ def kmeans_refine_seeds(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if init not in ("md5", "d2"):
+        raise ValueError(f"init must be 'md5' or 'd2', got {init!r}")
     spark = emb.sparkSession
-    seeds = select_seeds(emb, k_cells, id_col=id_col, vec_col=vec_col)
+    # init="d2": start Lloyd from D²-weighted k-means|| seeds instead
+    # of the uniform md5 sample — see select_seeds_d2 for why uniform
+    # seeding structurally starves small natural clusters.
+    if init == "d2":
+        seeds = select_seeds_d2(emb, k_cells, id_col=id_col, vec_col=vec_col)
+    else:
+        seeds = select_seeds(emb, k_cells, id_col=id_col, vec_col=vec_col)
 
     def _mean_per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
@@ -531,17 +751,20 @@ def ivf2_probe_params(
     all: the 1M clustered grids (STRESS_sf1_r09) measured 0.57
     (K=1000) / 0.73 (K=4096) at the 0.97-predicted auto point, with
     even (8,32) topping out at 0.80–0.87.  Centroid QUALITY is the
-    lever — building with ``kmeans_refine_seeds`` /
-    ``refine_iters`` moves the same auto point 0.57 → 0.70 and the
-    grid ceiling 0.87 → 0.97 on the 1M corpus (the paired
-    ``refined x3`` clustered grid), and restores the target
-    outright at fixture scale (pin:
-    test_refined_seeds_restore_auto_sizer_on_clustered_corpus) —
-    but 3 refine rounds do NOT recover the prediction at 1M.  So:
-    on strongly clustered (non-near-dup) corpora treat
-    ``recall_target`` as a probe-width heuristic, refine seeds,
-    and VALIDATE recall against an exact-kNN sample (as the stress
-    grids do) instead of trusting the clone-fit prediction."""
+    lever, and INITIALIZATION is the binding part of it: Lloyd
+    refinement from the uniform md5 sample moves the auto point
+    0.57 → 0.70 (x3) and then PLATEAUS — x10 measured 0.73 with
+    assign-cos flat at 0.633 (the paired ``refined x3`` /
+    ``refined x10`` clustered grids) — because a uniform sample
+    starves small natural clusters of seeds and Lloyd cannot
+    migrate centroids into them (see ``select_seeds_d2``).
+    ``kmeans_refine_seeds(init="d2")`` fixes the initialization;
+    fixture-scale pin:
+    test_refined_seeds_restore_auto_sizer_on_clustered_corpus.
+    Even so, on strongly clustered (non-near-dup) corpora treat
+    ``recall_target`` as a probe-width heuristic and VALIDATE
+    recall against an exact-kNN sample (as the stress grids do)
+    instead of trusting the clone-fit prediction."""
     if not 0.0 < recall_target < 1.0:
         raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
     rs = IVF2_RHO_SUPER if rho_super is None else rho_super
@@ -1112,6 +1335,7 @@ def rebuild_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    seed_init: str = "md5",
 ) -> dict:
     """Re-derive the index from its CURRENT membership — the
     operational answer to a stale index (``job reindex``): fresh
@@ -1134,6 +1358,10 @@ def rebuild_ivf_index(
     is already the response to a degraded staleness signal, and
     refined centroids reset the ``mean_assign_cos`` baseline
     measurably tighter (so the signal regains headroom).
+    ``seed_init="d2"`` starts that refinement from D²-weighted
+    (k-means||) seeds instead of the uniform md5 sample — the
+    rebuild for corpora whose natural clustering starves a uniform
+    sample (see ``select_seeds_d2``).
 
     Crash safety: the rebuild lands in a sibling ``<path>.rebuild``
     directory and is swapped in only after its members/_SUCCESS marker
@@ -1159,7 +1387,8 @@ def rebuild_ivf_index(
     if refine_iters > 0:
         k_for_refine = k_cells or ivf_cells_for_n(vecs.count())
         seeds = kmeans_refine_seeds(
-            vecs, k_for_refine, iters=refine_iters, id_col=id_col, vec_col=vec_col
+            vecs, k_for_refine, iters=refine_iters, id_col=id_col,
+            vec_col=vec_col, init=seed_init,
         )
     tmp = path.rstrip("/") + ".rebuild"
     shutil.rmtree(tmp, ignore_errors=True)

@@ -797,6 +797,7 @@ def measure_ivf2_recall_curve_clustered(
     k_cells: int | None = None,
     sigma: float = 0.2,
     refine_iters: int = 0,
+    init: str = "md5",
 ) -> dict:
     """The two-level recall grid on a CLUSTERED NON-CLONE corpus —
     the strongest calibration data for ``ivf2_probe_params``: on
@@ -826,14 +827,15 @@ def measure_ivf2_recall_curve_clustered(
 
         k = k_cells or ivf_cells_for_n(emb.count())
         seeds, refine_sec = timed(
-            lambda: kmeans_refine_seeds(emb, k, iters=refine_iters).localCheckpoint(
-                eager=True
-            )
+            lambda: kmeans_refine_seeds(
+                emb, k, iters=refine_iters, init=init
+            ).localCheckpoint(eager=True)
         )
     label = (
         f"ivf2 recall curve clustered ({n_centers} skewed clusters, sigma={sigma}"
         + (f", k_cells={k_cells}" if k_cells else "")
         + (f", refined x{refine_iters}" if refine_iters else "")
+        + (", d2 init" if init == "d2" else "")
         + ")"
     )
     res = _ivf2_recall_grid(spark, emb, q, k_cells, label, seeds=seeds)
@@ -1635,6 +1637,22 @@ def run_tier(tier: str) -> list[dict]:
         # isolates centroid placement from probe width as the cause
         # of the md5-seed run's model breach
         return [measure_ivf2_recall_curve_clustered(spark, 1000, refine_iters=3)]
+    if tier == "ivf2recallcluref10":
+        # round-9 plateau check: does deeper refinement (x10 vs x3)
+        # keep closing the clustered-corpus gap, or has centroid
+        # placement already converged?  Decides whether the
+        # ivf2_probe_params DOMAIN advice should be "refine more" or
+        # "validate empirically".
+        return [measure_ivf2_recall_curve_clustered(spark, 1000, refine_iters=10)]
+    if tier == "ivf2recallclud2":
+        # round-9 closer: the D² (k-means||) init attacking the seed
+        # starvation the md5/refined clustered grids exposed — same 1M
+        # corpus, refine x3 from d2 seeds
+        return [
+            measure_ivf2_recall_curve_clustered(
+                spark, 1000, refine_iters=3, init="d2"
+            )
+        ]
     if tier == "ivf2recall4m":
         # round-9 follow-through: the RE-FIT coupling at 4× the cell
         # occupancy (4M vectors on the same K=4096 geometry — cell

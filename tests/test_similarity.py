@@ -1215,6 +1215,7 @@ def test_refined_seeds_restore_auto_sizer_on_clustered_corpus(spark, tmp_path):
     for name, seeds in (
         ("md5", None),
         ("refined", kmeans_refine_seeds(emb, k, iters=3)),
+        ("d2", kmeans_refine_seeds(emb, k, iters=3, init="d2")),
     ):
         path = str(tmp_path / f"ivf2_{name}")
         write_ivf_index(emb, path, k_cells=k, levels=2, seeds=seeds)
@@ -1228,6 +1229,71 @@ def test_refined_seeds_restore_auto_sizer_on_clustered_corpus(spark, tmp_path):
     emb.unpersist()
     assert recalls["refined"] >= recalls["md5"] - 1e-9, recalls
     assert recalls["refined"] >= 0.9, recalls
+    # the D²-init build must be at least as good as md5-init Lloyd on
+    # exactly the corpus shape whose starvation it exists to fix
+    assert recalls["d2"] >= 0.9, recalls
+
+
+def test_select_seeds_d2_covers_starved_clusters(spark):
+    """The starvation mechanism itself (why `select_seeds_d2` exists):
+    a uniform md5 sample draws seeds ∝ cluster population, so a corpus
+    with one fat cluster and many small ones leaves small clusters
+    unseeded; D² sampling finds them because their distance mass stays
+    large until they get a seed.  Assert every true center is covered
+    (cos ≥ 0.8) by a d2 seed — and that the md5 sample of the same
+    size demonstrably does NOT cover them (the deterministic fact the
+    fix is for)."""
+    import numpy as np
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        select_seeds,
+        select_seeds_d2,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    centers = rng.randn(12, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for i, n in enumerate([3000] + [25] * 11):  # one fat, 11 small
+        for _ in range(n):
+            v = centers[i] + rng.uniform(-0.08, 0.08, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    def coverage(seed_df):
+        s = np.array([list(r["se"]) for r in seed_df.collect()], dtype=np.float64)
+        s /= np.linalg.norm(s, axis=1, keepdims=True)
+        return (centers @ s.T).max(axis=1)
+
+    cov_d2 = coverage(select_seeds_d2(emb, 16))
+    cov_md5 = coverage(select_seeds(emb, 16))
+    emb.unpersist()
+    assert (cov_d2 >= 0.8).all(), cov_d2.round(3).tolist()
+    assert (cov_md5 < 0.8).any(), cov_md5.round(3).tolist()
+
+
+def test_select_seeds_d2_deterministic(spark):
+    """Two invocations yield identical seed matrices: the uniform
+    draws are md5(id:round), the driver-side k-means++ reduction is
+    RandomState(0), and every distributed pass is order-independent
+    map arithmetic — the same engine-portable determinism discipline
+    as the sampling operators."""
+    import numpy as np
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import select_seeds_d2
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    a = np.array([r["se"] for r in select_seeds_d2(emb, 10).orderBy("sid").collect()])
+    b = np.array([r["se"] for r in select_seeds_d2(emb, 10).orderBy("sid").collect()])
+    emb.unpersist()
+    assert a.shape == b.shape == (10, 8)
+    assert np.array_equal(a, b)
 
 
 def test_reindex_with_refinement_tightens_baseline(spark, sf_small, tmp_path):
