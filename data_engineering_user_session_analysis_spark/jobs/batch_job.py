@@ -566,7 +566,8 @@ def main(argv: list[str]) -> None:
     """CLI contract of the reference batch job: ``job <ds>`` (plus the
     maintenance verbs ``job compact <ds>`` and
     ``job reindex <ivf_index_path> [k_cells] [refine_iters] [seed_init]`` /
-    ``job reindex-vectors <vector_index_path> <target_n>``,
+    ``job reindex-vectors <vector_index_path> <target_n>`` /
+    ``job validate-recall <ivf_index_path> [sample_q] [recall_target]``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
     operational pipeline ``job daily <ds> [--auto-rebuild-vectors]``
@@ -645,6 +646,25 @@ def main(argv: list[str]) -> None:
         print(
             rebuild_vector_index(
                 get_spark("vector_reindex"), argv[2], int(argv[3])
+            )
+        )
+        return
+    if argv[1] == "validate-recall":
+        # measured-vs-predicted recall of a persistent IVF index on a
+        # deterministic exact-kNN sample (`job validate-recall <path>
+        # [sample_q] [recall_target]`) — the operational check the
+        # sizing model's docstring prescribes before trusting
+        # recall_target on a new corpus shape
+        from data_engineering_user_session_analysis_spark.operators.ivf import (
+            ivf_index_recall_sample,
+        )
+
+        sample_q = int(argv[3]) if len(argv) > 3 else 30
+        target = float(argv[4]) if len(argv) > 4 else None
+        print(
+            ivf_index_recall_sample(
+                get_spark("ivf_recall_check"), argv[2],
+                sample_q=sample_q, recall_target=target,
             )
         )
         return

@@ -85,10 +85,14 @@ def select_seeds_d2(
     ⇒ ~37% of clusters unseeded) and Lloyd rounds rarely migrate a
     centroid across empty cosine space into them.  That starvation is
     the measured failure of the 1M clustered grids (STRESS_sf1_r09:
-    auto-point recall 0.57 md5 / 0.70 after x3 Lloyd, vs 0.97
-    predicted).  D² sampling draws new seeds ∝ squared distance to
-    the nearest existing seed, so unseeded clusters are found with
-    probability ∝ their spread, not their population.
+    auto-point recall 0.57 md5 / 0.70 after x3 Lloyd / 0.73 after
+    x10, vs 0.97 predicted).  D² sampling draws new seeds ∝ squared
+    distance to the nearest existing seed, so unseeded clusters are
+    found with probability ∝ their spread, not their population.
+    Measured on the same corpus (``d2 init`` grid): auto point
+    0.90, recall 1.0 reached at (8,16), refinement 26% cheaper —
+    and mean assign-cos barely moved (0.633 → 0.628), confirming
+    the proxy metric cannot see the starvation that recall does.
 
     Each round is ONE map-only Arrow pass (``_max_cos_matmul_kernel``
     against the broadcast candidate set — d² = 2·(1−cos) on the unit
@@ -758,13 +762,19 @@ def ivf2_probe_params(
     ``refined x10`` clustered grids) — because a uniform sample
     starves small natural clusters of seeds and Lloyd cannot
     migrate centroids into them (see ``select_seeds_d2``).
-    ``kmeans_refine_seeds(init="d2")`` fixes the initialization;
-    fixture-scale pin:
+    ``kmeans_refine_seeds(init="d2")`` fixes the initialization —
+    measured on the SAME 1M corpus (the ``d2 init`` clustered
+    grid): auto point 0.90 (vs 0.57/0.70/0.73), grid reaches
+    recall 1.0 at (8,16), and the d2-seeded Lloyd is CHEAPER
+    (120.6 s vs 162.8 s for x3 — better-placed seeds converge
+    faster).  Fixture-scale pin:
     test_refined_seeds_restore_auto_sizer_on_clustered_corpus.
     Even so, on strongly clustered (non-near-dup) corpora treat
     ``recall_target`` as a probe-width heuristic and VALIDATE
-    recall against an exact-kNN sample (as the stress grids do)
-    instead of trusting the clone-fit prediction."""
+    recall against an exact-kNN sample — the product form is
+    ``ivf_index_recall_sample`` / ``job validate-recall``, which
+    reports predicted vs measured side by side — instead of
+    trusting the clone-fit prediction."""
     if not 0.0 < recall_target < 1.0:
         raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
     rs = IVF2_RHO_SUPER if rho_super is None else rho_super
@@ -1546,3 +1556,117 @@ def ivf_index_topk(
         .filter(F.col("rank") <= topk)
         .select(q_id_col, "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ivf_index_recall_sample(
+    spark,
+    path: str,
+    sample_q: int = 30,
+    topk: int = 3,
+    nprobe: int = 2,
+    nprobe_cell: int = 4,
+    recall_target: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "recall",
+) -> dict:
+    """Measured recall of a persistent index against exact kNN on a
+    deterministic query sample — the PRODUCT form of the validation
+    the sizing-model docstring prescribes (``ivf2_probe_params``:
+    on strongly clustered corpora "VALIDATE recall against an
+    exact-kNN sample"), so operators don't need the stress harness
+    to act on that advice.  CLI: ``job validate-recall``.
+
+    Sample: the ``sample_q`` members with the smallest
+    ``md5(id:salt)`` — the engine-portable hash-order sampling used
+    everywhere else (deterministic across runs; vary ``salt`` for an
+    independent draw).  Ground truth is brute-force top-``topk`` by
+    exact dot over ALL indexed members (base + increments): ONE
+    corpus pass — broadcast queries, map-side Arrow dots, one narrow
+    (q_id, neighbor_id, dot) shuffle for the per-query window — the
+    same cost class as a rebuild's assignment pass.  ``sample_q`` is
+    the cost knob; a subsampled ground-truth corpus is deliberately
+    NOT offered (truth on a sample measures recall against a
+    different neighbor set — biased upward).
+
+    The probe runs through ``ivf_index_topk`` with EXPLICIT widths:
+    when ``recall_target`` is given the (s, c) solve happens here
+    (same ``ivf2_probe_params`` call the probe would make, flat
+    regime on the cell axis), so the report's widths are exactly
+    what ran.  Returns ``{n_vectors, levels, sample_q, topk, nprobe,
+    nprobe_cell, recall_target, predicted_recall, recall_at_k,
+    probe_sec}`` — predicted vs measured side by side is the point:
+    the 1M clustered grids (STRESS_sf1_r09) showed prediction 0.97 /
+    measurement 0.57 on a corpus shape outside the model's clone-fit
+    domain, and this report is how an operator detects that breach
+    on THEIR corpus before trusting ``recall_target``.
+
+    Driver state is bounded: two ``sample_q * topk`` pair sets; the
+    corpus never collects."""
+    import os
+    import time
+
+    if sample_q < 1:
+        raise ValueError(f"sample_q must be >= 1, got {sample_q}")
+    members = _index_members(spark, path, id_col, vec_col).select(id_col, vec_col)
+    n = members.count()
+    levels = _index_levels(path)
+    res: dict = {"n_vectors": n, "levels": levels, "topk": topk}
+    if recall_target is not None:
+        k = spark.read.parquet(os.path.join(path, "centroids")).count()
+        sized = ivf2_probe_params(
+            k, recall_target=recall_target, topk=topk, levels=levels
+        )
+        if levels == 2:
+            nprobe, nprobe_cell = sized["nprobe_super"], sized["nprobe_cell"]
+        else:
+            nprobe = max(nprobe, sized["nprobe_cell"])
+        res["recall_target"] = recall_target
+        res["predicted_recall"] = sized["predicted_recall"]
+    res["nprobe"] = nprobe
+    if levels == 2:
+        res["nprobe_cell"] = nprobe_cell
+    queries = (
+        members.orderBy(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+            F.col(id_col),
+        )
+        .limit(sample_q)
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
+        .localCheckpoint(eager=True)  # one sample, reused by truth + probe
+    )
+    res["sample_q"] = queries.count()
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    truth = {
+        (r["q_id"], r["neighbor_id"])
+        for r in F.broadcast(queries)
+        .crossJoin(members.select(F.col(id_col).alias("neighbor_id"), vec_col))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            foldl_dot_column("q_emb", vec_col).alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .collect()
+    }
+    t0 = time.monotonic()
+    got = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ivf_index_topk(
+            spark,
+            path,
+            queries,
+            nprobe=nprobe,
+            topk=topk,
+            id_col=id_col,
+            vec_col=vec_col,
+            nprobe_cell=nprobe_cell,
+        ).collect()
+    }
+    res["probe_sec"] = round(time.monotonic() - t0, 3)
+    res["recall_at_k"] = round(len(truth & got) / max(len(truth), 1), 4)
+    return res

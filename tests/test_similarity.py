@@ -1296,6 +1296,68 @@ def test_select_seeds_d2_deterministic(spark):
     assert np.array_equal(a, b)
 
 
+def test_ivf_index_recall_sample_exhaustive_probe_is_exact(spark, sf_small, tmp_path):
+    """`ivf_index_recall_sample` with the probe opened to ALL cells is
+    exact search — measured recall must be 1.0 by construction (the
+    self-check that the harness's truth and probe agree on semantics:
+    same member set, same self-exclusion, same tie order).  A narrow
+    probe on the same index can only report ≤ that, and two runs of
+    the same validation must agree exactly (md5-order sample,
+    deterministic kernels)."""
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf_index_recall_sample,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    path = str(tmp_path / "ivf_flat")
+    rep = write_ivf_index(emb, path)
+    emb.unpersist()
+
+    full = ivf_index_recall_sample(spark, path, sample_q=8, nprobe=rep["k_cells"])
+    assert full["recall_at_k"] == 1.0, full
+    assert full["sample_q"] == 8 and full["levels"] == 1
+    assert full["n_vectors"] == rep["n_vectors"]
+
+    narrow = ivf_index_recall_sample(spark, path, sample_q=8, nprobe=1)
+    again = ivf_index_recall_sample(spark, path, sample_q=8, nprobe=1)
+    assert narrow["recall_at_k"] <= full["recall_at_k"]
+    assert narrow["recall_at_k"] == again["recall_at_k"]
+
+
+def test_ivf_index_recall_sample_reports_prediction_vs_measurement(
+    spark, sf_small, tmp_path
+):
+    """With ``recall_target`` the report must carry the sizing model's
+    claim NEXT TO the measurement — predicted vs measured side by side
+    is the whole point of the validation verb (the 1M clustered grids
+    breached the prediction by 0.4 with no error signal anywhere) —
+    and the widths it reports must be the solve's widths, i.e. exactly
+    what ran."""
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf2_probe_params,
+        ivf_index_recall_sample,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    path = str(tmp_path / "ivf_two_level")
+    rep = write_ivf_index(emb, path, k_cells=16, levels=2)
+    emb.unpersist()
+
+    res = ivf_index_recall_sample(spark, path, sample_q=6, recall_target=0.9)
+    sized = ivf2_probe_params(rep["k_cells"], recall_target=0.9, topk=3, levels=2)
+    assert res["levels"] == 2
+    assert res["nprobe"] == sized["nprobe_super"]
+    assert res["nprobe_cell"] == sized["nprobe_cell"]
+    assert res["predicted_recall"] == sized["predicted_recall"]
+    assert res["recall_target"] == 0.9
+    assert 0.0 <= res["recall_at_k"] <= 1.0
+    assert res["probe_sec"] >= 0.0
+
+
 def test_reindex_with_refinement_tightens_baseline(spark, sf_small, tmp_path):
     """``rebuild_ivf_index(refine_iters>0)`` — the operational quality
     rebuild: the reindex that answers a degraded staleness signal must
