@@ -567,7 +567,8 @@ def main(argv: list[str]) -> None:
     maintenance verbs ``job compact <ds>`` and
     ``job reindex <ivf_index_path> [k_cells] [refine_iters] [seed_init]`` /
     ``job reindex-vectors <vector_index_path> <target_n>`` /
-    ``job validate-recall <ivf_index_path> [sample_q] [recall_target]``,
+    ``job validate-recall <ivf_index_path> [sample_q] [recall_target]`` /
+    ``job tune-recall <ivf_index_path> [recall_target] [sample_q]``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
     operational pipeline ``job daily <ds> [--auto-rebuild-vectors]``
@@ -652,19 +653,45 @@ def main(argv: list[str]) -> None:
     if argv[1] == "validate-recall":
         # measured-vs-predicted recall of a persistent IVF index on a
         # deterministic exact-kNN sample (`job validate-recall <path>
-        # [sample_q] [recall_target]`) — the operational check the
-        # sizing model's docstring prescribes before trusting
-        # recall_target on a new corpus shape
+        # [sample_q] [recall_target] [--stratified]`) — the
+        # operational check the sizing model's docstring prescribes
+        # before trusting recall_target on a new corpus shape;
+        # --stratified samples one query per cell (tail recall) —
+        # population sampling hides seed starvation
         from data_engineering_user_session_analysis_spark.operators.ivf import (
             ivf_index_recall_sample,
         )
 
+        stratified = "--stratified" in argv
+        argv = [a for a in argv if a != "--stratified"]
         sample_q = int(argv[3]) if len(argv) > 3 else 30
         target = float(argv[4]) if len(argv) > 4 else None
         print(
             ivf_index_recall_sample(
                 get_spark("ivf_recall_check"), argv[2],
                 sample_q=sample_q, recall_target=target,
+                stratify_by_cell=stratified,
+            )
+        )
+        return
+    if argv[1] == "tune-recall":
+        # closed-loop probe sizing (`job tune-recall <path> [target]
+        # [sample_q] [--stratified]`): escalate probe widths until
+        # MEASURED sample recall meets the target — the actuation for
+        # a validate-recall breach
+        from data_engineering_user_session_analysis_spark.operators.ivf import (
+            ivf_index_probe_autotune,
+        )
+
+        stratified = "--stratified" in argv
+        argv = [a for a in argv if a != "--stratified"]
+        target = float(argv[3]) if len(argv) > 3 else 0.95
+        sample_q = int(argv[4]) if len(argv) > 4 else 30
+        print(
+            ivf_index_probe_autotune(
+                get_spark("ivf_recall_tune"), argv[2],
+                recall_target=target, sample_q=sample_q,
+                stratify_by_cell=stratified,
             )
         )
         return

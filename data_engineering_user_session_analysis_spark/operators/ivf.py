@@ -1558,6 +1558,123 @@ def ivf_index_topk(
     )
 
 
+def _recall_sample_truth(
+    spark,
+    path: str,
+    sample_q: int,
+    topk: int,
+    id_col: str,
+    vec_col: str,
+    salt: str,
+    stratify_by_cell: bool = False,
+):
+    """Shared setup for the recall-validation verbs: the deterministic
+    md5-order query sample from the index's own members and its exact
+    brute-force ground truth (ONE corpus pass — broadcast queries,
+    map-side Arrow dots, one narrow per-query window).  Returns
+    ``(queries_df, truth_pairs, n_vectors, levels)``; driver state is
+    the bounded sample_q*topk pair set.
+
+    ``stratify_by_cell`` switches WHAT the recall estimate weights:
+    the default md5-order member sample is POPULATION-weighted — the
+    right estimator when queries are drawn like the corpus, but it
+    under-weights exactly the small clusters a bad seeding starves
+    (measured: the md5-seed 1M clustered index reads 0.80 at the
+    solve point on a population sample vs 0.57 on per-cluster
+    queries — the breach hides in the tail).  Stratified sampling
+    takes the md5-min member of each of the ``sample_q`` md5-min
+    CELLS (one shuffle on the cell column), approximating
+    per-cluster worst-case coverage.  Validate with both: population
+    for expected recall, stratified for tail recall."""
+    if sample_q < 1:
+        raise ValueError(f"sample_q must be >= 1, got {sample_q}")
+    mem_cells = _index_members(spark, path, id_col, vec_col)
+    members = mem_cells.select(id_col, vec_col)
+    n = members.count()
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    if stratify_by_cell:
+        # rank on NARROW columns (id, cell, hash) so the per-cell
+        # shuffle never carries the embedding; the ≤ sample_q winner
+        # ids broadcast-join back for their vectors
+        winner_ids = (
+            mem_cells.select(F.col(id_col), F.col("cell"), h.alias("_h"))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("cell").orderBy(
+                        F.col("_h").asc(), F.col(id_col).asc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .orderBy(
+                F.md5(F.concat_ws(":", F.col("cell").cast("string"), F.lit(salt))),
+                F.col("cell"),
+            )
+            .limit(sample_q)
+            .select(id_col)
+        )
+        sampled = members.join(F.broadcast(winner_ids), id_col)
+    else:
+        sampled = members.orderBy(h.asc(), F.col(id_col).asc()).limit(sample_q)
+    queries = (
+        sampled
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
+        .localCheckpoint(eager=True)  # one sample, reused by truth + probes
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    truth = {
+        (r["q_id"], r["neighbor_id"])
+        for r in F.broadcast(queries)
+        .crossJoin(members.select(F.col(id_col).alias("neighbor_id"), vec_col))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            foldl_dot_column("q_emb", vec_col).alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .collect()
+    }
+    return queries, truth, n, _index_levels(path)
+
+
+def _measure_probe_recall(
+    spark,
+    path: str,
+    queries,
+    truth: set,
+    nprobe: int,
+    nprobe_cell: int,
+    topk: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[float, float]:
+    """One measured probe of the sampled queries at the given widths:
+    (recall_at_k, probe_sec)."""
+    import time
+
+    t0 = time.monotonic()
+    got = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ivf_index_topk(
+            spark,
+            path,
+            queries,
+            nprobe=nprobe,
+            topk=topk,
+            id_col=id_col,
+            vec_col=vec_col,
+            nprobe_cell=nprobe_cell,
+        ).collect()
+    }
+    sec = round(time.monotonic() - t0, 3)
+    return round(len(truth & got) / max(len(truth), 1), 4), sec
+
+
 def ivf_index_recall_sample(
     spark,
     path: str,
@@ -1569,6 +1686,7 @@ def ivf_index_recall_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "recall",
+    stratify_by_cell: bool = False,
 ) -> dict:
     """Measured recall of a persistent index against exact kNN on a
     deterministic query sample — the PRODUCT form of the validation
@@ -1599,19 +1717,24 @@ def ivf_index_recall_sample(
     the 1M clustered grids (STRESS_sf1_r09) showed prediction 0.97 /
     measurement 0.57 on a corpus shape outside the model's clone-fit
     domain, and this report is how an operator detects that breach
-    on THEIR corpus before trusting ``recall_target``.
+    on THEIR corpus before trusting ``recall_target``.  To ACT on a
+    breach, see ``ivf_index_probe_autotune``.
+
+    ``stratify_by_cell=True`` samples one query per index cell
+    instead of md5-order members — TAIL recall instead of
+    population recall (see ``_recall_sample_truth`` for why the
+    default estimator hides seed starvation).
 
     Driver state is bounded: two ``sample_q * topk`` pair sets; the
     corpus never collects."""
     import os
-    import time
 
-    if sample_q < 1:
-        raise ValueError(f"sample_q must be >= 1, got {sample_q}")
-    members = _index_members(spark, path, id_col, vec_col).select(id_col, vec_col)
-    n = members.count()
-    levels = _index_levels(path)
-    res: dict = {"n_vectors": n, "levels": levels, "topk": topk}
+    queries, truth, n, levels = _recall_sample_truth(
+        spark, path, sample_q, topk, id_col, vec_col, salt,
+        stratify_by_cell=stratify_by_cell,
+    )
+    res: dict = {"n_vectors": n, "levels": levels, "topk": topk,
+                 "stratified": stratify_by_cell}
     if recall_target is not None:
         k = spark.read.parquet(os.path.join(path, "centroids")).count()
         sized = ivf2_probe_params(
@@ -1626,47 +1749,124 @@ def ivf_index_recall_sample(
     res["nprobe"] = nprobe
     if levels == 2:
         res["nprobe_cell"] = nprobe_cell
-    queries = (
-        members.orderBy(
-            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
-            F.col(id_col),
-        )
-        .limit(sample_q)
-        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
-        .localCheckpoint(eager=True)  # one sample, reused by truth + probe
-    )
     res["sample_q"] = queries.count()
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("dot").desc(), F.col("neighbor_id").asc()
+    res["recall_at_k"], res["probe_sec"] = _measure_probe_recall(
+        spark, path, queries, truth, nprobe, nprobe_cell, topk, id_col, vec_col
     )
-    truth = {
-        (r["q_id"], r["neighbor_id"])
-        for r in F.broadcast(queries)
-        .crossJoin(members.select(F.col(id_col).alias("neighbor_id"), vec_col))
-        .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "neighbor_id",
-            foldl_dot_column("q_emb", vec_col).alias("dot"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .collect()
+    return res
+
+
+def ivf_index_probe_autotune(
+    spark,
+    path: str,
+    recall_target: float = 0.95,
+    sample_q: int = 30,
+    topk: int = 3,
+    max_steps: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "recall",
+    stratify_by_cell: bool = False,
+) -> dict:
+    """Closed-loop probe sizing: escalate (nprobe_super, nprobe_cell)
+    until the MEASURED recall on an exact-kNN sample meets the target
+    — the actuation that ``ivf_index_recall_sample`` is the sensor
+    for.  ``ivf2_probe_params`` predicts from constants fit on
+    clone/near-dup corpora and is breached on clustered data with no
+    error signal (0.97 predicted / 0.57 measured on the 1M clustered
+    grid, STRESS_sf1_r09); this verb replaces the open-loop trust
+    with measurement.  CLI: ``job tune-recall``.
+
+    Ladder: start at the model's solve for the target (its floor —
+    never probe less than the prediction says is needed), then widen
+    the binding axis per the measured grid frontier: the cell axis
+    saturates with the super probe fixed (every md5/d2 1M curve is
+    flat in c beyond ~4·g·s at fixed s), so c doubles only while
+    ``c < 2·g·s`` headroom remains, else s doubles (capped at K1)
+    and c re-floors to the coupling.  The walk is finite and the
+    endpoint is exact: at (K1, K) the probe searches every cell —
+    brute force — so measured recall is 1.0 by construction and any
+    target < 1 terminates.  Each step costs one ``sample_q``-query
+    probe; the corpus-pass ground truth is computed ONCE.
+
+    Flat (levels=1) indexes walk the single nprobe axis (doubling,
+    capped at K).
+
+    ``stratify_by_cell=True`` tunes against the per-cell (tail)
+    sample instead of the population sample — the setting that
+    makes a starved seeding visible to the tuner (population
+    sampling reads 0.80 where the stratified sample reads 0.60 on
+    the md5 1M index); tuning to a tail target costs more width on
+    a badly-seeded index, which is the honest price signal —
+    measured (STRESS_sf1_r09): md5 seeds need (32,128) for 0.9556
+    tail recall where d2+refined seeds need (8,32), a 4× cell-width
+    differential that amortizes the one-time d2 refine in ~45
+    probes.
+
+    Returns the final widths + measurement plus the full ``steps``
+    trail — the trail is the evidence an operator uses to decide
+    whether to PAY the width (probe cost scales with searched
+    fraction) or fix the seeds instead (``job reindex <path>
+    [k_cells] [refine_iters] d2`` — the d2 rebuild reached the same
+    1M target at (8,16) where md5 seeds cap at 0.87 even at (8,32)).
+    """
+    import os
+
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
+    queries, truth, n, levels = _recall_sample_truth(
+        spark, path, sample_q, topk, id_col, vec_col, salt,
+        stratify_by_cell=stratify_by_cell,
+    )
+    k = spark.read.parquet(os.path.join(path, "centroids")).count()
+    sized = ivf2_probe_params(k, recall_target=recall_target, topk=topk, levels=levels)
+    res: dict = {
+        "n_vectors": n,
+        "levels": levels,
+        "topk": topk,
+        "sample_q": queries.count(),
+        "recall_target": recall_target,
+        "predicted_recall": sized["predicted_recall"],
+        "k_cells": k,
+        "stratified": stratify_by_cell,
+        "steps": [],
     }
-    t0 = time.monotonic()
-    got = {
-        (r["q_id"], r["neighbor_id"])
-        for r in ivf_index_topk(
-            spark,
-            path,
-            queries,
-            nprobe=nprobe,
-            topk=topk,
-            id_col=id_col,
-            vec_col=vec_col,
-            nprobe_cell=nprobe_cell,
-        ).collect()
-    }
-    res["probe_sec"] = round(time.monotonic() - t0, 3)
-    res["recall_at_k"] = round(len(truth & got) / max(len(truth), 1), 4)
+    if levels == 2:
+        k1 = max(math.ceil(math.sqrt(max(k, 1))), 2)
+        g = max(sized["cell_coupling"], 1)
+        s, c = sized["nprobe_super"], sized["nprobe_cell"]
+        for _ in range(max_steps):
+            rec, sec = _measure_probe_recall(
+                spark, path, queries, truth, s, c, topk, id_col, vec_col
+            )
+            res["steps"].append(
+                {"nprobe": s, "nprobe_cell": c, "recall_at_k": rec, "probe_sec": sec}
+            )
+            if rec >= recall_target or (s >= k1 and c >= k):
+                break
+            if c < min(2 * g * s, k):
+                c = min(2 * c, k)
+            elif s < k1:
+                s = min(2 * s, k1)
+                c = min(max(c, g * s), k)
+            else:
+                c = min(2 * c, k)
+        res["nprobe"], res["nprobe_cell"] = s, c
+    else:
+        p = sized["nprobe_cell"]
+        for _ in range(max_steps):
+            rec, sec = _measure_probe_recall(
+                spark, path, queries, truth, p, 4, topk, id_col, vec_col
+            )
+            res["steps"].append(
+                {"nprobe": p, "recall_at_k": rec, "probe_sec": sec}
+            )
+            if rec >= recall_target or p >= k:
+                break
+            p = min(2 * p, k)
+        res["nprobe"] = p
+    last = res["steps"][-1]
+    res["recall_at_k"] = last["recall_at_k"]
+    res["probe_sec"] = last["probe_sec"]
+    res["met"] = last["recall_at_k"] >= recall_target
     return res

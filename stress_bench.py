@@ -845,6 +845,77 @@ def measure_ivf2_recall_curve_clustered(
     return res
 
 
+def measure_ivf2_autotune(spark, n_centers: int = 1000, sigma: float = 0.2) -> dict:
+    """The closed-loop verb on the corpus that breaks the open loop:
+    ``ivf_index_probe_autotune`` against the 1M clustered corpus, on
+    BOTH index builds — md5 seeds (the prediction-breach case: the
+    tuner must walk the ladder until measurement meets the target)
+    and d2+refined seeds (the fixed-initialization case: the tuner
+    should stop near the model's solve).  The two trails side by side
+    are the operational economics the autotune docstring points at:
+    what probe width costs when you DON'T fix the seeds, vs the
+    rebuild that makes width cheap."""
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf_cells_for_n,
+        ivf_index_probe_autotune,
+        kmeans_refine_seeds,
+        write_ivf_index,
+    )
+
+    _quiesce(spark)
+    emb, _ = _clustered_embeddings(spark, n_centers, sigma)
+    k = ivf_cells_for_n(emb.count())
+    res: dict = {
+        "label": f"ivf2 probe autotune clustered ({n_centers} skewed clusters)",
+        "n_vectors": emb.count(),
+        "k_cells": k,
+        "recall_target": 0.95,
+    }
+    import shutil
+    import tempfile
+
+    for name, seed_fn in (
+        ("md5", None),
+        (
+            "d2_refined_x3",
+            lambda: kmeans_refine_seeds(emb, k, iters=3, init="d2").localCheckpoint(
+                eager=True
+            ),
+        ),
+    ):
+        seeds, refine_sec = (None, None) if seed_fn is None else timed(seed_fn)
+        idx = tempfile.mkdtemp(prefix=f"stress_ivf2tune_{name}_")
+        try:
+            _, build_sec = timed(
+                lambda: write_ivf_index(emb, idx, k_cells=k, levels=2, seeds=seeds)
+            )
+            res[name] = {"index_build_sec": build_sec, "refine_sec": refine_sec}
+            # population-weighted AND stratified (per-cell tail)
+            # trails: the tail sample is where a starved seeding has
+            # to pay width, so the two builds separate there
+            for mode, strat in (("population", False), ("stratified", True)):
+                tune, tune_sec = timed(
+                    lambda strat=strat: ivf_index_probe_autotune(
+                        spark, idx, recall_target=0.95, sample_q=15,
+                        stratify_by_cell=strat,
+                    )
+                )
+                res[name][mode] = {
+                    "tune_sec": tune_sec,
+                    "met": tune["met"],
+                    "final": {
+                        "nprobe": tune["nprobe"],
+                        "nprobe_cell": tune.get("nprobe_cell"),
+                        "recall_at_k": tune["recall_at_k"],
+                        "probe_sec": tune["probe_sec"],
+                    },
+                    "steps": tune["steps"],
+                }
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+    return res
+
+
 def measure_events_100x(spark, replicas: int = 100) -> dict:
     """Second scaling decade for the CORE reference workload:
     gap-sessionization + rollup over 100 clone shards of the sf0.1
@@ -1653,6 +1724,21 @@ def run_tier(tier: str) -> list[dict]:
                 spark, 1000, refine_iters=3, init="d2"
             )
         ]
+    if tier == "ivf2recallclud2k4096":
+        # round-9 symmetry: the d2+refined build in the SECOND 1M
+        # geometry (clamp-boundary K=4096, where the md5 curve
+        # measured 0.73 at the auto point) — checks the init fix
+        # transfers across geometries, not just K=1000
+        return [
+            measure_ivf2_recall_curve_clustered(
+                spark, 1000, k_cells=4096, refine_iters=3, init="d2"
+            )
+        ]
+    if tier == "ivf2autotune":
+        # round-9: the closed loop demonstrated where the open loop
+        # breaks — autotune trails on the md5 and d2+refined 1M
+        # clustered indexes (width economics vs seed economics)
+        return [measure_ivf2_autotune(spark, 1000)]
     if tier == "ivf2recall4m":
         # round-9 follow-through: the RE-FIT coupling at 4× the cell
         # occupancy (4M vectors on the same K=4096 geometry — cell

@@ -1358,6 +1358,117 @@ def test_ivf_index_recall_sample_reports_prediction_vs_measurement(
     assert res["probe_sec"] >= 0.0
 
 
+def test_probe_autotune_meets_target_where_prediction_fails(spark, tmp_path):
+    """`ivf_index_probe_autotune` on exactly the corpus shape that
+    breaches the open-loop prediction (md5 seeds on a starved-cluster
+    corpus): the ladder must start AT the model's solve, walk the
+    measured frontier, and terminate with measured recall >= target —
+    the closed loop's whole contract.  The trail must be consistent
+    (final widths are the last step's widths; widths never shrink)."""
+    import numpy as np
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf2_probe_params,
+        ivf_index_probe_autotune,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    centers = rng.randn(10, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for i, n in enumerate([2000] + [40] * 9):  # one fat, 9 starved
+        for _ in range(n):
+            v = centers[i] + rng.uniform(-0.08, 0.08, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    path = str(tmp_path / "ivf2_tune")
+    rep = write_ivf_index(emb, path, k_cells=16, levels=2)
+    emb.unpersist()
+
+    res = ivf_index_probe_autotune(spark, path, recall_target=0.9, sample_q=12)
+    sized = ivf2_probe_params(rep["k_cells"], recall_target=0.9, topk=3, levels=2)
+    first, last = res["steps"][0], res["steps"][-1]
+    assert (first["nprobe"], first["nprobe_cell"]) == (
+        sized["nprobe_super"], sized["nprobe_cell"],
+    )
+    assert res["met"] and res["recall_at_k"] >= 0.9
+    assert (res["nprobe"], res["nprobe_cell"]) == (
+        last["nprobe"], last["nprobe_cell"],
+    )
+    for a, b in zip(res["steps"], res["steps"][1:]):
+        assert b["nprobe"] >= a["nprobe"] and b["nprobe_cell"] >= a["nprobe_cell"]
+
+
+def test_stratified_sample_exposes_starved_tail(spark, tmp_path):
+    """The estimator-bias pin: on a starved-cluster corpus with md5
+    seeds, the POPULATION sample (md5-order members, dominated by the
+    fat well-seeded cluster) must read recall at least as high as the
+    STRATIFIED per-cell sample at the same solve widths — the
+    stratified mode exists because the tail is where the breach
+    hides.  (Distinct-cell coverage holds by construction —
+    rank-1-per-cell.)  A stratified autotune must still terminate
+    met: the exhaustive endpoint is sample-independent."""
+    import numpy as np
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf_index_probe_autotune,
+        ivf_index_recall_sample,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(19)
+    dim = 16
+    centers = rng.randn(10, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for i, n in enumerate([2500] + [30] * 9):
+        for _ in range(n):
+            v = centers[i] + rng.uniform(-0.08, 0.08, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    path = str(tmp_path / "ivf2_strat")
+    write_ivf_index(emb, path, k_cells=16, levels=2)
+    emb.unpersist()
+
+    pop = ivf_index_recall_sample(spark, path, sample_q=12, recall_target=0.9)
+    tail = ivf_index_recall_sample(
+        spark, path, sample_q=12, recall_target=0.9, stratify_by_cell=True
+    )
+    assert tail["stratified"] and not pop["stratified"]
+    assert tail["recall_at_k"] <= pop["recall_at_k"] + 1e-9, (pop, tail)
+
+    tuned = ivf_index_probe_autotune(
+        spark, path, recall_target=0.9, sample_q=12, stratify_by_cell=True
+    )
+    assert tuned["met"] and tuned["stratified"]
+
+
+def test_probe_autotune_flat_exhaustive_endpoint(spark, sf_small, tmp_path):
+    """Flat regime: the single-axis walk is finite and its endpoint is
+    exact — at nprobe=K the probe is brute force, so ANY target < 1 is
+    met by construction.  An aggressive target on a flat index must
+    therefore terminate met, with the trail capped at K."""
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf_index_probe_autotune,
+        write_ivf_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    path = str(tmp_path / "ivf_flat_tune")
+    rep = write_ivf_index(emb, path)
+    emb.unpersist()
+
+    res = ivf_index_probe_autotune(spark, path, recall_target=0.99, sample_q=6)
+    assert res["levels"] == 1 and res["met"], res
+    assert res["nprobe"] <= rep["k_cells"]
+    assert res["steps"][-1]["recall_at_k"] >= 0.99
+
+
 def test_reindex_with_refinement_tightens_baseline(spark, sf_small, tmp_path):
     """``rebuild_ivf_index(refine_iters>0)`` — the operational quality
     rebuild: the reindex that answers a degraded staleness signal must
