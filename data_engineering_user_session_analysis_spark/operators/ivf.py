@@ -94,6 +94,16 @@ def select_seeds_d2(
     and mean assign-cos barely moved (0.633 → 0.628), confirming
     the proxy metric cannot see the starvation that recall does.
 
+    DOMAIN: d2 init pays off when starvation binds — K at or below
+    the corpus's natural cluster count (at K=1000 over 1000
+    clusters, ~37% of clusters expect zero uniform seeds).  At
+    K ≫ clusters uniform sampling already seeds every cluster
+    (K=4096 over 1000 clusters: ~4 expected seeds each) and the
+    measured grid is d2-NEUTRAL (K=4096 ``d2 init``: auto 0.70 vs
+    md5's 0.73, ceiling 0.80 vs 0.83 — within sample noise); the
+    residual recall gap there is probe-side neighbor scatter, where
+    the lever is width (``ivf_index_probe_autotune``), not seeding.
+
     Each round is ONE map-only Arrow pass (``_max_cos_matmul_kernel``
     against the broadcast candidate set — d² = 2·(1−cos) on the unit
     sphere, BLAS-scored: the init has no bit-parity obligation, see
@@ -234,10 +244,27 @@ def _max_cos_matmul_kernel(
         x = np.stack(v.to_numpy()).astype(np.float64)
         xn = np.linalg.norm(x, axis=1)
         xn[xn == 0] = 1.0
-        cos = (x / xn[:, np.newaxis]) @ unit_seeds.T
-        idx = np.argmax(cos, axis=1)
+        x = x / xn[:, np.newaxis]
+        # chunk rows so the (rows × C) score temp stays bounded: at
+        # the init's late rounds C reaches rounds·2K (33k at K=4096),
+        # where a full 10k-row Arrow batch would allocate a 2.6 GB
+        # temp PER TASK — 32 concurrent tasks of that is the box.
+        # ~500 rows × 33k × 8 B ≈ 135 MB keeps BLAS in cache-friendly
+        # panels with zero change to the scores (row chunks are
+        # independent dots — bit-identical output).  Measured at 1M /
+        # K=4096: the unchunked init's corpus passes ran ~8 min EACH
+        # (select_seeds_d2 ≈ 50 min of the 3157 s refine,
+        # STRESS_sf1_r09 k_cells=4096 d2 grid); chunked, the whole
+        # init is 115 s (same file, "d2 init alone" line) — 26×.
+        chunk = max(1, int(2**24 // max(len(seed_ids), 1)))  # ~128 MB f64
+        cells, coss = [], []
+        for lo in range(0, len(x), chunk):
+            cos = x[lo : lo + chunk] @ unit_seeds.T
+            idx = np.argmax(cos, axis=1)
+            cells.append(seed_ids[idx])
+            coss.append(cos[np.arange(len(idx)), idx])
         return pd.DataFrame(
-            {"cell": seed_ids[idx], "assign_cos": cos[np.arange(len(v)), idx]}
+            {"cell": np.concatenate(cells), "assign_cos": np.concatenate(coss)}
         )
 
     return emb.select(id_col, best_cos(F.col(vec_col)).alias("_a")).select(
@@ -767,7 +794,11 @@ def ivf2_probe_params(
     grid): auto point 0.90 (vs 0.57/0.70/0.73), grid reaches
     recall 1.0 at (8,16), and the d2-seeded Lloyd is CHEAPER
     (120.6 s vs 162.8 s for x3 — better-placed seeds converge
-    faster).  Fixture-scale pin:
+    faster).  The fix is regime-specific: at K ≫ the corpus's
+    natural cluster count starvation stops binding and d2 measures
+    NEUTRAL (K=4096 grid: 0.70 vs md5's 0.73 auto) — there the
+    residual gap is probe-side scatter and the lever is measured
+    width (``ivf_index_probe_autotune``).  Fixture-scale pin:
     test_refined_seeds_restore_auto_sizer_on_clustered_corpus.
     Even so, on strongly clustered (non-near-dup) corpora treat
     ``recall_target`` as a probe-width heuristic and VALIDATE
