@@ -225,13 +225,29 @@ def _max_cos_matmul_kernel(
     environment; not bit-portable across BLAS builds — acceptable
     for a quality path (the reproducibility-bearing parts are the
     md5 draws and the RandomState(0) reduction)."""
+    bc = _unit_seed_broadcast(emb.sparkSession, seeds)
+    best_cos = _best_cos_udf(bc)
+    return emb.select(id_col, best_cos(F.col(vec_col)).alias("_a")).select(
+        id_col, F.col("_a.cell").alias("cell"), F.col("_a.assign_cos").alias("assign_cos")
+    )
+
+
+def _unit_seed_broadcast(spark, seeds: DataFrame):
+    """(sids, unit seed matrix) as a SparkContext broadcast — the
+    shared state of the chunked-BLAS cosine kernels."""
     seed_rows = seeds.orderBy("sid").collect()
     mat = np.array([list(r["se"]) for r in seed_rows], dtype=np.float64)
     nrms = np.linalg.norm(mat, axis=1)
     nrms[nrms == 0] = 1.0
-    bc = emb.sparkSession.sparkContext.broadcast(
+    return spark.sparkContext.broadcast(
         (np.array([r["sid"] for r in seed_rows], dtype=np.int64), mat / nrms[:, np.newaxis])
     )
+
+
+def _best_cos_udf(bc):
+    """The chunked-BLAS max-cosine pandas UDF over a broadcast unit
+    seed matrix (see ``_max_cos_matmul_kernel`` for the memory math
+    and the determinism statement)."""
 
     @F.pandas_udf("cell long, assign_cos double")
     def best_cos(v: pd.Series) -> pd.DataFrame:
@@ -267,9 +283,7 @@ def _max_cos_matmul_kernel(
             {"cell": np.concatenate(cells), "assign_cos": np.concatenate(coss)}
         )
 
-    return emb.select(id_col, best_cos(F.col(vec_col)).alias("_a")).select(
-        id_col, F.col("_a.cell").alias("cell"), F.col("_a.assign_cos").alias("assign_cos")
-    )
+    return best_cos
 
 
 def _weighted_spherical_kmeans(
@@ -455,12 +469,18 @@ def kmeans_refine_seeds(
     from a measurably tighter baseline).  An unnormalized mean update
     has no such guarantee under dot assignment.
 
-    Each iteration is one map-only Arrow assignment pass
-    (``_assign_cells_kernel`` — the same kernel the index build uses)
-    plus one ``applyInPandas`` per-cell vectorized mean (ONE shuffle
-    on ``cell``; K groups of ~N/K vectors — never a per-dimension
-    explode, which would shuffle N·dim rows).  Cells that lose all
-    members (or with a vanishing mean) keep their previous centroid.
+    Each iteration is one map-only chunked-BLAS COSINE assignment
+    pass (``_best_cos_udf`` — the spherical objective; the vector
+    rides the same projection, so there is NO corpus self-join) plus
+    one ``applyInPandas`` per-cell vectorized mean (ONE shuffle on
+    ``cell``; K groups of ~N/K vectors — never a per-dimension
+    explode, which would shuffle N·dim rows).  The BUILD's stored
+    assignment keeps the bit-parity fold kernel; Lloyd's internal
+    assignment has no parity obligation, and the fold kernel's
+    per-dimension (batch × K) temps made it the refine bottleneck at
+    K=4096 (~8 min per pass vs seconds chunked).  Cells that lose
+    all members (or with a vanishing mean) keep their previous
+    centroid.
     Output is a ``(sid, se)`` seeds DataFrame with synthetic dense
     sids (centroids are means, not corpus vectors), drop-in for
     ``ivf_topk`` / ``write_ivf_index(seeds=...)``.
@@ -512,10 +532,22 @@ def kmeans_refine_seeds(
         )
 
     for _ in range(iters):
-        assigned = _assign_cells_kernel(emb, seeds, id_col, vec_col)
+        # chunked-BLAS cosine assignment (the spherical objective —
+        # the fold kernel scores raw dot, identical once seeds are
+        # unit means but biased toward long seeds on the raw md5
+        # sample), carrying the vector through the SAME projection so
+        # the per-cell mean needs no corpus self-join: one map pass +
+        # one shuffle on cell per iteration.  The fold kernel's
+        # per-dim (batch x K) temps made this the refine bottleneck
+        # at K=4096 (~8 min/pass; the chunked matmul passes run
+        # seconds — same 26x class as the d2-init fix).
+        bc = _unit_seed_broadcast(spark, seeds)
         means = (
-            emb.join(assigned, id_col)
-            .select(F.col("cell"), F.col(vec_col).alias("_vec"))
+            emb.select(
+                F.col(vec_col).alias("_vec"),
+                _best_cos_udf(bc)(F.col(vec_col)).alias("_a"),
+            )
+            .select("_vec", F.col("_a.cell").alias("cell"))
             .groupBy("cell")
             .applyInPandas(_mean_per_cell, "cell long, mean_vec array<double>")
         )
