@@ -90,9 +90,12 @@ def select_seeds_d2(
     distance to the nearest existing seed, so unseeded clusters are
     found with probability ∝ their spread, not their population.
     Measured on the same corpus (``d2 init`` grid): auto point
-    0.90, recall 1.0 reached at (8,16), refinement 26% cheaper —
-    and mean assign-cos barely moved (0.633 → 0.628), confirming
-    the proxy metric cannot see the starvation that recall does.
+    0.90, recall 1.0 reached at (8,16) — and mean assign-cos barely
+    moved (0.633 → 0.628), confirming the proxy metric cannot see
+    the starvation that recall does.  Cost (post chunked-kernel fix,
+    1M / K=1000): the d2 init's 5 corpus passes dominate — full d2
+    refine x3 is 70.8 s vs 5.9 s md5-init (the STRESS grids' 120.6 /
+    162.8 s were measured under the pre-fix fold kernel).
 
     DOMAIN: d2 init pays off when starvation binds — K at or below
     the corpus's natural cluster count (at K=1000 over 1000
@@ -824,9 +827,9 @@ def ivf2_probe_params(
     ``kmeans_refine_seeds(init="d2")`` fixes the initialization —
     measured on the SAME 1M corpus (the ``d2 init`` clustered
     grid): auto point 0.90 (vs 0.57/0.70/0.73), grid reaches
-    recall 1.0 at (8,16), and the d2-seeded Lloyd is CHEAPER
-    (120.6 s vs 162.8 s for x3 — better-placed seeds converge
-    faster).  The fix is regime-specific: at K ≫ the corpus's
+    recall 1.0 at (8,16), at a one-time cost of ~71 s at 1M/K=1000
+    (post chunked-kernel fix — the d2 init's corpus passes dominate;
+    md5-init Lloyd x3 alone is 5.9 s).  The fix is regime-specific: at K ≫ the corpus's
     natural cluster count starvation stops binding and d2 measures
     NEUTRAL (K=4096 grid: 0.70 vs md5's 0.73 auto) — there the
     residual gap is probe-side scatter and the lever is measured
@@ -1863,8 +1866,8 @@ def ivf_index_probe_autotune(
     a badly-seeded index, which is the honest price signal —
     measured (STRESS_sf1_r09): md5 seeds need (32,128) for 0.9556
     tail recall where d2+refined seeds need (8,32), a 4× cell-width
-    differential that amortizes the one-time d2 refine in ~45
-    probes.
+    differential that amortizes the one-time d2 refine (70.8 s at
+    1M/K=1000 post chunked-kernel fix) in ~35 probes.
 
     Returns the final widths + measurement plus the full ``steps``
     trail — the trail is the evidence an operator uses to decide
