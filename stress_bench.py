@@ -845,7 +845,13 @@ def measure_ivf2_recall_curve_clustered(
     return res
 
 
-def measure_ivf2_autotune(spark, n_centers: int = 1000, sigma: float = 0.2) -> dict:
+def measure_ivf2_autotune(
+    spark,
+    n_centers: int = 1000,
+    sigma: float = 0.2,
+    k_cells: int | None = None,
+    variants: tuple = ("md5", "d2_refined_x3"),
+) -> dict:
     """The closed-loop verb on the corpus that breaks the open loop:
     ``ivf_index_probe_autotune`` against the 1M clustered corpus, on
     BOTH index builds — md5 seeds (the prediction-breach case: the
@@ -854,7 +860,10 @@ def measure_ivf2_autotune(spark, n_centers: int = 1000, sigma: float = 0.2) -> d
     should stop near the model's solve).  The two trails side by side
     are the operational economics the autotune docstring points at:
     what probe width costs when you DON'T fix the seeds, vs the
-    rebuild that makes width cheap."""
+    rebuild that makes width cheap.  ``k_cells=4096`` with
+    ``variants=("md5",)`` is the geometry where NO seeding helps
+    (the d2-neutral regime) — there the trail demonstrates measured
+    width as the only recall lever."""
     from data_engineering_user_session_analysis_spark.operators.ivf import (
         ivf_cells_for_n,
         ivf_index_probe_autotune,
@@ -864,7 +873,7 @@ def measure_ivf2_autotune(spark, n_centers: int = 1000, sigma: float = 0.2) -> d
 
     _quiesce(spark)
     emb, _ = _clustered_embeddings(spark, n_centers, sigma)
-    k = ivf_cells_for_n(emb.count())
+    k = k_cells or ivf_cells_for_n(emb.count())
     res: dict = {
         "label": f"ivf2 probe autotune clustered ({n_centers} skewed clusters)",
         "n_vectors": emb.count(),
@@ -874,15 +883,14 @@ def measure_ivf2_autotune(spark, n_centers: int = 1000, sigma: float = 0.2) -> d
     import shutil
     import tempfile
 
-    for name, seed_fn in (
-        ("md5", None),
-        (
-            "d2_refined_x3",
-            lambda: kmeans_refine_seeds(emb, k, iters=3, init="d2").localCheckpoint(
-                eager=True
-            ),
-        ),
-    ):
+    seed_fns = {
+        "md5": None,
+        "d2_refined_x3": lambda: kmeans_refine_seeds(
+            emb, k, iters=3, init="d2"
+        ).localCheckpoint(eager=True),
+    }
+    for name in variants:
+        seed_fn = seed_fns[name]
         seeds, refine_sec = (None, None) if seed_fn is None else timed(seed_fn)
         idx = tempfile.mkdtemp(prefix=f"stress_ivf2tune_{name}_")
         try:
@@ -1734,6 +1742,11 @@ def run_tier(tier: str) -> list[dict]:
                 spark, 1000, k_cells=4096, refine_iters=3, init="d2"
             )
         ]
+    if tier == "ivf2autotunek4096":
+        # round-9 closer for the d2-neutral geometry: at K=4096 over
+        # 1000 natural clusters neither seeding moves recall, so the
+        # md5-only trail shows the width lever doing all the work
+        return [measure_ivf2_autotune(spark, 1000, k_cells=4096, variants=("md5",))]
     if tier == "ivf2autotune":
         # round-9: the closed loop demonstrated where the open loop
         # breaks — autotune trails on the md5 and d2+refined 1M
