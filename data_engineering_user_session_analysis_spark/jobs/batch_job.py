@@ -568,7 +568,8 @@ def main(argv: list[str]) -> None:
     ``job reindex <ivf_index_path> [k_cells] [refine_iters] [seed_init]`` /
     ``job reindex-vectors <vector_index_path> <target_n>`` /
     ``job validate-recall <ivf_index_path> [sample_q] [recall_target]`` /
-    ``job tune-recall <ivf_index_path> [recall_target] [sample_q]``,
+    ``job tune-recall <ivf_index_path> [recall_target] [sample_q]`` /
+    ``job validate-vector-recall <vector_index_path> [threshold] [sample_q]``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
     operational pipeline ``job daily <ds> [--auto-rebuild-vectors]``
@@ -671,6 +672,24 @@ def main(argv: list[str]) -> None:
                 get_spark("ivf_recall_check"), argv[2],
                 sample_q=sample_q, recall_target=target,
                 stratify_by_cell=stratified,
+            )
+        )
+        return
+    if argv[1] == "validate-vector-recall":
+        # measured near-dup recall of the persistent vector index on
+        # an exact-cosine sample (`job validate-vector-recall <path>
+        # [threshold] [sample_q]`) — the vector twin of
+        # validate-recall: prediction next to measurement
+        from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+            vector_index_recall_sample,
+        )
+
+        threshold = float(argv[3]) if len(argv) > 3 else 0.85
+        sample_q = int(argv[4]) if len(argv) > 4 else 30
+        print(
+            vector_index_recall_sample(
+                get_spark("vector_recall_check"), argv[2],
+                threshold=threshold, sample_q=sample_q,
             )
         )
         return

@@ -38,6 +38,7 @@ batch path.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -718,3 +719,155 @@ def incremental_vector_neardup(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def vector_index_recall_sample(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.85,
+    sample_q: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "recall",
+) -> dict:
+    """Measured near-dup recall of the persistent vector index on a
+    deterministic exact sample — the vector-index twin of the IVF
+    family's ``ivf_index_recall_sample`` (CLI:
+    ``job validate-vector-recall``).  The index's recall today is
+    stated two ways, both indirect: the sizing rule's
+    ``predicted_recall_at_threshold`` (a banding-model closed form)
+    and planted-clone recovery pins (clones share signatures and
+    recall 1.0 structurally).  Neither measures recall at a NON-clone
+    cosine on the operator's actual corpus; this verb does, and puts
+    the prediction next to the measurement.
+
+    Sample: the ``sample_q`` indexed vectors with the smallest
+    ``md5(id:salt)``.  Truth: ONE corpus pass — broadcast sample
+    against the stored ``vectors/`` table (Arrow fold dot over the
+    precomputed norms), every pair with cosine ≥ ``threshold``.
+    Found: the sample bucketed with the STORED geometry and joined
+    against the stored ``buckets/`` — the exact candidate step the
+    production probe runs (its cosine verification gives precision
+    1.0, so candidate ∧ true IS retrieved).  Both sides stay
+    DISTRIBUTED — above-threshold truth sets are clone-group-sized,
+    so unlike the top-k verbs nothing pair-shaped ever collects; the
+    driver sees counts plus one (n_true, n_found) row per sampled
+    query (bounded by ``sample_q``).
+
+    Returns ``{n_vectors, sample_q, threshold, tables, planes,
+    predicted_recall_at_threshold, true_pairs, found_pairs,
+    recall_at_threshold, min_query_recall, probe_sec}`` —
+    ``min_query_recall`` is the per-query tail (the pair-weighted
+    overall hides a query whose whole neighborhood was missed).
+    ``recall_at_threshold`` is None when the sample has no true
+    pairs at the threshold (raise ``sample_q`` or lower
+    ``threshold`` rather than trusting a vacuous 1.0).
+
+    The validation reads the raw stored tables — the same view the
+    default (un-day-scoped) probe uses; day-scoped probes under the
+    ``ds=`` layout see a subset."""
+    import time
+
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        foldl_dot_column,
+    )
+
+    if sample_q < 1:
+        raise ValueError(f"sample_q must be >= 1, got {sample_q}")
+    if not -1.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (-1, 1], got {threshold}")
+    stored = _read_vector_params(spark, path)
+    dim, tables, planes = (
+        (stored["dim"], stored["tables"], stored["planes"])
+        if stored is not None
+        else (_DIM, _TABLES, _PLANES)
+    )
+    vec = spark.read.parquet(os.path.join(path, "vectors"))
+    if "ds" in vec.columns:
+        vec = vec.drop("ds")
+    vec = vec.filter(F.col("nrm") > 0)
+    n = vec.count()
+    queries = (
+        vec.orderBy(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+            F.col(id_col),
+        )
+        .limit(sample_q)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        F.broadcast(queries)
+        .crossJoin(
+            vec.select(
+                F.col(id_col).alias("other_id"),
+                F.col(vec_col).alias("o_emb"),
+                F.col("nrm").alias("o_nrm"),
+            )
+        )
+        .filter(F.col("other_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            foldl_dot_column("q_emb", "o_emb") / (F.col("q_nrm") * F.col("o_nrm")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("q_id", "other_id")
+        .localCheckpoint(eager=True)  # one corpus pass, reused by both counts
+    )
+    t0 = time.monotonic()
+    q_buckets = _vector_bucket_table(
+        queries.select(F.col("q_id").alias(id_col), F.col("q_emb").alias(vec_col)),
+        id_col,
+        vec_col,
+        dim,
+        tables,
+        planes,
+    ).select(F.col(id_col).alias("q_id"), "t", "sig")
+    buckets = spark.read.parquet(os.path.join(path, "buckets"))
+    if "ds" in buckets.columns:
+        buckets = buckets.drop("ds")
+    cand = (
+        F.broadcast(q_buckets)
+        .join(buckets.select(F.col(id_col).alias("other_id"), "t", "sig"), ["t", "sig"])
+        .filter(F.col("other_id") != F.col("q_id"))
+        .select("q_id", "other_id")
+        .distinct()
+    )
+    per_q = (
+        truth.join(cand.withColumn("_hit", F.lit(1)), ["q_id", "other_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.count("_hit").alias("n_found"),
+        )
+        .collect()
+    )
+    probe_sec = round(time.monotonic() - t0, 3)
+    true_pairs = sum(r["n_true"] for r in per_q)
+    found_pairs = sum(r["n_found"] for r in per_q)
+    p_thr = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    return {
+        "n_vectors": n,
+        "sample_q": queries.count(),
+        "threshold": threshold,
+        "tables": tables,
+        "planes": planes,
+        "predicted_recall_at_threshold": round(
+            1.0 - (1.0 - p_thr**planes) ** tables, 4
+        ),
+        "true_pairs": true_pairs,
+        "found_pairs": found_pairs,
+        "recall_at_threshold": (
+            round(found_pairs / true_pairs, 4) if true_pairs else None
+        ),
+        "min_query_recall": (
+            round(min(r["n_found"] / r["n_true"] for r in per_q), 4)
+            if per_q
+            else None
+        ),
+        "probe_sec": probe_sec,
+    }

@@ -460,3 +460,61 @@ def test_rebuild_does_not_promote_incomplete_days(spark, sf_small, tmp_path):
     # the day's own re-run is what restores it
     append_shard_to_vector_index(day2, idx, "2024-01-02")
     assert vector_shard_indexed(idx, "2024-01-02")
+
+
+def test_vector_index_recall_sample_clone_exactness(spark, sf_small, tmp_path):
+    """`vector_index_recall_sample` self-check at the structural
+    endpoint: exact clones share signatures in EVERY table, so on a
+    corpus whose only >= 0.999 pairs are clones, measured recall must
+    be exactly 1.0 with every sampled clone's truth found — and the
+    report must carry the stored geometry's prediction next to it."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        vector_index_recall_sample,
+        write_vector_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    shift = 1_000_000
+    clones = emb.withColumn("vec_id", F.col("vec_id") + shift)
+    idx = str(tmp_path / "vector_index")
+    write_vector_index(emb.unionByName(clones), idx)
+
+    res = vector_index_recall_sample(spark, idx, threshold=0.999, sample_q=10)
+    assert res["true_pairs"] >= res["sample_q"] > 0, res  # every vector has a clone
+    assert res["recall_at_threshold"] == 1.0, res
+    assert res["min_query_recall"] == 1.0, res
+    assert res["tables"] > 0 and res["planes"] > 0
+    assert 0.0 < res["predicted_recall_at_threshold"] <= 1.0
+
+
+def test_vector_index_recall_sample_weak_threshold_honest(spark, sf_small, tmp_path):
+    """At a weak threshold (0.4) the documented truth is that recall
+    is LOW at fixture geometry (the sizing docstring calls holding
+    recall there provably unaffordable) — the sensor must report that
+    honestly rather than vacuously: measured recall within [0, 1],
+    deterministic across runs, and None (not a fake 1.0) when the
+    threshold yields no true pairs."""
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        vector_index_recall_sample,
+        write_vector_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    idx = str(tmp_path / "vector_index")
+    write_vector_index(emb, idx)
+
+    a = vector_index_recall_sample(spark, idx, threshold=0.4, sample_q=12)
+    b = vector_index_recall_sample(spark, idx, threshold=0.4, sample_q=12)
+    drop = lambda d: {k: v for k, v in d.items() if k != "probe_sec"}
+    assert drop(a) == drop(b)  # md5 sample + deterministic signatures
+    assert a["true_pairs"] > 0
+    assert 0.0 <= a["recall_at_threshold"] <= 1.0
+    assert a["min_query_recall"] <= a["recall_at_threshold"] + 1e-9
+
+    none_case = vector_index_recall_sample(spark, idx, threshold=1.0, sample_q=3)
+    assert none_case["true_pairs"] == 0
+    assert none_case["recall_at_threshold"] is None
