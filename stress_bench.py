@@ -845,6 +845,51 @@ def measure_ivf2_recall_curve_clustered(
     return res
 
 
+def measure_vector_recall_sensor(spark, n_centers: int = 1000, sigma: float = 0.2) -> dict:
+    """`vector_index_recall_sample` at production scale — the first
+    MEASURED check of the banding model's
+    ``predicted_recall_at_threshold`` on a real geometry (every prior
+    recall evidence was clone-structural or fixture-scale): 1M
+    clustered vectors, index built with its honest growth target, the
+    sensor run at the sibling cosine (~0.82 for this corpus's noise
+    model) and just above it.  The point is calibration-grade
+    prediction-vs-measurement rows for the SECOND index family, like
+    the ivf2 grids are for the first."""
+    import shutil
+    import tempfile
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        vector_index_recall_sample,
+        write_vector_index,
+    )
+
+    _quiesce(spark)
+    emb, _ = _clustered_embeddings(spark, n_centers, sigma)
+    n = emb.count()
+    idx = tempfile.mkdtemp(prefix="stress_vecrecall_")
+    try:
+        _, build_sec = timed(
+            lambda: write_vector_index(emb, idx, target_n=n)
+        )
+        res: dict = {
+            "label": f"vector index recall sensor ({n_centers} skewed clusters)",
+            "n_vectors": n,
+            "index_build_sec": build_sec,
+            "thresholds": [],
+        }
+        for thr in (0.85, 0.8):
+            r, sec = timed(
+                lambda thr=thr: vector_index_recall_sample(
+                    spark, idx, threshold=thr, sample_q=15
+                )
+            )
+            r["total_sec"] = sec
+            res["thresholds"].append(r)
+        return res
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def measure_ivf2_autotune(
     spark,
     n_centers: int = 1000,
@@ -1742,6 +1787,10 @@ def run_tier(tier: str) -> list[dict]:
                 spark, 1000, k_cells=4096, refine_iters=3, init="d2"
             )
         ]
+    if tier == "vecrecall":
+        # round-9: measured prediction-vs-recall rows for the vector
+        # index's banding model at 1M (the sensor's scale debut)
+        return [measure_vector_recall_sensor(spark)]
     if tier == "ivf2autotunek4096":
         # round-9 closer for the d2-neutral geometry: at K=4096 over
         # 1000 natural clusters neither seeding moves recall, so the
