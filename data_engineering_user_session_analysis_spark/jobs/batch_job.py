@@ -569,7 +569,8 @@ def main(argv: list[str]) -> None:
     ``job reindex-vectors <vector_index_path> <target_n>`` /
     ``job validate-recall <ivf_index_path> [sample_q] [recall_target]`` /
     ``job tune-recall <ivf_index_path> [recall_target] [sample_q]`` /
-    ``job validate-vector-recall <vector_index_path> [threshold] [sample_q]``,
+    ``job validate-vector-recall <vector_index_path> [threshold] [sample_q]`` /
+    ``job validate-minhash-recall <minhash_index_path> [threshold] [sample_q]``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
     operational pipeline ``job daily <ds> [--auto-rebuild-vectors]``
@@ -689,6 +690,23 @@ def main(argv: list[str]) -> None:
         print(
             vector_index_recall_sample(
                 get_spark("vector_recall_check"), argv[2],
+                threshold=threshold, sample_q=sample_q,
+            )
+        )
+        return
+    if argv[1] == "validate-minhash-recall":
+        # measured near-dup recall of the persistent MinHash index on
+        # an exact-Jaccard sample (`job validate-minhash-recall <path>
+        # [threshold] [sample_q]`) — the text twin of validate-recall
+        from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+            minhash_index_recall_sample,
+        )
+
+        threshold = float(argv[3]) if len(argv) > 3 else 0.7
+        sample_q = int(argv[4]) if len(argv) > 4 else 20
+        print(
+            minhash_index_recall_sample(
+                get_spark("minhash_recall_check"), argv[2],
                 threshold=threshold, sample_q=sample_q,
             )
         )

@@ -871,3 +871,120 @@ def vector_index_recall_sample(
         ),
         "probe_sec": probe_sec,
     }
+
+
+def minhash_index_recall_sample(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.7,
+    sample_q: int = 20,
+    id_col: str = "doc_id",
+    salt: str = "recall",
+) -> dict:
+    """Measured near-dup recall of the persistent MinHash index on a
+    deterministic exact-Jaccard sample — the TEXT-index member of the
+    sensor family (``ivf_index_recall_sample`` /
+    ``vector_index_recall_sample``; CLI:
+    ``job validate-minhash-recall``).  Sample: the ``sample_q``
+    indexed docs with the smallest ``md5(id:salt)``.  Truth: ONE
+    pass of the stored ``sets/`` table against the broadcast sample —
+    exact shingle Jaccard (the same array_intersect/union expression
+    the production verification uses), every pair ≥ ``threshold``.
+    Found: the sampled ids' STORED bucket rows joined against the
+    stored ``buckets/`` on (band, bucket) — the production probe's
+    candidate step, whose exact verification gives precision 1.0, so
+    candidate ∧ true IS retrieved.  Both sides stay distributed;
+    the driver sees per-query (n_true, n_found) counts only.
+
+    The prediction reported alongside is the banding closed form at
+    the threshold, ``1 − (1 − J^rows)^bands`` with the module
+    geometry (16 bands × 4 rows) — the s-curve every MinHash-LSH
+    derivation prices collisions with; like the vector sensor it is
+    an AT-threshold number, so measured recall above a steep
+    threshold typically exceeds it (real pairs sit above the
+    threshold).  ``recall_at_threshold`` is None — never a vacuous
+    1.0 — when the sample has no true pairs."""
+    import time
+
+    if sample_q < 1:
+        raise ValueError(f"sample_q must be >= 1, got {sample_q}")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = spark.read.parquet(os.path.join(path, "sets"))
+    if "ds" in sets.columns:
+        sets = sets.drop("ds")
+    n = sets.count()
+    queries = (
+        sets.orderBy(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+            F.col(id_col),
+        )
+        .limit(sample_q)
+        .select(F.col(id_col).alias("q_id"), F.col("sh_set").alias("q_set"))
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        F.broadcast(queries)
+        .crossJoin(
+            sets.select(F.col(id_col).alias("other_id"), F.col("sh_set").alias("o_set"))
+        )
+        .filter(F.col("other_id") != F.col("q_id"))
+        .withColumn(
+            "_i", F.size(F.array_intersect("q_set", "o_set")).cast("double")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_i")
+            / (F.size("q_set") + F.size("o_set") - F.col("_i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("q_id", "other_id")
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.monotonic()
+    buckets = spark.read.parquet(os.path.join(path, "buckets"))
+    if "ds" in buckets.columns:
+        buckets = buckets.drop("ds")
+    q_buckets = buckets.join(
+        F.broadcast(queries.select(F.col("q_id").alias(id_col))), id_col
+    ).select(F.col(id_col).alias("q_id"), "band", "bucket")
+    cand = (
+        F.broadcast(q_buckets)
+        .join(
+            buckets.select(F.col(id_col).alias("other_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("other_id") != F.col("q_id"))
+        .select("q_id", "other_id")
+        .distinct()
+    )
+    per_q = (
+        truth.join(cand.withColumn("_hit", F.lit(1)), ["q_id", "other_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_true"), F.count("_hit").alias("n_found"))
+        .collect()
+    )
+    probe_sec = round(time.monotonic() - t0, 3)
+    true_pairs = sum(r["n_true"] for r in per_q)
+    found_pairs = sum(r["n_found"] for r in per_q)
+    return {
+        "n_docs": n,
+        "sample_q": queries.count(),
+        "threshold": threshold,
+        "bands": _BANDS,
+        "rows_per_band": _ROWS_PER_BAND,
+        "predicted_recall_at_threshold": round(
+            1.0 - (1.0 - threshold**_ROWS_PER_BAND) ** _BANDS, 4
+        ),
+        "true_pairs": true_pairs,
+        "found_pairs": found_pairs,
+        "recall_at_threshold": (
+            round(found_pairs / true_pairs, 4) if true_pairs else None
+        ),
+        "min_query_recall": (
+            round(min(r["n_found"] / r["n_true"] for r in per_q), 4)
+            if per_q
+            else None
+        ),
+        "probe_sec": probe_sec,
+    }

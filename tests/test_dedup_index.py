@@ -518,3 +518,61 @@ def test_vector_index_recall_sample_weak_threshold_honest(spark, sf_small, tmp_p
     none_case = vector_index_recall_sample(spark, idx, threshold=1.0, sample_q=3)
     assert none_case["true_pairs"] == 0
     assert none_case["recall_at_threshold"] is None
+
+
+def test_minhash_index_recall_sample_clone_exactness(spark, sf_small, tmp_path):
+    """Text-index sensor at the structural endpoint: exact-clone docs
+    have identical shingle sets, hence identical signatures in every
+    band — on a corpus whose only Jaccard-1.0 pairs are clones, the
+    sensor must measure exactly 1.0 at threshold 1.0, with the
+    banding prediction reported alongside (it prices AT threshold:
+    1-(1-1)^16 = 1.0 there too)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        minhash_index_recall_sample,
+        write_minhash_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    shift = 1_000_000
+    clones = docs.withColumn("doc_id", F.col("doc_id") + shift)
+    idx = str(tmp_path / "minhash_index")
+    write_minhash_index(docs.unionByName(clones), idx)
+
+    res = minhash_index_recall_sample(spark, idx, threshold=1.0, sample_q=8)
+    assert res["true_pairs"] >= res["sample_q"] > 0, res
+    assert res["recall_at_threshold"] == 1.0, res
+    assert res["min_query_recall"] == 1.0, res
+    assert res["predicted_recall_at_threshold"] == 1.0
+    assert res["bands"] == 16 and res["rows_per_band"] == 4
+
+
+def test_minhash_index_recall_sample_deterministic_and_honest(
+    spark, sf_small, tmp_path
+):
+    """Below the clone endpoint the sensor must be a real measurement:
+    deterministic across runs (md5 sample, deterministic hashing),
+    recall within [0, 1] with the per-query tail at or below the
+    pair-weighted overall, and an honest None when the threshold
+    yields no true pairs in the sample."""
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        minhash_index_recall_sample,
+        write_minhash_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "minhash_index")
+    write_minhash_index(docs, idx)
+
+    a = minhash_index_recall_sample(spark, idx, threshold=0.3, sample_q=15)
+    b = minhash_index_recall_sample(spark, idx, threshold=0.3, sample_q=15)
+    drop = lambda d: {k: v for k, v in d.items() if k != "probe_sec"}
+    assert drop(a) == drop(b)
+    if a["true_pairs"]:
+        assert 0.0 <= a["recall_at_threshold"] <= 1.0
+        assert a["min_query_recall"] <= a["recall_at_threshold"] + 1e-9
+    else:
+        assert a["recall_at_threshold"] is None
