@@ -242,6 +242,7 @@ def run_docs_index_step(
     out_dir: str,
     ds: str,
     threshold: float = 0.5,
+    recall_sample_q: "int | None" = None,
 ) -> dict:
     """Daily document-shard dedup-index step (optional part of
     ``run_daily_pipeline``): probe the persistent MinHash index for
@@ -263,6 +264,7 @@ def run_docs_index_step(
     from data_engineering_user_session_analysis_spark.operators.dedup_index import (
         append_shard_to_minhash_index,
         incremental_neardup_pairs,
+        minhash_index_recall_sample,
         shard_indexed,
     )
 
@@ -294,6 +296,13 @@ def run_docs_index_step(
     clean = clean.localCheckpoint(eager=True)
     append_shard_to_minhash_index(clean, idx, ds)
     report["indexed_rows"] = clean.count()
+    if recall_sample_q:
+        # measured-recall sensor on the index as of today (prediction
+        # vs measurement at the step's own threshold) — the daily
+        # report then carries alarms AND a measured recall number
+        report["recall_check"] = minhash_index_recall_sample(
+            spark, idx, threshold=threshold, sample_q=recall_sample_q
+        )
     return report
 
 
@@ -326,6 +335,7 @@ def run_vectors_index_step(
     target_days: int = 365,
     auto_rebuild: bool = False,
     rebuild_margin: float = 1.0,
+    recall_sample_q: "int | None" = None,
 ) -> dict:
     """Daily embedding-shard dedup-index step — the vector twin of
     ``run_docs_index_step``: probe the persistent hyperplane-LSH
@@ -366,6 +376,7 @@ def run_vectors_index_step(
         incremental_vector_neardup,
         rebuild_vector_index,
         vector_index_outgrown,
+        vector_index_recall_sample,
         vector_shard_indexed,
     )
     from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
@@ -423,6 +434,11 @@ def run_vectors_index_step(
         report["index_outgrown"] = vector_index_outgrown(
             spark, idx, margin=rebuild_margin
         )
+    if recall_sample_q:
+        # same sensor-in-report contract as the docs step
+        report["recall_check"] = vector_index_recall_sample(
+            spark, idx, threshold=threshold, sample_q=recall_sample_q
+        )
     return report
 
 
@@ -436,6 +452,7 @@ def run_daily_pipeline(
     docs_path: str | None = None,
     emb_path: str | None = None,
     auto_rebuild_vector_index: bool = False,
+    recall_sample_q: "int | None" = None,
 ) -> dict:
     """The composed daily operational verb (``job daily <ds>``) — the
     sequence a real deployment runs once per day, chaining the
@@ -519,12 +536,14 @@ def run_daily_pipeline(
 
     if docs_path is not None:
         report["dedup_index"] = run_docs_index_step(
-            spark, docs_path, out_dir, ds
+            spark, docs_path, out_dir, ds,
+            recall_sample_q=recall_sample_q,
         )
     if emb_path is not None:
         report["vector_index"] = run_vectors_index_step(
             spark, emb_path, out_dir, ds,
             auto_rebuild=auto_rebuild_vector_index,
+            recall_sample_q=recall_sample_q,
         )
     return report
 
@@ -573,7 +592,8 @@ def main(argv: list[str]) -> None:
     ``job validate-minhash-recall <minhash_index_path> [threshold] [sample_q]``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
-    operational pipeline ``job daily <ds> [--auto-rebuild-vectors]``
+    operational pipeline ``job daily <ds> [--auto-rebuild-vectors]
+    [--recall-check]``
     — the index steps read today's shard locations from
     ``DOCS_SHARD_PATH`` / ``EMB_SHARD_PATH`` and are skipped when
     unset)."""
@@ -584,7 +604,13 @@ def main(argv: list[str]) -> None:
         # own outgrown alarm (rebuild in-line) instead of only
         # reporting it — the unattended-deployment posture
         auto_rebuild = "--auto-rebuild-vectors" in argv
-        argv = [a for a in argv if a != "--auto-rebuild-vectors"]
+        # --recall-check: attach the measured-recall sensors to the
+        # daily index-step reports (sample_q 20)
+        recall_q = 20 if "--recall-check" in argv else None
+        argv = [
+            a for a in argv
+            if a not in ("--auto-rebuild-vectors", "--recall-check")
+        ]
         ds = argv[2]
         lake = argv[3] if len(argv) > 3 else os.environ.get("LAKE_PATH", "/tmp/events_lake")
         out = argv[4] if len(argv) > 4 else os.environ.get("SERVING_PATH", "/tmp/serving")
@@ -595,6 +621,7 @@ def main(argv: list[str]) -> None:
             docs_path=os.environ.get("DOCS_SHARD_PATH"),
             emb_path=os.environ.get("EMB_SHARD_PATH"),
             auto_rebuild_vector_index=auto_rebuild,
+            recall_sample_q=recall_q,
         )
         print(report)
         return

