@@ -816,6 +816,8 @@ def vector_index_recall_sample(
         )
         .filter(F.col("cosine") >= threshold)
         .select("q_id", "other_id")
+        .distinct()  # a legacy flat-append retry can duplicate stored
+        # rows; counts must be pair counts, not row counts
         .localCheckpoint(eager=True)  # one corpus pass, reused by both counts
     )
     t0 = time.monotonic()
@@ -939,6 +941,7 @@ def minhash_index_recall_sample(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("q_id", "other_id")
+        .distinct()  # same duplicate-row guard as the vector sensor
         .localCheckpoint(eager=True)
     )
     t0 = time.monotonic()

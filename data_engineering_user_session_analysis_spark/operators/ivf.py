@@ -169,6 +169,11 @@ def select_seeds_d2(
                 "_key",
                 F.when(w > 0, F.log(u) / w).otherwise(F.lit(float("-inf"))),
             )
+            # already-covered points (w=0 ⇒ key −inf) must never pad
+            # the winner set: on a small or saturated corpus the limit
+            # would otherwise fill with duplicates of existing
+            # candidates, double-counting their weight downstream
+            .filter(F.col("_key") > F.lit(float("-inf")))
             .orderBy(F.desc("_key"), F.col(id_col))
             .limit(l_round)
             .select(id_col)
