@@ -890,6 +890,71 @@ def measure_vector_recall_sensor(spark, n_centers: int = 1000, sigma: float = 0.
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def measure_minhash_recall_sensor(spark) -> dict:
+    """`minhash_index_recall_sample` at scale on a corpus with GENUINE
+    partial overlaps — the text twin of the vector sensor's 1M
+    calibration.  Clone-grown corpora are uninformative here (clones
+    share every band structurally), so this tier builds a 200k-doc
+    PREFIX-VARIANT corpus: each sf0.1 document spawns 39 truncated
+    variants at length fractions 0.5125–0.9875 (plus the original),
+    giving shingle-Jaccard pairs spread across exactly the banding
+    s-curve's operating range — nested prefixes of one base pair at
+    ≈ shorter/longer fraction.  The sensor then measures the
+    1-(1-J^4)^16 prediction against exact truth at two thresholds."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        minhash_index_recall_sample,
+        write_minhash_index,
+    )
+
+    _quiesce(spark)
+    base = spark.read.parquet(os.path.join(BASE, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    variants = (
+        base.select("doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(39))).alias("k"))
+        .select(
+            (F.col("doc_id") * 40 + F.col("k")).alias("doc_id"),
+            F.when(F.col("k") == 0, F.col("text"))
+            .otherwise(
+                F.substring(
+                    "text",
+                    1,
+                    F.ceil(
+                        F.length("text") * (F.lit(0.5) + F.col("k") / F.lit(80.0))
+                    ).cast("int"),
+                )
+            )
+            .alias("text"),
+        )
+    )
+    n = variants.count()
+    idx = tempfile.mkdtemp(prefix="stress_minhashrecall_")
+    try:
+        _, build_sec = timed(lambda: write_minhash_index(variants, idx))
+        res: dict = {
+            "label": "minhash index recall sensor (prefix-variant corpus)",
+            "n_docs": n,
+            "index_build_sec": build_sec,
+            "thresholds": [],
+        }
+        for thr in (0.8, 0.6):
+            r, sec = timed(
+                lambda thr=thr: minhash_index_recall_sample(
+                    spark, idx, threshold=thr, sample_q=15
+                )
+            )
+            r["total_sec"] = sec
+            res["thresholds"].append(r)
+        return res
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def measure_ivf2_autotune(
     spark,
     n_centers: int = 1000,
@@ -1787,6 +1852,10 @@ def run_tier(tier: str) -> list[dict]:
                 spark, 1000, k_cells=4096, refine_iters=3, init="d2"
             )
         ]
+    if tier == "minhashrecall":
+        # round-9: measured banding-model calibration for the text
+        # index on a genuine partial-overlap corpus at 200k docs
+        return [measure_minhash_recall_sensor(spark)]
     if tier == "vecrecall":
         # round-9: measured prediction-vs-recall rows for the vector
         # index's banding model at 1M (the sensor's scale debut)
