@@ -94,8 +94,9 @@ def select_seeds_d2(
     moved (0.633 → 0.628), confirming the proxy metric cannot see
     the starvation that recall does.  Cost (post chunked-kernel fix,
     1M / K=1000): the d2 init's 5 corpus passes dominate — full d2
-    refine x3 is 70.8 s vs 5.9 s md5-init (the STRESS grids' 120.6 /
-    162.8 s were measured under the pre-fix fold kernel).
+    refine x3 measured 71–261 s across three isolated runs (wide
+    dispersion from the per-round TakeOrdered/collect + driver
+    reduction) vs 5.9 s md5-init Lloyd alone.
 
     DOMAIN: d2 init pays off when starvation binds — K at or below
     the corpus's natural cluster count (at K=1000 over 1000
@@ -832,9 +833,10 @@ def ivf2_probe_params(
     ``kmeans_refine_seeds(init="d2")`` fixes the initialization —
     measured on the SAME 1M corpus (the ``d2 init`` clustered
     grid): auto point 0.90 (vs 0.57/0.70/0.73), grid reaches
-    recall 1.0 at (8,16), at a one-time cost of ~71 s at 1M/K=1000
-    (post chunked-kernel fix — the d2 init's corpus passes dominate;
-    md5-init Lloyd x3 alone is 5.9 s).  The fix is regime-specific: at K ≫ the corpus's
+    recall 1.0 at (8,16), at a one-time cost of ~1–4 min at
+    1M/K=1000 (71–261 s across isolated runs — the d2 init's corpus
+    passes dominate; md5-init Lloyd x3 alone is 5.9 s).  The fix is
+    regime-specific: at K ≫ the corpus's
     natural cluster count starvation stops binding and d2 measures
     NEUTRAL (K=4096 grid: 0.70 vs md5's 0.73 auto) — there the
     residual gap is probe-side scatter and the lever is measured
@@ -1871,8 +1873,8 @@ def ivf_index_probe_autotune(
     a badly-seeded index, which is the honest price signal —
     measured (STRESS_sf1_r09): md5 seeds need (32,128) for 0.9556
     tail recall where d2+refined seeds need (8,32), a 4× cell-width
-    differential that amortizes the one-time d2 refine (70.8 s at
-    1M/K=1000 post chunked-kernel fix) in ~35 probes.
+    differential that amortizes the one-time d2 refine (71–261 s
+    at 1M/K=1000 across isolated runs) in ~35–130 probes.
 
     Returns the final widths + measurement plus the full ``steps``
     trail — the trail is the evidence an operator uses to decide
