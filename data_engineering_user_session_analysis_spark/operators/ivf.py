@@ -569,6 +569,11 @@ def kmeans_refine_seeds(
             )
             .localCheckpoint(eager=True)  # cut the per-iter lineage
         )
+        # the eager checkpoint above ran every job that dereferences
+        # this iteration's seed broadcast — release it before the next
+        # iteration rebinds, or a long refine accumulates dead K×D
+        # matrices on the executors (ADVICE r09)
+        bc.unpersist()
     # dense synthetic sids: centroids are means, not corpus vectors,
     # so the original ids would be misleading; ordering by old sid
     # keeps the mapping deterministic
@@ -859,9 +864,16 @@ def ivf2_probe_params(
     s = min(max(s, 2), k1)
     g = max(2, round(2.0 * math.sqrt(k_cells / 1000.0))) if levels == 2 else 0
     c = min(max(c, 4, topk, g * s), k_cells)
-    predicted = (1.0 - rs**s) * (1.0 - rc**c)
+    # a flat probe (levels=1) has no super level: its prediction is the
+    # cell-decay term alone — multiplying in the super-miss factor
+    # (1 - rs**s) modeled a level that never runs and deflated the
+    # "prediction next to measurement" row on flat indexes ~1.5%
+    # (conservative, but structurally wrong — ADVICE r09)
+    predicted = (
+        (1.0 - rs**s) * (1.0 - rc**c) if levels == 2 else 1.0 - rc**c
+    )
     return {
-        "nprobe_super": s,
+        "nprobe_super": s if levels == 2 else None,
         "nprobe_cell": c,
         "predicted_recall": round(predicted, 4),
         "recall_target": recall_target,

@@ -985,7 +985,11 @@ def measure_ivf2_autotune(
     emb, _ = _clustered_embeddings(spark, n_centers, sigma)
     k = k_cells or ivf_cells_for_n(emb.count())
     res: dict = {
-        "label": f"ivf2 probe autotune clustered ({n_centers} skewed clusters)",
+        # k_cells in the label: the K=1000 and K=4096 runs are distinct
+        # tiers and label-keyed artifact comparison must tell them
+        # apart (same convention as the _ivf2_recall_grid callers)
+        "label": f"ivf2 probe autotune clustered ({n_centers} skewed clusters)"
+        + (f", k_cells={k_cells}" if k_cells else ""),
         "n_vectors": emb.count(),
         "k_cells": k,
         "recall_target": 0.95,
