@@ -422,7 +422,20 @@ def run_vectors_index_step(
     report["index_outgrown"] = vector_index_outgrown(spark, idx, margin=rebuild_margin)
     report["index_rebuilt"] = None
     if auto_rebuild and report["index_outgrown"]["outgrown"]:
-        days_indexed = len(complete_days) + 1
+        # rate denominator = the ds partitions actually IN the index
+        # (indexed_n counts the whole index, so the day count must
+        # too): `len(complete_days) + 1` counted only days BEFORE ds,
+        # which on a backfill re-run of an early day in a long index
+        # undercounts severalfold and over-sizes the rebuilt geometry
+        # from an inflated observed_daily (ADVICE r09)
+        days_indexed = max(
+            sum(
+                1
+                for p in os.listdir(os.path.join(idx, "vectors"))
+                if p.startswith("ds=")
+            ),
+            1,
+        )
         observed_daily = math.ceil(
             report["index_outgrown"]["indexed_n"] / days_indexed
         )
@@ -588,6 +601,7 @@ def main(argv: list[str]) -> None:
     ``job reindex-vectors <vector_index_path> <target_n>`` /
     ``job validate-recall <ivf_index_path> [sample_q] [recall_target]`` /
     ``job tune-recall <ivf_index_path> [recall_target] [sample_q]`` /
+    ``job tune-recall-vectors <vector_index_path> [threshold] [recall_target] [sample_q]`` /
     ``job validate-vector-recall <vector_index_path> [threshold] [sample_q]`` /
     ``job validate-minhash-recall <minhash_index_path> [threshold] [sample_q]``,
     ``job backfill <ds_start> <ds_end>``, the incremental
@@ -735,6 +749,27 @@ def main(argv: list[str]) -> None:
             minhash_index_recall_sample(
                 get_spark("minhash_recall_check"), argv[2],
                 threshold=threshold, sample_q=sample_q,
+            )
+        )
+        return
+    if argv[1] == "tune-recall-vectors":
+        # closed-loop GEOMETRY sizing for the persistent hyperplane
+        # index (`job tune-recall-vectors <path> [threshold] [target]
+        # [sample_q]`): rebuild under progressively wider geometry
+        # until measured sample recall meets the target — the
+        # actuation for a validate-vector-recall breach (every step
+        # is a full re-bucketing; see the operator docstring)
+        from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+            vector_index_recall_autotune,
+        )
+
+        threshold = float(argv[3]) if len(argv) > 3 else 0.85
+        target = float(argv[4]) if len(argv) > 4 else 0.9
+        sample_q = int(argv[5]) if len(argv) > 5 else 30
+        print(
+            vector_index_recall_autotune(
+                get_spark("vector_recall_tune"), argv[2],
+                threshold=threshold, recall_target=target, sample_q=sample_q,
             )
         )
         return

@@ -170,6 +170,27 @@ def _retract_day_marker(path: str, ds: str) -> None:
     shutil.rmtree(os.path.join(path, "buckets", f"ds={ds}"), ignore_errors=True)
 
 
+def _marker_complete_days(path: str) -> list[str]:
+    """Every ds whose index contribution verifiably COMPLETED (the
+    bucket partition's ``_SUCCESS`` marker — the same signal
+    ``shard_indexed`` / the daily verbs consult).  The recall sensors
+    scope BOTH their truth and candidate scans to this set: the
+    append path writes the verify surface (sets/vectors) BEFORE the
+    buckets, so a crashed day's rows would otherwise enter the truth
+    while having no bucket rows — structurally unfindable pairs that
+    deflate measured recall until the day re-runs, where the
+    production probe (only_ds) never sees that day at all."""
+    root = os.path.join(path, "buckets")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        p.split("=", 1)[1]
+        for p in os.listdir(root)
+        if p.startswith("ds=")
+        and os.path.exists(os.path.join(root, p, "_SUCCESS"))
+    )
+
+
 def shard_indexed(path: str, ds: str) -> bool:
     """True when day ``ds``'s index contribution is COMPLETE (the
     bucket dir's ``_SUCCESS`` marker, written last — see
@@ -534,9 +555,10 @@ vector_shard_indexed = shard_indexed
 def rebuild_vector_index(
     spark: SparkSession,
     path: str,
-    target_n: int,
+    target_n: "int | None" = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    geometry: "dict | None" = None,
 ) -> dict:
     """Re-bucket the ENTIRE index under a geometry sized for
     ``target_n`` — the operational answer when the corpus outgrows
@@ -561,16 +583,31 @@ def rebuild_vector_index(
     Crash safety mirrors ``rebuild_ivf_index``: the rebuild lands in
     ``<path>.rebuild`` and is swapped in with two renames — same
     rename-window and single-writer/no-concurrent-probe caveats.
-    Returns ``{"n_vectors", "geometry", "layout"}``."""
+    Returns ``{"n_vectors", "geometry", "layout"}``.
+
+    ``geometry`` (``{"tables": T, "planes": b}``) overrides the
+    target_n-derived sizing with EXPLICIT knobs — the recall-actuator
+    path (``vector_index_recall_autotune``), whose geometry comes
+    from the inverse banding solve at a measured breach, not from the
+    candidate-budget growth rule.  The stored ``target_n`` design
+    point is preserved (or updated when ``target_n`` is also given)
+    so the outgrown alarm keeps its meaning."""
     import shutil
 
     stored = _read_vector_params(spark, path)
     # the stored dim is part of the index's identity (signature_column's
     # matmul shape and the hash family both depend on it) — a rebuild
     # re-buckets under new (tables, planes) but must never change dim
-    g = vector_index_geometry(
-        target_n, dim=stored["dim"] if stored is not None else _DIM
-    )
+    dim = stored["dim"] if stored is not None else _DIM
+    if geometry is not None:
+        g = {"dim": dim, "tables": int(geometry["tables"]),
+             "planes": int(geometry["planes"])}
+        if target_n is None and stored is not None:
+            target_n = stored.get("target_n")
+    elif target_n is not None:
+        g = vector_index_geometry(target_n, dim=dim)
+    else:
+        raise ValueError("rebuild_vector_index needs target_n or geometry")
     vecs = spark.read.parquet(os.path.join(path, "vectors"))
     layout = "ds" if "ds" in vecs.columns else "flat"
     tmp = path.rstrip("/") + ".rebuild"
@@ -763,9 +800,12 @@ def vector_index_recall_sample(
     pairs at the threshold (raise ``sample_q`` or lower
     ``threshold`` rather than trusting a vacuous 1.0).
 
-    The validation reads the raw stored tables — the same view the
-    default (un-day-scoped) probe uses; day-scoped probes under the
-    ``ds=`` layout see a subset."""
+    Under the ``ds=`` layout both the truth and the candidate scans
+    are restricted to MARKER-COMPLETE days (``_marker_complete_days``)
+    — the view the production daily probe consults.  Without the
+    restriction a crashed day's vectors (written before its buckets)
+    would enter the truth while being structurally unfindable,
+    deflating measured recall until that day re-runs (ADVICE r09)."""
     import time
 
     from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
@@ -784,7 +824,8 @@ def vector_index_recall_sample(
     )
     vec = spark.read.parquet(os.path.join(path, "vectors"))
     if "ds" in vec.columns:
-        vec = vec.drop("ds")
+        complete = _marker_complete_days(path)
+        vec = vec.filter(F.col("ds").isin(complete)).drop("ds")
     vec = vec.filter(F.col("nrm") > 0)
     n = vec.count()
     queries = (
@@ -831,7 +872,10 @@ def vector_index_recall_sample(
     ).select(F.col(id_col).alias("q_id"), "t", "sig")
     buckets = spark.read.parquet(os.path.join(path, "buckets"))
     if "ds" in buckets.columns:
-        buckets = buckets.drop("ds")
+        # same marker-complete scope as the truth scan above
+        buckets = buckets.filter(
+            F.col("ds").isin(_marker_complete_days(path))
+        ).drop("ds")
     cand = (
         F.broadcast(q_buckets)
         .join(buckets.select(F.col(id_col).alias("other_id"), "t", "sig"), ["t", "sig"])
@@ -875,6 +919,145 @@ def vector_index_recall_sample(
     }
 
 
+def vector_index_recall_autotune(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.85,
+    recall_target: float = 0.9,
+    sample_q: int = 30,
+    max_steps: int = 6,
+    max_tables: int = 128,
+    min_planes: int = 1,
+    candidates_per_vector: float = 32.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "recall",
+) -> dict:
+    """Closed-loop GEOMETRY sizing for the persistent hyperplane
+    index: rebuild under progressively wider geometry until the
+    MEASURED near-dup recall (``vector_index_recall_sample``) meets
+    the target — the actuator the sensor was missing (VERDICT r09:
+    the 1M clustered sensor read 0.28–0.36 at thresholds 0.8/0.85
+    with prediction ≈ measurement, i.e. the GEOMETRY, not the model,
+    was the limit, and the only remedy was a manual rebuild with
+    hand-picked knobs).  CLI: ``job tune-recall-vectors``.  The
+    mirror of ``ivf_index_probe_autotune``'s
+    measure-escalate-verify contract, with one structural
+    difference stated up front: an IVF escalation step widens a
+    PROBE (cheap, and exact at full width), while a hyperplane
+    index's recall lives in its FROZEN geometry — every escalation
+    here is a full re-bucketing rebuild (signatures are
+    deterministic functions of (vector, geometry), so no
+    re-ingestion), and the family has no structurally exact
+    endpoint, so exhaustion with ``met=False`` is a possible,
+    honest outcome.
+
+    Ladder: measure the stored geometry first (a healthy index never
+    rebuilds); on a breach jump to the INVERSE banding solve at the
+    caller's (threshold, target) — ``vector_geometry_for_recall``,
+    sized for the measured corpus — then escalate by doubling tables
+    to ``max_tables`` and shedding planes toward ``min_planes``
+    (each shed plane multiplies per-table match probability by 1/p
+    and doubles random candidates — the honest price trail).  The
+    measured sample is the SAME deterministic md5-order draw every
+    step (truth depends only on the stored vectors, which rebuilds
+    never change), so step-to-step deltas are attributable to
+    geometry alone.
+
+    Returns the final geometry + measurement plus the full ``steps``
+    trail (each step: geometry, banding prediction, measured recall,
+    tail ``min_query_recall``, rebuild cost) — the evidence an
+    operator uses to weigh candidate-load cost against recall, or to
+    conclude the threshold is unaffordable for this family.
+    ``met=None`` (no rebuild) when the sample has no true pairs at
+    the threshold — raise ``sample_q`` or lower ``threshold`` rather
+    than tuning against a vacuum."""
+    import time
+
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        vector_geometry_for_recall,
+    )
+
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
+
+    def _predicted(tables: int, planes: int) -> float:
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        return round(1.0 - (1.0 - p**planes) ** tables, 4)
+
+    def _measure(rebuild_sec: "float | None") -> dict:
+        r = vector_index_recall_sample(
+            spark, path, threshold=threshold, sample_q=sample_q,
+            id_col=id_col, vec_col=vec_col, salt=salt,
+        )
+        return {
+            "tables": r["tables"],
+            "planes": r["planes"],
+            "predicted_recall_at_threshold": r["predicted_recall_at_threshold"],
+            "true_pairs": r["true_pairs"],
+            "found_pairs": r["found_pairs"],
+            "recall_at_threshold": r["recall_at_threshold"],
+            "min_query_recall": r["min_query_recall"],
+            "probe_sec": r["probe_sec"],
+            "rebuild_sec": rebuild_sec,
+            "n_vectors": r["n_vectors"],
+        }
+
+    first = _measure(None)
+    res: dict = {
+        "n_vectors": first["n_vectors"],
+        "threshold": threshold,
+        "recall_target": recall_target,
+        "sample_q": sample_q,
+        "steps": [first],
+    }
+    if first["recall_at_threshold"] is None:
+        # no true pairs in the sample: nothing to tune against, and a
+        # rebuild on zero evidence would be theater
+        res.update(tables=first["tables"], planes=first["planes"],
+                   recall_at_threshold=None, met=None, exhausted=False)
+        return res
+
+    exhausted = False
+    while (
+        res["steps"][-1]["recall_at_threshold"] < recall_target
+        and len(res["steps"]) < max_steps
+        and not exhausted
+    ):
+        cur = res["steps"][-1]
+        solve = vector_geometry_for_recall(
+            cur["n_vectors"], threshold, recall_target=recall_target,
+            candidates_per_vector=candidates_per_vector,
+            min_planes=min_planes, max_tables=min(max_tables, 64),
+        )
+        if _predicted(solve["tables"], solve["planes"]) > _predicted(
+            cur["tables"], cur["planes"]
+        ):
+            nxt = {"tables": solve["tables"], "planes": solve["planes"]}
+        elif cur["tables"] < max_tables:
+            nxt = {"tables": min(2 * cur["tables"], max_tables),
+                   "planes": cur["planes"]}
+        elif cur["planes"] > min_planes:
+            nxt = {"tables": cur["tables"], "planes": cur["planes"] - 1}
+        else:
+            exhausted = True
+            break
+        t0 = time.monotonic()
+        rebuild_vector_index(
+            spark, path, geometry=nxt, id_col=id_col, vec_col=vec_col
+        )
+        res["steps"].append(_measure(round(time.monotonic() - t0, 3)))
+    last = res["steps"][-1]
+    res.update(
+        tables=last["tables"],
+        planes=last["planes"],
+        recall_at_threshold=last["recall_at_threshold"],
+        met=last["recall_at_threshold"] >= recall_target,
+        exhausted=exhausted,
+    )
+    return res
+
+
 def minhash_index_recall_sample(
     spark: SparkSession,
     path: str,
@@ -905,7 +1088,12 @@ def minhash_index_recall_sample(
     an AT-threshold number, so measured recall above a steep
     threshold typically exceeds it (real pairs sit above the
     threshold).  ``recall_at_threshold`` is None — never a vacuous
-    1.0 — when the sample has no true pairs."""
+    1.0 — when the sample has no true pairs.
+
+    Like the vector sensor, the ``ds=`` layout scopes both truth and
+    candidates to marker-complete days (``_marker_complete_days``) —
+    a crashed day's sets (written before its buckets) must not enter
+    the truth as unfindable pairs (ADVICE r09)."""
     import time
 
     if sample_q < 1:
@@ -914,7 +1102,7 @@ def minhash_index_recall_sample(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sets = spark.read.parquet(os.path.join(path, "sets"))
     if "ds" in sets.columns:
-        sets = sets.drop("ds")
+        sets = sets.filter(F.col("ds").isin(_marker_complete_days(path))).drop("ds")
     n = sets.count()
     queries = (
         sets.orderBy(
@@ -947,7 +1135,10 @@ def minhash_index_recall_sample(
     t0 = time.monotonic()
     buckets = spark.read.parquet(os.path.join(path, "buckets"))
     if "ds" in buckets.columns:
-        buckets = buckets.drop("ds")
+        # same marker-complete scope as the truth scan above
+        buckets = buckets.filter(
+            F.col("ds").isin(_marker_complete_days(path))
+        ).drop("ds")
     q_buckets = buckets.join(
         F.broadcast(queries.select(F.col("q_id").alias(id_col))), id_col
     ).select(F.col(id_col).alias("q_id"), "band", "bucket")

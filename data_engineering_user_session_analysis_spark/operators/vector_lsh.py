@@ -140,6 +140,85 @@ def lsh_params(
     }
 
 
+def vector_geometry_for_recall(
+    n_vectors: int,
+    threshold: float,
+    recall_target: float = 0.9,
+    candidates_per_vector: float = 32.0,
+    min_planes: int = 1,
+    max_planes: int = 24,
+    min_tables: int = 8,
+    max_tables: int = 64,
+) -> dict:
+    """INVERSE banding model: the (planes, tables) a hyperplane index
+    needs to hold ``recall_target`` at the CALLER'S ``threshold`` —
+    the solve ``lsh_params`` deliberately does not do (it holds recall
+    at ``NEARDUP_COS`` and only reports the achieved number at weak
+    thresholds).  This is the actuator-side math for the persistent
+    vector index (``dedup_index.vector_index_recall_autotune``): its
+    sensor measures recall at an operator-chosen threshold, and a
+    breach needs a geometry sized for THAT threshold, not for clones.
+
+    Solve (p = 1 - θ/π at the threshold): start planes at the
+    candidate-budget fixpoint (identical math to ``lsh_params`` —
+    planes = ⌈log2(N·tables/budget)⌉, what keeps random candidates
+    linear in N), then compute the tables the target needs there,
+    ``tables = ⌈ln(1-target) / ln(1-p^planes)⌉``.  When that exceeds
+    ``max_tables``, shed planes one at a time: each plane removed
+    multiplies the per-table match probability by 1/p (slashing the
+    tables bill) at the price of DOUBLING random candidates per
+    vector — the honest cost of holding recall at a weak threshold,
+    reported in ``expected_random_candidates_per_vector`` rather than
+    hidden.  ``feasible=False`` (with the widest geometry and its
+    achieved prediction) when even ``min_planes``/``max_tables``
+    cannot reach the target — the caller decides whether the achieved
+    number is acceptable.
+
+    Unlike the IVF probe ladder there is NO structurally exact
+    endpoint in this family (a probe can widen to brute force; a
+    frozen geometry cannot), so the prediction here is a banding
+    closed form, not a guarantee — the autotune verb pairs it with
+    the measured sensor."""
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
+    if not -1.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (-1, 1), got {threshold}")
+    n = max(int(n_vectors), 2)
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+
+    def _tables_needed(planes: int) -> float:
+        match = p**planes
+        if match >= 1.0:
+            return 1.0
+        if match <= 0.0:
+            return math.inf
+        return math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - match))
+
+    # candidate-budget fixpoint (the lsh_params planes rule) gives the
+    # STARTING planes; tables for the budget pass use min_tables — the
+    # recall solve below only ever raises tables, which raises the
+    # budget-implied planes too, so starting at the min is the
+    # conservative (deep) end of the walk
+    planes = math.ceil(
+        math.log2(max(n * min_tables / max(candidates_per_vector, 1e-9), 2.0))
+    )
+    planes = min(max(planes, min_planes), max_planes)
+    while planes > min_planes and _tables_needed(planes) > max_tables:
+        planes -= 1
+    need = _tables_needed(planes)
+    feasible = need <= max_tables
+    tables = int(min(max(need if feasible else max_tables, min_tables), max_tables))
+    return {
+        "planes": planes,
+        "tables": tables,
+        "feasible": feasible,
+        "threshold": threshold,
+        "recall_target": recall_target,
+        "predicted_recall_at_threshold": 1.0 - (1.0 - p**planes) ** tables,
+        "expected_random_candidates_per_vector": n * tables / 2.0**planes,
+    }
+
+
 def _plane_sign(table: int, plane: int, dim: int) -> int:
     h = hashlib.md5(f"{table}:{plane}:{dim}".encode()).digest()
     return 1 if h[0] & 1 else -1

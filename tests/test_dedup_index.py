@@ -576,3 +576,142 @@ def test_minhash_index_recall_sample_deterministic_and_honest(
         assert a["min_query_recall"] <= a["recall_at_threshold"] + 1e-9
     else:
         assert a["recall_at_threshold"] is None
+
+
+def test_recall_sensors_exclude_crashed_days(spark, sf_small, tmp_path):
+    """ADVICE r09: the sensors draw truth from the verify surface
+    (vectors/sets) and candidates from buckets/, and the append path
+    writes the verify surface FIRST — so a crashed day's rows used to
+    enter the TRUTH while being structurally unfindable, deflating
+    measured recall versus the production probe (which only consults
+    marker-complete days).  Both sensors must scope truth AND
+    candidates to marker-complete ds partitions: a day whose buckets
+    never landed changes neither the measurement nor the corpus
+    count."""
+    import os
+    import shutil
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        append_shard_to_minhash_index,
+        append_shard_to_vector_index,
+        minhash_index_recall_sample,
+        vector_index_recall_sample,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    vidx = str(tmp_path / "vector_index")
+    append_shard_to_vector_index(emb, vidx, "2024-01-01")
+    append_shard_to_vector_index(
+        emb.withColumn("vec_id", F.col("vec_id") + 1_000_000), vidx, "2024-01-02"
+    )
+    healthy = vector_index_recall_sample(spark, vidx, threshold=0.999, sample_q=10)
+    assert healthy["recall_at_threshold"] == 1.0, healthy
+
+    # day 3 crashes after its vectors land but before its buckets do:
+    # a third clone of every vector exists in vectors/ with no probe
+    # surface — unfindable by construction
+    append_shard_to_vector_index(
+        emb.withColumn("vec_id", F.col("vec_id") + 2_000_000), vidx, "2024-01-03"
+    )
+    shutil.rmtree(os.path.join(vidx, "buckets", "ds=2024-01-03"))
+    crashed = vector_index_recall_sample(spark, vidx, threshold=0.999, sample_q=10)
+    assert crashed["recall_at_threshold"] == 1.0, crashed
+    assert crashed["n_vectors"] == healthy["n_vectors"]
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    didx = str(tmp_path / "minhash_index")
+    append_shard_to_minhash_index(docs, didx, "2024-01-01")
+    append_shard_to_minhash_index(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000), didx, "2024-01-02"
+    )
+    h = minhash_index_recall_sample(spark, didx, threshold=1.0, sample_q=8)
+    assert h["recall_at_threshold"] == 1.0, h
+    append_shard_to_minhash_index(
+        docs.withColumn("doc_id", F.col("doc_id") + 2_000_000), didx, "2024-01-03"
+    )
+    shutil.rmtree(os.path.join(didx, "buckets", "ds=2024-01-03"))
+    c = minhash_index_recall_sample(spark, didx, threshold=1.0, sample_q=8)
+    assert c["recall_at_threshold"] == 1.0, c
+    assert c["n_docs"] == h["n_docs"]
+
+
+def test_vector_autotune_meets_target_where_geometry_fails(spark, tmp_path):
+    """`vector_index_recall_autotune` on exactly the asymmetry VERDICT
+    r09 named: an index whose frozen geometry (not the banding model)
+    is the recall limit.  A deliberately starved build (1 table, 16
+    planes) measures near-zero recall on a corpus of ~0.9-cosine
+    variant pairs; the tuner must start from the stored geometry's
+    measurement, jump to the inverse banding solve, escalate on the
+    measured frontier, and terminate with measured recall >= target —
+    with the final geometry actually LANDED in the index's params and
+    the trail's predictions never shrinking."""
+    import numpy as np
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_vector_params,
+        vector_index_recall_autotune,
+        write_vector_index,
+    )
+
+    rng = np.random.RandomState(23)
+    dim = 16
+    base = rng.randn(300, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    for i in range(150):  # ~0.91-cosine variant of half the corpus
+        u = rng.randn(dim)
+        u /= np.linalg.norm(u)
+        v = base[i] + 0.45 * u
+        rows.append((10_000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "vec_weak")
+    write_vector_index(emb, idx, dim=dim, tables=1, planes=16)
+
+    res = vector_index_recall_autotune(
+        spark, idx, threshold=0.85, recall_target=0.9, sample_q=25
+    )
+    first, last = res["steps"][0], res["steps"][-1]
+    # the first step measures the STORED geometry (no rebuild)
+    assert (first["tables"], first["planes"]) == (1, 16)
+    assert first["rebuild_sec"] is None
+    assert first["true_pairs"] > 0, res
+    assert first["recall_at_threshold"] < 0.9, res
+    # closed loop: measured (not predicted) recall meets the target
+    assert res["met"] and res["recall_at_threshold"] >= 0.9, res
+    assert len(res["steps"]) >= 2 and last["rebuild_sec"] is not None
+    # the final geometry is what the index now stores
+    stored = _read_vector_params(spark, idx)
+    assert (stored["tables"], stored["planes"]) == (res["tables"], res["planes"])
+    assert stored["dim"] == dim  # rebuilds never change the hash family
+    # escalation only ever widens the banding prediction
+    for a, b in zip(res["steps"], res["steps"][1:]):
+        assert (
+            b["predicted_recall_at_threshold"]
+            >= a["predicted_recall_at_threshold"] - 1e-12
+        )
+    # truth is geometry-independent: same sample, same true pairs
+    assert {s["true_pairs"] for s in res["steps"]} == {first["true_pairs"]}
+
+
+def test_vector_autotune_honest_on_no_true_pairs(spark, sf_small, tmp_path):
+    """Tuning against a sample with zero true pairs would be theater:
+    the verb must return met=None WITHOUT rebuilding (stored geometry
+    untouched) — the same no-vacuous-1.0 posture as the sensor."""
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_vector_params,
+        vector_index_recall_autotune,
+        write_vector_index,
+    )
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    idx = str(tmp_path / "vec_nopairs")
+    write_vector_index(emb, idx)
+    before = _read_vector_params(spark, idx)
+    res = vector_index_recall_autotune(
+        spark, idx, threshold=0.9999, recall_target=0.9, sample_q=5
+    )
+    assert res["met"] is None and len(res["steps"]) == 1
+    assert res["recall_at_threshold"] is None
+    assert _read_vector_params(spark, idx) == before

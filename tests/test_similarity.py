@@ -807,6 +807,12 @@ def test_ivf2_probe_params_sizing_model():
     # (200k/K=448, 1M/K=1000, 1M/K=4096) sits at recall 1.0
     flat = ivf2_probe_params(4096, recall_target=0.95, levels=1)
     assert flat["cell_coupling"] == 0 and flat["nprobe_cell"] == 8
+    # ...and its prediction models the probe that actually runs: a flat
+    # probe has no super level, so predicted is the cell-decay term
+    # alone and nprobe_super is None (ADVICE r09 — the old form
+    # multiplied in a super-miss factor for a level that never runs)
+    assert flat["nprobe_super"] is None
+    assert flat["predicted_recall"] == round(1.0 - 0.6**8, 4)
     with pytest.raises(ValueError):
         ivf2_probe_params(448, recall_target=1.5)
 
@@ -1543,3 +1549,45 @@ def test_ivf_index_recall_target_applies_on_flat_index(spark, sf_small, tmp_path
     }
     assert got == want and len(got) > 0
     emb.unpersist()
+
+
+def test_vector_geometry_for_recall_inverse_model():
+    """The inverse banding solve (`vector_geometry_for_recall`):
+    prediction honors the target when feasible, stricter targets never
+    get narrower geometry, weak thresholds shed planes (paying
+    candidates) instead of silently failing, and infeasibility is
+    reported rather than papered over."""
+    import pytest
+
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        vector_geometry_for_recall,
+    )
+
+    g = vector_geometry_for_recall(1_000_000, 0.9, recall_target=0.9)
+    assert g["feasible"]
+    assert g["predicted_recall_at_threshold"] >= 0.9
+    # stricter target -> more tables or fewer planes, never narrower
+    g2 = vector_geometry_for_recall(1_000_000, 0.9, recall_target=0.99)
+    assert g2["predicted_recall_at_threshold"] >= 0.99
+    assert g2["tables"] >= g["tables"] or g2["planes"] < g["planes"]
+    # weaker threshold at the same target: the budget-solve planes are
+    # unaffordable within max_tables, so the solve sheds planes and
+    # reports the candidate price honestly
+    w = vector_geometry_for_recall(1_000_000, 0.85, recall_target=0.9)
+    assert w["feasible"] and w["planes"] < g["planes"]
+    assert (
+        w["expected_random_candidates_per_vector"]
+        > g["expected_random_candidates_per_vector"]
+    )
+    # an unaffordable (threshold, target) with a planes floor is
+    # reported infeasible with the widest geometry it tried
+    bad = vector_geometry_for_recall(
+        1_000_000, 0.2, recall_target=0.99, min_planes=8
+    )
+    assert not bad["feasible"]
+    assert bad["planes"] == 8 and bad["tables"] == 64
+    assert bad["predicted_recall_at_threshold"] < 0.99
+    with pytest.raises(ValueError):
+        vector_geometry_for_recall(1000, 0.9, recall_target=1.5)
+    with pytest.raises(ValueError):
+        vector_geometry_for_recall(1000, 1.0)
