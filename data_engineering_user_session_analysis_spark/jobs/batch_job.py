@@ -600,6 +600,7 @@ def main(argv: list[str]) -> None:
     ``job reindex <ivf_index_path> [k_cells] [refine_iters] [seed_init]`` /
     ``job reindex-vectors <vector_index_path> <target_n>`` /
     ``job validate-recall <ivf_index_path> [sample_q] [recall_target]`` /
+    ``job diagnose-seeding <ivf_index_path> [sample_q] [recall_target]`` /
     ``job tune-recall <ivf_index_path> [recall_target] [sample_q]`` /
     ``job tune-recall-vectors <vector_index_path> [threshold] [recall_target] [sample_q]`` /
     ``job validate-vector-recall <vector_index_path> [threshold] [sample_q]`` /
@@ -714,6 +715,25 @@ def main(argv: list[str]) -> None:
                 get_spark("ivf_recall_check"), argv[2],
                 sample_q=sample_q, recall_target=target,
                 stratify_by_cell=stratified,
+            )
+        )
+        return
+    if argv[1] == "diagnose-seeding":
+        # seeding-vs-width triage for a recall shortfall (`job
+        # diagnose-seeding <ivf_index_path> [sample_q] [recall_target]`):
+        # the stratified-vs-population gap is the measured signature of
+        # seed starvation; the report names the lever (d2 reindex vs
+        # probe autotune) instead of leaving the operator to guess
+        from data_engineering_user_session_analysis_spark.operators.ivf import (
+            ivf_index_seeding_diagnostic,
+        )
+
+        sample_q = int(argv[3]) if len(argv) > 3 else 30
+        target = float(argv[4]) if len(argv) > 4 else 0.95
+        print(
+            ivf_index_seeding_diagnostic(
+                get_spark("ivf_seeding_diagnostic"), argv[2],
+                recall_target=target, sample_q=sample_q,
             )
         )
         return

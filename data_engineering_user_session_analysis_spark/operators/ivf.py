@@ -880,6 +880,14 @@ def ivf2_probe_params(
         "rho_super": rs,
         "rho_cell": rc,
         "cell_coupling": g,
+        # the decay constants were fit and validated on CLONE/NEAR-DUP
+        # corpora (200k/1M/4M grids); on clustered corpora the
+        # prediction has been breached by 0.4 with no error signal —
+        # every report that embeds this solve carries the marker so
+        # `predicted_recall` is never mistaken for a validated claim.
+        # The acceptance step for a new corpus shape is the measured
+        # sensor: `job validate-recall` (ivf_index_recall_sample).
+        "model_domain": "clone-fit",
     }
 
 
@@ -929,6 +937,13 @@ def ivf2_topk(
     DERIVED from the calibrated sizing model (``ivf2_probe_params``)
     instead of the fixed defaults — auto-sizing toward a
     caller-specified recall rather than hard-coded probe widths.
+    CONTRACT: the model is CLONE-FIT (``model_domain`` in its
+    report) — the target is honored as a prediction, not a
+    measurement, and on a new corpus shape the acceptance step is
+    ``job validate-recall`` (``ivf_index_recall_sample``), which
+    puts the prediction next to a measured number; a breach is
+    actuated by ``ivf_index_probe_autotune`` or a d2 reindex (see
+    ``ivf_index_seeding_diagnostic`` for which).
     Output: (q_id, neighbor_id, rank)."""
     n = emb.count()
     k = k_cells or min(
@@ -1546,8 +1561,12 @@ def ivf_index_topk(
     is ignored on a flat index.  ``recall_target`` works in BOTH
     regimes: two-level takes the full (s, c) solve; flat maps the
     target onto the sizing model's cell axis, matching
-    ``ivf_topk_auto``'s flat-regime behavior.  Output: (q_id,
-    neighbor_id, rank)."""
+    ``ivf_topk_auto``'s flat-regime behavior.  The ``recall_target``
+    contract is the same as ``ivf2_topk``'s: a CLONE-FIT prediction
+    whose acceptance step on a new corpus shape is ``job
+    validate-recall`` (prediction next to measurement), with
+    ``tune-recall`` / ``diagnose-seeding`` as the actuation paths.
+    Output: (q_id, neighbor_id, rank)."""
     import os
 
     seeds = spark.read.parquet(os.path.join(path, "centroids"))
@@ -1831,6 +1850,7 @@ def ivf_index_recall_sample(
             nprobe = max(nprobe, sized["nprobe_cell"])
         res["recall_target"] = recall_target
         res["predicted_recall"] = sized["predicted_recall"]
+        res["model_domain"] = sized["model_domain"]
     res["nprobe"] = nprobe
     if levels == 2:
         res["nprobe_cell"] = nprobe_cell
@@ -1839,6 +1859,79 @@ def ivf_index_recall_sample(
         spark, path, queries, truth, nprobe, nprobe_cell, topk, id_col, vec_col
     )
     return res
+
+
+def ivf_index_seeding_diagnostic(
+    spark,
+    path: str,
+    recall_target: float = 0.95,
+    sample_q: int = 30,
+    topk: int = 3,
+    gap_threshold: float = 0.15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "recall",
+) -> dict:
+    """Diagnose WHICH lever a recall shortfall needs — seeding or
+    probe width — from the measured stratified-vs-population gap,
+    turning round 9's forensic finding into an operator-facing
+    signal (VERDICT r09 next #3).  The gap is the SIGNATURE of seed
+    starvation: a population sample weights queries like the corpus
+    (dominated by well-seeded fat clusters) while the per-cell
+    stratified sample weights the tail, so an index whose uniform
+    seeds starved the small clusters reads high on one and low on the
+    other (measured at 1M/K=1000 with md5 seeds: 0.80 population vs
+    0.60 tail, STRESS_sf1_r09) — whereas probe-side scatter on a
+    WELL-seeded index depresses both estimators together (the d2
+    1M grid and the K=4096 d2-neutral regime).
+
+    Runs ``ivf_index_recall_sample`` twice at the model's solve
+    widths for ``recall_target`` — population-weighted and
+    stratified-by-cell — and emits ``seeding_suspect = gap >
+    gap_threshold``, with the remedy named: a ``job reindex <path>
+    [k_cells] <refine_iters> d2`` rebuild re-seeds with the
+    D²-weighted init (the fix measured to move the 1M starved auto
+    point 0.57 → 0.90 where width alone cost 4× the probe —
+    ``select_seeds_d2``).  ``seeding_suspect=False`` with a LOW
+    population recall means width, not seeding, binds — the lever is
+    ``ivf_index_probe_autotune``.  Pinned by
+    tests/test_similarity.py::test_seeding_diagnostic_flags_starved_index_and_d2_clears_it:
+    a starved fixture trips the flag, the d2 rebuild clears it.
+
+    Cost: each estimator computes its own exact ground truth (one
+    corpus pass each — the same cost class as two ``validate-recall``
+    runs); driver state stays bounded by sample_q·topk.  CLI:
+    ``job diagnose-seeding``."""
+    pop = ivf_index_recall_sample(
+        spark, path, sample_q=sample_q, topk=topk,
+        recall_target=recall_target, id_col=id_col, vec_col=vec_col,
+        salt=salt, stratify_by_cell=False,
+    )
+    tail = ivf_index_recall_sample(
+        spark, path, sample_q=sample_q, topk=topk,
+        recall_target=recall_target, id_col=id_col, vec_col=vec_col,
+        salt=salt, stratify_by_cell=True,
+    )
+    gap = round(pop["recall_at_k"] - tail["recall_at_k"], 4)
+    suspect = gap > gap_threshold
+    return {
+        "n_vectors": pop["n_vectors"],
+        "levels": pop["levels"],
+        "recall_target": recall_target,
+        "predicted_recall": pop.get("predicted_recall"),
+        "population_recall": pop["recall_at_k"],
+        "tail_recall": tail["recall_at_k"],
+        "gap": gap,
+        "gap_threshold": gap_threshold,
+        "seeding_suspect": suspect,
+        "remedy": (
+            "job reindex <path> [k_cells] 3 d2  # re-seed with the "
+            "D2-weighted init (select_seeds_d2)"
+            if suspect
+            else "width binds, not seeding: job tune-recall <path> "
+            "(ivf_index_probe_autotune)"
+        ),
+    }
 
 
 def ivf_index_probe_autotune(
@@ -1912,6 +2005,7 @@ def ivf_index_probe_autotune(
         "sample_q": queries.count(),
         "recall_target": recall_target,
         "predicted_recall": sized["predicted_recall"],
+        "model_domain": sized["model_domain"],
         "k_cells": k,
         "stratified": stratify_by_cell,
         "steps": [],

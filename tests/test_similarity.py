@@ -774,6 +774,11 @@ def test_ivf2_probe_params_sizing_model():
     base = ivf2_probe_params(448)  # the 200k-vector derived K
     assert base["nprobe_super"] >= 2 and base["nprobe_cell"] >= 4
     assert base["predicted_recall"] >= base["recall_target"]
+    # the solve is open-loop and says so: every embedding of this
+    # report carries the explicit fit-domain marker, so a caller can
+    # never mistake predicted_recall for a validated claim (the 1M
+    # clustered breach was 0.4 with no signal — VERDICT r09 #2)
+    assert base["model_domain"] == "clone-fit"
     stricter = ivf2_probe_params(448, recall_target=0.99)
     assert stricter["nprobe_super"] >= base["nprobe_super"]
     assert stricter["nprobe_cell"] >= base["nprobe_cell"]
@@ -1365,6 +1370,7 @@ def test_ivf_index_recall_sample_reports_prediction_vs_measurement(
     assert res["nprobe_cell"] == sized["nprobe_cell"]
     assert res["predicted_recall"] == sized["predicted_recall"]
     assert res["recall_target"] == 0.9
+    assert res["model_domain"] == "clone-fit"  # prediction, not a claim
     assert 0.0 <= res["recall_at_k"] <= 1.0
     assert res["probe_sec"] >= 0.0
 
@@ -1591,3 +1597,53 @@ def test_vector_geometry_for_recall_inverse_model():
         vector_geometry_for_recall(1000, 0.9, recall_target=1.5)
     with pytest.raises(ValueError):
         vector_geometry_for_recall(1000, 1.0)
+
+
+def test_seeding_diagnostic_flags_starved_index_and_d2_clears_it(spark, tmp_path):
+    """`ivf_index_seeding_diagnostic` turns the stratified-vs-
+    population gap — the measured signature of seed starvation
+    (0.80 vs 0.60 on the md5 1M index, STRESS_sf1_r09) — into an
+    operator-facing flag with the remedy named.  Reproduced at
+    fixture scale in the starvation regime (K at/below the natural
+    cluster count: 81 clusters, K=64): the md5-seed index must trip
+    ``seeding_suspect`` (population high, tail low), and the named
+    remedy — a d2 reindex — must clear it (gap collapses, tail
+    recall restored)."""
+    import numpy as np
+
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        ivf_index_seeding_diagnostic,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(19)
+    dim, nclu = 16, 80
+    centers = rng.randn(nclu + 1, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for i, n in enumerate([3000] + [25] * nclu):  # one fat, 80 starved
+        for _ in range(n):
+            v = centers[i] + rng.uniform(-0.08, 0.08, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    idx = str(tmp_path / "ivf_starved")
+    write_ivf_index(emb, idx, k_cells=64, levels=2)
+    emb.unpersist()
+
+    starved = ivf_index_seeding_diagnostic(
+        spark, idx, recall_target=0.9, sample_q=24
+    )
+    # the starvation signature: population reads healthy, tail does not
+    assert starved["seeding_suspect"], starved
+    assert starved["population_recall"] > starved["tail_recall"], starved
+    assert "d2" in starved["remedy"]
+
+    # the named remedy clears the flag: d2 re-seeding restores the tail
+    rebuild_ivf_index(spark, idx, k_cells=64, refine_iters=3, seed_init="d2")
+    fixed = ivf_index_seeding_diagnostic(spark, idx, recall_target=0.9, sample_q=24)
+    assert not fixed["seeding_suspect"], fixed
+    assert fixed["tail_recall"] > starved["tail_recall"], (starved, fixed)
+    assert fixed["tail_recall"] >= 0.9, fixed
+    assert "width" in fixed["remedy"]
