@@ -53,6 +53,17 @@ def main() -> None:
 
     from data_engineering_user_session_analysis_spark import get_spark
     from data_engineering_user_session_analysis_spark.queries import QUERIES
+    from data_engineering_user_session_analysis_spark.queries import tpch_queries
+
+    # Retired-from-registry queries that stay in the HEADLINE /
+    # shared-r02 sets: the cross-round subtotal is a like-for-like
+    # yardstick, so a registry consolidation (late_shipment_orders ->
+    # ann_cos_route, round 10) must not silently zero a shared row —
+    # the function is still importable and is timed directly.
+    RETIRED = {"late_shipment_orders": tpch_queries.late_shipment_orders}
+
+    def _q(name):
+        return QUERIES.get(name) or RETIRED[name]
 
     spark = get_spark("bench")
     # JVM/codegen warmup on the smallest SF so per-query numbers
@@ -76,7 +87,7 @@ def main() -> None:
     timings_min3: dict[str, float] = {}
     trials_log: dict[str, list[float]] = {}
     for name in HEADLINE:
-        if name not in QUERIES:
+        if name not in QUERIES and name not in RETIRED:
             continue
         # best-of-N: the first run pays per-query planning/codegen
         # JIT (which at small SF can dominate) and later runs still
@@ -95,7 +106,7 @@ def main() -> None:
         trial_times: list[float] = []
         while runs < 5:
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            _q(name)(spark, sf_dir).write.format("noop").mode("overwrite").save()
             trial_times.append(round(time.perf_counter() - t0, 4))
             best = min(best, trial_times[-1])
             runs += 1
@@ -234,7 +245,7 @@ def main() -> None:
     all_timings = {**timings, **registry_timings}
     family_subtotals: dict[str, float] = {}
     for name, secs in all_timings.items():
-        fam = QUERIES[name].__module__.rsplit(".", 1)[-1].removesuffix("_queries")
+        fam = _q(name).__module__.rsplit(".", 1)[-1].removesuffix("_queries")
         family_subtotals[fam] = round(family_subtotals.get(fam, 0.0) + secs, 4)
     payload = {
         "metric": "headline_queries_total",

@@ -134,23 +134,22 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "late_shipment_orders",
-    """
-SELECT o_orderpriority,
-  CAST(count(*) AS BIGINT) AS n_orders
-FROM orders
-WHERE EXISTS (
-  SELECT 1 FROM lineitem
-  WHERE l_orderkey = o_orderkey
-    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
-)
-GROUP BY o_orderpriority
-""",
-)
 def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-SEMI join (EXISTS): orders with any lineitem shipped >60
-    days after the order date, counted by priority (TPC-H Q4 shape)."""
+    days after the order date, counted by priority (TPC-H Q4 shape).
+
+    Registry row retired in round 10 (see COVERAGE.md): its mechanics
+    are each double-carried by still-registered rows — the LeftSemi
+    PLAN by ``user_segments`` (intersect → LeftSemi, plan-pinned in
+    tests/test_tpch.py::test_user_segments_plans_left_anti_and_semi),
+    date-arithmetic range predicates by ``q6``/``q12``/
+    ``purchase_asof_view``, and the groupBy count everywhere — while
+    its distinctive bit, the NON-EQUI correlated-EXISTS condition, is
+    pinned non-vacuously against an independent join+distinct witness
+    in tests/test_tpch.py::test_late_shipment_semi_join_non_vacuous.
+    Its registry slot funds ``ann_cos_route`` (the cosine routing
+    kernel's DuckDB row — a whole operator-family kernel that had no
+    driver check vs a 4th semi-join variant that had three)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cond = (li.l_orderkey == orders.o_orderkey) & (
