@@ -92,11 +92,13 @@ def select_seeds_d2(
     Measured on the same corpus (``d2 init`` grid): auto point
     0.90, recall 1.0 reached at (8,16) — and mean assign-cos barely
     moved (0.633 → 0.628), confirming the proxy metric cannot see
-    the starvation that recall does.  Cost (post chunked-kernel fix,
-    1M / K=1000): the d2 init's 5 corpus passes dominate — full d2
-    refine x3 measured 71–261 s across three isolated runs (wide
-    dispersion from the per-round TakeOrdered/collect + driver
-    reduction) vs 5.9 s md5-init Lloyd alone.
+    the starvation that recall does.  Cost: see the incremental-state
+    note below — the round-9 form measured 71–261 s for full d2
+    refine ×3 at 1M/K=1000 across three isolated runs (vs 5.9 s
+    md5-init Lloyd alone), with the dispersion attributed to the
+    per-round lazy kernel recomputation under the TakeOrdered; the
+    round-10 incremental state removes that recomputation (measured
+    figures in STRESS_sf1_r10 ``d2 init isolated reruns``).
 
     DOMAIN: d2 init pays off when starvation binds — K at or below
     the corpus's natural cluster count (at K=1000 over 1000
@@ -108,23 +110,25 @@ def select_seeds_d2(
     residual recall gap there is probe-side neighbor scatter, where
     the lever is width (``ivf_index_probe_autotune``), not seeding.
 
-    Each round is ONE map-only Arrow pass (``_max_cos_matmul_kernel``
-    against the broadcast candidate set — d² = 2·(1−cos) on the unit
-    sphere, BLAS-scored: the init has no bit-parity obligation, see
-    the kernel docstring) plus one bounded TakeOrdered: candidates
-    are drawn by
-    Efraimidis–Spirakis weighted reservoir keys (u^(1/w), realized as
-    ln(u)/d² with a DETERMINISTIC md5(id:round) uniform — the same
-    engine-portable hash-randomness discipline as the sampling
-    operators), top ``⌈oversample·K⌉`` per round.  The driver never
-    holds more than the O(rounds·oversample·K) candidate set — the
-    same bounded-by-K collect class as the seed arrays themselves.
+    Each round is ONE map-only Arrow pass over a checkpointed
+    best-so-far state, scoring only that round's ≤ ⌈oversample·K⌉
+    NEW candidates (``_best_cos_combine_udf`` — d² = 2·(1−cos) on
+    the unit sphere, BLAS-scored: the init has no bit-parity
+    obligation, see ``_max_cos_matmul_kernel``) plus one bounded
+    TakeOrdered over the state's NARROW columns: candidates are
+    drawn by Efraimidis–Spirakis weighted reservoir keys (u^(1/w),
+    realized as ln(u)/d² with a DETERMINISTIC md5(id:round) uniform
+    — the same engine-portable hash-randomness discipline as the
+    sampling operators).  The driver never holds more than the
+    O(rounds·oversample·K) candidate set — the same bounded-by-K
+    collect class as the seed arrays themselves.
 
-    The final reduction to K seeds runs DRIVER-SIDE: one distributed
-    weighting pass (each candidate weighted by the corpus points it
-    wins), then weighted spherical k-means over the ≤ rounds·2K
-    candidate matrix in numpy — at the K=4096 ceiling that is a
-    ~32k×64 problem, microseconds next to one corpus pass.
+    The final reduction to K seeds runs DRIVER-SIDE: the candidate
+    weights (corpus points each wins) fall out of the final state as
+    one narrow groupBy — no extra corpus pass — then weighted
+    spherical k-means over the ≤ rounds·2K candidate matrix in numpy
+    — at the K=4096 ceiling that is a ~32k×64 problem, microseconds
+    next to one corpus pass.
 
     Output is the standard ``(sid, se)`` seeds frame (dense synthetic
     sids), drop-in for ``write_ivf_index(seeds=...)`` /
@@ -140,11 +144,52 @@ def select_seeds_d2(
     if not cand_rows:
         raise ValueError("select_seeds_d2 on an empty corpus")
     spark = emb.sparkSession
-    for rnd in range(rounds):
-        cand_df = spark.createDataFrame(
-            cand_rows, "sid long, se array<double>"
+
+    # INCREMENTAL best-so-far state (round 10): the original form
+    # re-scored the full corpus against the full (growing) candidate
+    # set every round PLUS one final whole-set pass for the weights —
+    # and the per-round TakeOrdered re-ran that kernel lazily, which
+    # is where the measured 71–261 s cost dispersion at 1M lived
+    # (VERDICT r09 #5).  The state frame carries (id, vec, best cell,
+    # best cos) through an eager localCheckpoint, so each round scores
+    # ONLY the ≤ l_round NEW candidates (one map pass, strict-greater
+    # combine keeps the lowest-sid winner on ties — identical argmax
+    # semantics to the one-shot kernel), the TakeOrdered reads
+    # materialized narrow columns instead of recomputing the kernel,
+    # the winners' vectors come from the state itself (no join back
+    # to the corpus), and the final weight histogram is a FREE
+    # groupBy on the last state — one whole corpus pass removed and
+    # every remaining pass O(new candidates), not O(all candidates).
+    # Each round's seed broadcast is released once the checkpoint has
+    # materialized (ADVICE r09: the unreleased per-round broadcasts).
+    def _score_new(frame, new_rows: list, first_pass: bool):
+        bc = _unit_seed_broadcast(
+            spark, spark.createDataFrame(new_rows, "sid long, se array<double>")
         )
-        scored = _max_cos_matmul_kernel(emb, cand_df, id_col, vec_col)
+        if first_pass:
+            out = frame.select(
+                F.col(id_col),
+                F.col(vec_col).alias("_v"),
+                _best_cos_udf(bc)(F.col(vec_col)).alias("_a"),
+            )
+        else:
+            out = frame.select(
+                F.col(id_col),
+                F.col("_v"),
+                _best_cos_combine_udf(bc)(
+                    F.col("_v"), F.col("cell"), F.col("assign_cos")
+                ).alias("_a"),
+            )
+        out = out.select(
+            id_col, "_v",
+            F.col("_a.cell").alias("cell"),
+            F.col("_a.assign_cos").alias("assign_cos"),
+        ).localCheckpoint(eager=True)
+        bc.unpersist()
+        return out
+
+    state = _score_new(emb, cand_rows, first_pass=True)
+    for rnd in range(rounds):
         # Efraimidis–Spirakis key u^(1/w) ⟺ maximize ln(u)/w; w = d²
         # = 2(1−cos) clipped at 0 (w=0 ⇒ −inf: already-covered points
         # are never drawn).  u from md5(id:round) — deterministic.
@@ -162,11 +207,12 @@ def select_seeds_d2(
             F.lit(1e-18),
         )
         w = F.greatest(F.lit(0.0), F.lit(2.0) * (F.lit(1.0) - F.col("assign_cos")))
-        # TakeOrdered over narrow (id, key) rows first; only the l
-        # winners join back for their vectors (broadcast semi-join) —
-        # never a corpus-wide shuffle of the embedding column.
+        # TakeOrdered over narrow (id, key) columns of the CHECKPOINTED
+        # state; the ≤ l winners' vectors come from the same state via
+        # a broadcast semi-join — never a corpus-wide shuffle of the
+        # embedding column, and no kernel recomputation.
         winners = (
-            scored.withColumn(
+            state.withColumn(
                 "_key",
                 F.when(w > 0, F.log(u) / w).otherwise(F.lit(float("-inf"))),
             )
@@ -180,23 +226,24 @@ def select_seeds_d2(
             .select(id_col)
         )
         picked = (
-            emb.join(F.broadcast(winners), id_col)
-            .select(vec_col)
+            state.join(F.broadcast(winners), id_col)
+            .select("_v")
             .collect()
         )
+        if not picked:
+            break  # saturated: no uncovered mass left to draw from
         base = len(cand_rows)
-        cand_rows = cand_rows + [
-            (base + i, [float(x) for x in r[vec_col]]) for i, r in enumerate(picked)
+        new_rows = [
+            (base + i, [float(x) for x in r["_v"]]) for i, r in enumerate(picked)
         ]
-    # weight candidates by the corpus points they win, then reduce
-    # driver-side with weighted spherical k-means
-    cand_df = spark.createDataFrame(cand_rows, "sid long, se array<double>")
+        cand_rows = cand_rows + new_rows
+        state = _score_new(state, new_rows, first_pass=False)
+    # weight candidates by the corpus points they win — the final
+    # state already holds the nearest-candidate assignment including
+    # the last round's picks, so the histogram is one narrow groupBy
     counts = {
         r["cell"]: r["n"]
-        for r in _max_cos_matmul_kernel(emb, cand_df, id_col, vec_col)
-        .groupBy("cell")
-        .agg(F.count("*").alias("n"))
-        .collect()
+        for r in state.groupBy("cell").agg(F.count("*").alias("n")).collect()
     }
     mat = np.array([v for _, v in cand_rows], dtype=np.float64)
     nrm = np.linalg.norm(mat, axis=1)
@@ -293,6 +340,50 @@ def _best_cos_udf(bc):
         )
 
     return best_cos
+
+
+def _best_cos_combine_udf(bc):
+    """Incremental twin of ``_best_cos_udf`` for the d2 init's
+    best-so-far state: scores the batch against only the NEW
+    candidates in the broadcast and combines with the carried
+    (cell, assign_cos) — the new candidate wins only on STRICTLY
+    greater cosine, so ties keep the lowest sid (new sids are always
+    higher), preserving the one-shot kernel's first-argmax-in-sid-
+    order semantics.  Same chunking and determinism posture as the
+    one-shot kernel (see ``_max_cos_matmul_kernel``)."""
+
+    @F.pandas_udf("cell long, assign_cos double")
+    def comb(v: pd.Series, pcell: pd.Series, pcos: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame(
+                {"cell": pd.Series([], dtype=np.int64),
+                 "assign_cos": pd.Series([], dtype=np.float64)}
+            )
+        seed_ids, unit_seeds = bc.value
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        xn = np.linalg.norm(x, axis=1)
+        xn[xn == 0] = 1.0
+        x = x / xn[:, np.newaxis]
+        chunk = max(1, int(2**24 // max(len(seed_ids), 1)))
+        cells, coss = [], []
+        for lo in range(0, len(x), chunk):
+            cos = x[lo : lo + chunk] @ unit_seeds.T
+            idx = np.argmax(cos, axis=1)
+            cells.append(seed_ids[idx])
+            coss.append(cos[np.arange(len(idx)), idx])
+        ncell = np.concatenate(cells)
+        ncos = np.concatenate(coss)
+        prev_cell = pcell.to_numpy(dtype=np.int64)
+        prev_cos = pcos.to_numpy(dtype=np.float64)
+        better = ncos > prev_cos  # strict: ties keep the lower sid
+        return pd.DataFrame(
+            {
+                "cell": np.where(better, ncell, prev_cell),
+                "assign_cos": np.where(better, ncos, prev_cos),
+            }
+        )
+
+    return comb
 
 
 def _weighted_spherical_kmeans(

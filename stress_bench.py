@@ -890,17 +890,22 @@ def measure_vector_recall_sensor(spark, n_centers: int = 1000, sigma: float = 0.
         shutil.rmtree(idx, ignore_errors=True)
 
 
-def measure_minhash_recall_sensor(spark) -> dict:
+def measure_minhash_recall_sensor(spark, variants_per_doc: int = 40) -> dict:
     """`minhash_index_recall_sample` at scale on a corpus with GENUINE
     partial overlaps — the text twin of the vector sensor's 1M
     calibration.  Clone-grown corpora are uninformative here (clones
-    share every band structurally), so this tier builds a 200k-doc
-    PREFIX-VARIANT corpus: each sf0.1 document spawns 39 truncated
-    variants at length fractions 0.5125–0.9875 (plus the original),
-    giving shingle-Jaccard pairs spread across exactly the banding
-    s-curve's operating range — nested prefixes of one base pair at
-    ≈ shorter/longer fraction.  The sensor then measures the
-    1-(1-J^4)^16 prediction against exact truth at two thresholds."""
+    share every band structurally), so this tier builds a
+    PREFIX-VARIANT corpus: each sf0.1 document spawns
+    ``variants_per_doc - 1`` truncated variants at length fractions
+    0.5 + k/(2·variants_per_doc) (plus the original), giving
+    shingle-Jaccard pairs spread across exactly the banding s-curve's
+    operating range — nested prefixes of one base pair at ≈
+    shorter/longer fraction.  The sensor then measures the
+    1-(1-J^4)^16 prediction against exact truth at two thresholds.
+    ``variants_per_doc=40`` is the round-9 200k calibration;
+    ``variants_per_doc=200`` is the round-10 1M point (so both text
+    and vector families have a 1M measured row, VERDICT r09 next
+    #4)."""
     import shutil
     import tempfile
 
@@ -915,17 +920,22 @@ def measure_minhash_recall_sensor(spark) -> dict:
     base = spark.read.parquet(os.path.join(BASE, "documents.parquet")).select(
         "doc_id", "text"
     )
+    v = variants_per_doc
     variants = (
-        base.select("doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(39))).alias("k"))
+        base.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(v - 1))).alias("k"),
+        )
         .select(
-            (F.col("doc_id") * 40 + F.col("k")).alias("doc_id"),
+            (F.col("doc_id") * v + F.col("k")).alias("doc_id"),
             F.when(F.col("k") == 0, F.col("text"))
             .otherwise(
                 F.substring(
                     "text",
                     1,
                     F.ceil(
-                        F.length("text") * (F.lit(0.5) + F.col("k") / F.lit(80.0))
+                        F.length("text")
+                        * (F.lit(0.5) + F.col("k") / F.lit(2.0 * v))
                     ).cast("int"),
                 )
             )
@@ -937,7 +947,8 @@ def measure_minhash_recall_sensor(spark) -> dict:
     try:
         _, build_sec = timed(lambda: write_minhash_index(variants, idx))
         res: dict = {
-            "label": "minhash index recall sensor (prefix-variant corpus)",
+            "label": "minhash index recall sensor (prefix-variant corpus)"
+            + (f", {v} variants/doc" if v != 40 else ""),
             "n_docs": n,
             "index_build_sec": build_sec,
             "thresholds": [],
@@ -953,6 +964,89 @@ def measure_minhash_recall_sensor(spark) -> dict:
         return res
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def measure_vector_recall_autotune(
+    spark, n_centers: int = 1000, sigma: float = 0.2
+) -> dict:
+    """The round-10 actuator replay: a 1M clustered vector index whose
+    honest-growth geometry measures LOW near-dup recall (the round-9
+    sensor read 0.28–0.36 at thresholds 0.8/0.85 with prediction ≈
+    measurement — the GEOMETRY, not the banding model, is the limit)
+    is brought to a MEASURED target by
+    ``vector_index_recall_autotune``: inverse banding solve →
+    rebuild → re-measure → escalate.  The trail is the family's
+    width-economics evidence: what recall at a weak threshold costs
+    in tables/planes (and therefore candidate load) when the corpus
+    is clustered rather than clone-structured."""
+    import shutil
+    import tempfile
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        vector_index_recall_autotune,
+        write_vector_index,
+    )
+
+    _quiesce(spark)
+    emb, _ = _clustered_embeddings(spark, n_centers, sigma)
+    n = emb.count()
+    idx = tempfile.mkdtemp(prefix="stress_vecautotune_")
+    try:
+        _, build_sec = timed(lambda: write_vector_index(emb, idx, target_n=n))
+        tune, tune_sec = timed(
+            lambda: vector_index_recall_autotune(
+                spark, idx, threshold=0.85, recall_target=0.9, sample_q=15
+            )
+        )
+        return {
+            "label": f"vector index recall autotune ({n_centers} skewed clusters)",
+            "n_vectors": n,
+            "index_build_sec": build_sec,
+            "tune_sec": tune_sec,
+            "threshold": tune["threshold"],
+            "recall_target": tune["recall_target"],
+            "met": tune["met"],
+            "exhausted": tune["exhausted"],
+            "final": {
+                "tables": tune["tables"],
+                "planes": tune["planes"],
+                "recall_at_threshold": tune["recall_at_threshold"],
+            },
+            "steps": tune["steps"],
+        }
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def measure_d2_timing(spark, n_centers: int = 1000, k_cells: int = 1000) -> dict:
+    """Isolated d2-init cost point (VERDICT r09 next #5): one fresh-JVM
+    measurement of ``select_seeds_d2`` alone and the full
+    ``kmeans_refine_seeds(init="d2", iters=3)`` at 1M/K=1000 — run
+    the tier three times (three JVMs) and compare the spread against
+    the round-9 dispersion (71–261 s), which the incremental
+    best-so-far state exists to remove."""
+    from data_engineering_user_session_analysis_spark.operators.ivf import (
+        kmeans_refine_seeds,
+        select_seeds_d2,
+    )
+
+    _quiesce(spark)
+    emb, _ = _clustered_embeddings(spark, n_centers, 0.2)
+    n = emb.count()
+    _, init_sec = timed(
+        lambda: select_seeds_d2(emb, k_cells).localCheckpoint(eager=True)
+    )
+    _, refine_sec = timed(
+        lambda: kmeans_refine_seeds(
+            emb, k_cells, iters=3, init="d2"
+        ).localCheckpoint(eager=True)
+    )
+    return {
+        "label": f"d2 init isolated rerun (1M, K={k_cells})",
+        "n_vectors": n,
+        "d2_init_sec": init_sec,
+        "d2_refine_x3_sec": refine_sec,
+    }
 
 
 def measure_ivf2_autotune(
@@ -1860,6 +1954,20 @@ def run_tier(tier: str) -> list[dict]:
         # round-9: measured banding-model calibration for the text
         # index on a genuine partial-overlap corpus at 200k docs
         return [measure_minhash_recall_sensor(spark)]
+    if tier == "minhashrecall1m":
+        # round-10: the text sensor one decade up (1M prefix-variant
+        # docs) so both text and vector families have a 1M measured
+        # calibration point (VERDICT r09 next #4)
+        return [measure_minhash_recall_sensor(spark, variants_per_doc=200)]
+    if tier == "vecautotune":
+        # round-10: the hyperplane actuator replay — a low-recall 1M
+        # clustered index brought to a measured target via inverse
+        # banding solve + rebuild ladder (VERDICT r09 next #1)
+        return [measure_vector_recall_autotune(spark)]
+    if tier == "d2timing":
+        # round-10: one isolated d2 cost point (run the tier 3x for
+        # the spread claim — VERDICT r09 next #5)
+        return [measure_d2_timing(spark)]
     if tier == "vecrecall":
         # round-9: measured prediction-vs-recall rows for the vector
         # index's banding model at 1M (the sensor's scale debut)
