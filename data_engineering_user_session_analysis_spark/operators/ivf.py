@@ -92,13 +92,18 @@ def select_seeds_d2(
     Measured on the same corpus (``d2 init`` grid): auto point
     0.90, recall 1.0 reached at (8,16) — and mean assign-cos barely
     moved (0.633 → 0.628), confirming the proxy metric cannot see
-    the starvation that recall does.  Cost: see the incremental-state
-    note below — the round-9 form measured 71–261 s for full d2
-    refine ×3 at 1M/K=1000 across three isolated runs (vs 5.9 s
-    md5-init Lloyd alone), with the dispersion attributed to the
-    per-round lazy kernel recomputation under the TakeOrdered; the
-    round-10 incremental state removes that recomputation (measured
-    figures in STRESS_sf1_r10 ``d2 init isolated reruns``).
+    the starvation that recall does.  Cost (round-10 incremental
+    state, measured across SEVEN isolated fresh-JVM 1M/K=1000 runs,
+    STRESS_sf1_r10 ``d2 init isolated rerun``): init alone 35–97 s,
+    full d2 refine ×3 60–170 s (round-9 form: 71–261 s; md5-init
+    Lloyd ×3 alone is 5.9 s).  The residual raw spread is the BOX,
+    not the algorithm: the tier's paired fixed-size CPU probe ran
+    0.18 s vs 0.42 s (2.3×) across the same runs — microVM host
+    steal — and probe-NORMALIZED init/refine costs agree within
+    1.3×.  The round-9 algorithmic dispersion source (lazy kernel
+    recomputation of the growing candidate set under each round's
+    TakeOrdered) is gone by construction — see the incremental-state
+    note in the body.
 
     DOMAIN: d2 init pays off when starvation binds — K at or below
     the corpus's natural cluster count (at K=1000 over 1000

@@ -1018,19 +1018,42 @@ def measure_vector_recall_autotune(
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _cpu_speed_probe() -> dict:
+    """Fixed-size numpy workload timed at tier start: the box's
+    EFFECTIVE speed at run time.  This environment is a microVM —
+    host CPU steal is invisible to load averages inside the guest —
+    so cross-run dispersion on an identical deterministic code path
+    needs a paired measurement of the box itself to attribute.  Two
+    probes: single-thread (a serial @ on a matrix too small for BLAS
+    threading to matter) and the same shape repeated enough to hold
+    the cores for ~a second."""
+    import numpy as np
+
+    a = np.random.RandomState(0).randn(1500, 1500)
+    t0 = time.monotonic()
+    for _ in range(6):
+        a @ a
+    return {"cpu_probe_sec": round(time.monotonic() - t0, 3)}
+
+
 def measure_d2_timing(spark, n_centers: int = 1000, k_cells: int = 1000) -> dict:
     """Isolated d2-init cost point (VERDICT r09 next #5): one fresh-JVM
     measurement of ``select_seeds_d2`` alone and the full
     ``kmeans_refine_seeds(init="d2", iters=3)`` at 1M/K=1000 — run
-    the tier three times (three JVMs) and compare the spread against
-    the round-9 dispersion (71–261 s), which the incremental
-    best-so-far state exists to remove."""
+    the tier N times (N JVMs) and compare the spread against the
+    round-9 dispersion (71–261 s), whose attributed mechanism (lazy
+    kernel recomputation under the per-round TakeOrdered) the
+    incremental best-so-far state removes by construction.  The
+    record carries a fixed-size CPU probe so residual spread can be
+    attributed to the box (microVM host steal) with paired data
+    rather than assertion."""
     from data_engineering_user_session_analysis_spark.operators.ivf import (
         kmeans_refine_seeds,
         select_seeds_d2,
     )
 
     _quiesce(spark)
+    probe = _cpu_speed_probe()
     emb, _ = _clustered_embeddings(spark, n_centers, 0.2)
     n = emb.count()
     _, init_sec = timed(
@@ -1044,6 +1067,7 @@ def measure_d2_timing(spark, n_centers: int = 1000, k_cells: int = 1000) -> dict
     return {
         "label": f"d2 init isolated rerun (1M, K={k_cells})",
         "n_vectors": n,
+        **probe,
         "d2_init_sec": init_sec,
         "d2_refine_x3_sec": refine_sec,
     }
