@@ -65,6 +65,23 @@ def main() -> None:
     def _q(name):
         return QUERIES.get(name) or RETIRED[name]
 
+    # Fixed-size CPU probe at run start and end: this box is a microVM
+    # whose effective speed varies ~2.3x with host steal (measured,
+    # STRESS_sf1_r10 d2 reruns) — a run-level speed reading in the
+    # artifact lets cross-round comparisons attribute uniform drift to
+    # the box instead of re-measuring by hand.
+    def _cpu_probe() -> float:
+        import numpy as _np
+
+        a = _np.random.RandomState(0).randn(1500, 1500)
+        t0 = time.perf_counter()
+        for _ in range(6):
+            a @ a
+        return round(time.perf_counter() - t0, 3)
+
+    _cpu_probe()  # first-touch/thread-pool warmup, discarded
+    probe_start = _cpu_probe()
+
     spark = get_spark("bench")
     # JVM/codegen warmup on the smallest SF so per-query numbers
     # measure the plan, not first-call JIT.
@@ -261,6 +278,8 @@ def main() -> None:
         "family_subtotals": dict(sorted(family_subtotals.items())),
         "ingest_events_per_sec": ingest_events_per_sec,
         "corpus_prep_docs_per_sec": corpus_prep_docs_per_sec,
+        "cpu_probe_sec_start": probe_start,
+        "cpu_probe_sec_end": _cpu_probe(),
         "sf": sf,
     }
     # The driver captures a bounded tail of stdout: round 6's `trials`
