@@ -336,6 +336,8 @@ def run_vectors_index_step(
     auto_rebuild: bool = False,
     rebuild_margin: float = 1.0,
     recall_sample_q: "int | None" = None,
+    recall_floor: "float | None" = None,
+    auto_tune_recall: bool = False,
 ) -> dict:
     """Daily embedding-shard dedup-index step — the vector twin of
     ``run_docs_index_step``: probe the persistent hyperplane-LSH
@@ -367,6 +369,21 @@ def run_vectors_index_step(
     report: ``index_outgrown`` is the alarm, ``index_rebuilt`` is
     None unless a rebuild ran (an orchestrator can alert on
     ``outgrown and not rebuilt``).
+
+    ``recall_floor`` gives the RECALL sensor the same alarm/consumer
+    pair (the round-10 symmetry: geometry growth has
+    outgrown→rebuild, recall now has breached→tune): when the
+    ``recall_sample_q`` sensor's measured recall at the step's
+    threshold falls below the floor, ``recall_breached`` trips —
+    and with ``auto_tune_recall=True`` the step runs
+    ``vector_index_recall_autotune`` in-line (inverse banding solve
+    → rebuild → re-measure until the floor is met), recording the
+    trail in ``recall_tuned``.  Both default off: every autotune
+    step is a full re-bucketing rebuild, so unattended deployments
+    opt in while others alert on ``breached and not tuned``.  A
+    sensor with no true pairs at the threshold (recall None) never
+    trips the floor — tuning against a vacuum is refused by the verb
+    itself.
     """
     import math
 
@@ -452,6 +469,21 @@ def run_vectors_index_step(
         report["recall_check"] = vector_index_recall_sample(
             spark, idx, threshold=threshold, sample_q=recall_sample_q
         )
+        if recall_floor is not None:
+            from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+                vector_index_recall_autotune,
+            )
+
+            measured = report["recall_check"]["recall_at_threshold"]
+            report["recall_breached"] = (
+                measured is not None and measured < recall_floor
+            )
+            report["recall_tuned"] = None
+            if auto_tune_recall and report["recall_breached"]:
+                report["recall_tuned"] = vector_index_recall_autotune(
+                    spark, idx, threshold=threshold,
+                    recall_target=recall_floor, sample_q=recall_sample_q,
+                )
     return report
 
 
@@ -466,6 +498,8 @@ def run_daily_pipeline(
     emb_path: str | None = None,
     auto_rebuild_vector_index: bool = False,
     recall_sample_q: "int | None" = None,
+    vector_recall_floor: "float | None" = None,
+    auto_tune_vector_recall: bool = False,
 ) -> dict:
     """The composed daily operational verb (``job daily <ds>``) — the
     sequence a real deployment runs once per day, chaining the
@@ -557,6 +591,8 @@ def run_daily_pipeline(
             spark, emb_path, out_dir, ds,
             auto_rebuild=auto_rebuild_vector_index,
             recall_sample_q=recall_sample_q,
+            recall_floor=vector_recall_floor,
+            auto_tune_recall=auto_tune_vector_recall,
         )
     return report
 
@@ -608,7 +644,7 @@ def main(argv: list[str]) -> None:
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
     operational pipeline ``job daily <ds> [--auto-rebuild-vectors]
-    [--recall-check]``
+    [--recall-check] [--tune-vector-recall]``
     — the index steps read today's shard locations from
     ``DOCS_SHARD_PATH`` / ``EMB_SHARD_PATH`` and are skipped when
     unset)."""
@@ -621,10 +657,19 @@ def main(argv: list[str]) -> None:
         auto_rebuild = "--auto-rebuild-vectors" in argv
         # --recall-check: attach the measured-recall sensors to the
         # daily index-step reports (sample_q 20)
-        recall_q = 20 if "--recall-check" in argv else None
+        # --tune-vector-recall: give the vector sensor its consumer —
+        # on a measured breach of the 0.8 floor, tune the geometry
+        # in-line (implies --recall-check)
+        tune_recall = "--tune-vector-recall" in argv
+        recall_q = (
+            20 if ("--recall-check" in argv or tune_recall) else None
+        )
         argv = [
             a for a in argv
-            if a not in ("--auto-rebuild-vectors", "--recall-check")
+            if a not in (
+                "--auto-rebuild-vectors", "--recall-check",
+                "--tune-vector-recall",
+            )
         ]
         ds = argv[2]
         lake = argv[3] if len(argv) > 3 else os.environ.get("LAKE_PATH", "/tmp/events_lake")
@@ -637,6 +682,8 @@ def main(argv: list[str]) -> None:
             emb_path=os.environ.get("EMB_SHARD_PATH"),
             auto_rebuild_vector_index=auto_rebuild,
             recall_sample_q=recall_q,
+            vector_recall_floor=0.8 if tune_recall else None,
+            auto_tune_vector_recall=tune_recall,
         )
         print(report)
         return

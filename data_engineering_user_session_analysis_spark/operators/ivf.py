@@ -2074,8 +2074,10 @@ def ivf_index_probe_autotune(
     a badly-seeded index, which is the honest price signal —
     measured (STRESS_sf1_r09): md5 seeds need (32,128) for 0.9556
     tail recall where d2+refined seeds need (8,32), a 4× cell-width
-    differential that amortizes the one-time d2 refine (71–261 s
-    at 1M/K=1000 across isolated runs) in ~35–130 probes.
+    differential that amortizes the one-time d2 refine (60–170 s at
+    1M/K=1000 across 7 isolated runs post the round-10 incremental
+    init; probe-normalized spread ≤1.3× — see ``select_seeds_d2``)
+    in ~30–85 probes.
 
     Returns the final widths + measurement plus the full ``steps``
     trail — the trail is the evidence an operator uses to decide

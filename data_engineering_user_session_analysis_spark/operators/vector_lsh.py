@@ -194,17 +194,33 @@ def vector_geometry_for_recall(
             return math.inf
         return math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - match))
 
-    # candidate-budget fixpoint (the lsh_params planes rule) gives the
-    # STARTING planes; tables for the budget pass use min_tables — the
-    # recall solve below only ever raises tables, which raises the
-    # budget-implied planes too, so starting at the min is the
-    # conservative (deep) end of the walk
-    planes = math.ceil(
-        math.log2(max(n * min_tables / max(candidates_per_vector, 1e-9), 2.0))
-    )
-    planes = min(max(planes, min_planes), max_planes)
-    while planes > min_planes and _tables_needed(planes) > max_tables:
-        planes -= 1
+    # planes ↔ tables fixpoint (the lsh_params alternation, with the
+    # recall solve at the caller's threshold): planes from the
+    # candidate budget at the CURRENT tables, shed until the tables
+    # bill fits, tables from the recall target at those planes.  A
+    # single budget pass at min_tables would stop too shallow — the
+    # recall solve raises tables, which affords deeper planes, which
+    # cuts random candidates (measured example at 1M/threshold 0.9/
+    # target 0.9: one-shot (18 planes, 37 tables) carries 141 random
+    # candidates/vector; the fixpoint's (21, 59) carries 28, back at
+    # the budget, for the same predicted recall).  At a converged
+    # fixpoint with no shedding, candidates ≤ budget by construction;
+    # when shedding binds (weak thresholds), candidates exceed the
+    # budget and the overshoot is reported, never hidden.
+    tables = min_tables
+    planes = min_planes
+    for _ in range(6):
+        planes = math.ceil(
+            math.log2(max(n * tables / max(candidates_per_vector, 1e-9), 2.0))
+        )
+        planes = min(max(planes, min_planes), max_planes)
+        while planes > min_planes and _tables_needed(planes) > max_tables:
+            planes -= 1
+        need = _tables_needed(planes)
+        new_tables = int(min(max(need, min_tables), max_tables))
+        if new_tables == tables:
+            break
+        tables = new_tables
     need = _tables_needed(planes)
     feasible = need <= max_tables
     tables = int(min(max(need if feasible else max_tables, min_tables), max_tables))

@@ -491,3 +491,73 @@ def test_index_steps_attach_recall_sensors(spark, sf_small, tmp_path):
 
     plain = run_docs_index_step(spark, pd_, out, "2024-01-02")
     assert "recall_check" not in plain
+
+
+def test_vectors_index_step_recall_floor_consumer(spark, tmp_path):
+    """Round-10 symmetry: geometry growth has outgrown->rebuild, and
+    recall now has breached->tune.  A day-1 index frozen with a
+    deliberately weak geometry (1 table, 16 planes) measures
+    near-zero recall at the step's threshold once day 2 lands its
+    ~0.94-cosine variants; with recall_floor + auto_tune_recall the
+    step trips `recall_breached`, runs the geometry autotune in-line,
+    and the stored params end at the tuner's met geometry.  Without
+    the floor the report shape is unchanged (no breach keys)."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import (
+        run_vectors_index_step,
+    )
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_vector_params,
+        append_shard_to_vector_index,
+    )
+
+    rng = np.random.RandomState(31)
+    dim = 16
+    base = rng.randn(240, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    day1 = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(240)],
+        "vec_id long, embedding array<float>",
+    )
+    out = str(tmp_path / "serving")
+    idx = os.path.join(out, "vector_index")
+    # day 1 freezes a starved geometry (outside the step, as a
+    # legacy/misconfigured deployment would have)
+    append_shard_to_vector_index(
+        day1, idx, "2024-01-01", dim=dim, tables=1, planes=16
+    )
+
+    rows = []
+    for i in range(120):  # ~0.94-cosine variants of day-1 vectors
+        u = rng.randn(dim)
+        u /= np.linalg.norm(u)
+        v = base[i] + 0.35 * u
+        rows.append((10_000 + i, [float(x) for x in v]))
+    p2 = str(tmp_path / "day2_shard")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(p2)
+
+    rep = run_vectors_index_step(
+        spark, p2, out, "2024-01-02", threshold=0.9,
+        recall_sample_q=20, recall_floor=0.9, auto_tune_recall=True,
+    )
+    # the sensor catches the breach the weak geometry causes...
+    assert rep["recall_check"]["recall_at_threshold"] is not None
+    assert rep["recall_check"]["recall_at_threshold"] < 0.9, rep["recall_check"]
+    assert rep["recall_breached"] is True
+    # ...and the in-line tuner brings it to the measured floor
+    tuned = rep["recall_tuned"]
+    assert tuned is not None and tuned["met"], tuned
+    assert tuned["recall_at_threshold"] >= 0.9
+    stored = _read_vector_params(spark, idx)
+    assert (stored["tables"], stored["planes"]) == (
+        tuned["tables"], tuned["planes"],
+    )
+    assert stored["dim"] == dim
+
+    # re-run of the day without a floor: sensor only, no breach keys
+    rep2 = run_vectors_index_step(
+        spark, p2, out, "2024-01-02", threshold=0.9, recall_sample_q=5
+    )
+    assert "recall_breached" not in rep2 and "recall_tuned" not in rep2

@@ -1572,6 +1572,11 @@ def test_vector_geometry_for_recall_inverse_model():
     g = vector_geometry_for_recall(1_000_000, 0.9, recall_target=0.9)
     assert g["feasible"]
     assert g["predicted_recall_at_threshold"] >= 0.9
+    # at a converged fixpoint with no plane-shedding the candidate
+    # budget is honored by construction (one-shot budget solves at
+    # min_tables stopped too shallow: 141 candidates/vector here vs
+    # the fixpoint's <= 32)
+    assert g["expected_random_candidates_per_vector"] <= 32.0
     # stricter target -> more tables or fewer planes, never narrower
     g2 = vector_geometry_for_recall(1_000_000, 0.9, recall_target=0.99)
     assert g2["predicted_recall_at_threshold"] >= 0.99
