@@ -640,7 +640,8 @@ def main(argv: list[str]) -> None:
     ``job tune-recall <ivf_index_path> [recall_target] [sample_q]`` /
     ``job tune-recall-vectors <vector_index_path> [threshold] [recall_target] [sample_q]`` /
     ``job validate-vector-recall <vector_index_path> [threshold] [sample_q]`` /
-    ``job validate-minhash-recall <minhash_index_path> [threshold] [sample_q]``,
+    ``job validate-minhash-recall <minhash_index_path> [threshold] [sample_q]`` /
+    ``job tune-recall-minhash <minhash_index_path> [threshold] [recall_target] [sample_q]``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
     operational pipeline ``job daily <ds> [--auto-rebuild-vectors]
@@ -836,6 +837,25 @@ def main(argv: list[str]) -> None:
         print(
             vector_index_recall_autotune(
                 get_spark("vector_recall_tune"), argv[2],
+                threshold=threshold, recall_target=target, sample_q=sample_q,
+            )
+        )
+        return
+    if argv[1] == "tune-recall-minhash":
+        # closed-loop GEOMETRY sizing for the persistent MinHash index
+        # (`job tune-recall-minhash <path> [threshold] [target]
+        # [sample_q]`): re-band until measured Jaccard recall meets
+        # the target — the text member of the actuator family
+        from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+            minhash_index_recall_autotune,
+        )
+
+        threshold = float(argv[3]) if len(argv) > 3 else 0.5
+        target = float(argv[4]) if len(argv) > 4 else 0.9
+        sample_q = int(argv[5]) if len(argv) > 5 else 20
+        print(
+            minhash_index_recall_autotune(
+                get_spark("minhash_recall_tune"), argv[2],
                 threshold=threshold, recall_target=target, sample_q=sample_q,
             )
         )

@@ -53,27 +53,64 @@ _BANDS = 16
 _ROWS_PER_BAND = 4
 
 
-def _bucket_table(shingles: DataFrame, id_col: str) -> DataFrame:
+def _bucket_table(
+    shingles: DataFrame,
+    id_col: str,
+    bands: int = _BANDS,
+    rows_per_band: int = _ROWS_PER_BAND,
+) -> DataFrame:
     """(id, band, bucket) rows — the probe surface; identical
-    construction to ``minhash_candidate_pairs``."""
-    sig = minhash_signatures(shingles, _BANDS * _ROWS_PER_BAND, id_col)
+    construction to ``minhash_candidate_pairs`` at the default
+    geometry, parameterized since round 10 so the recall actuator can
+    re-band an index (``rebuild_minhash_index``)."""
+    sig = minhash_signatures(shingles, bands * rows_per_band, id_col)
     entries = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.hash(
                     *[
-                        F.col(f"h{b * _ROWS_PER_BAND + r}")
-                        for r in range(_ROWS_PER_BAND)
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
                     ]
                 ).alias("bucket"),
             )
-            for b in range(_BANDS)
+            for b in range(bands)
         ]
     )
     return sig.select(F.col(id_col), F.explode(entries).alias("e")).select(
         id_col, "e.band", "e.bucket"
     )
+
+
+def _write_minhash_params(
+    spark, path: str, bands: int, rows_per_band: int, n: int
+) -> None:
+    """Persist the index geometry FIRST (the vector index's params
+    contract, applied to the text family): every append and probe
+    must shingle with the build's ``n`` and band with the build's
+    (bands, rows) — a shard shingled at a different n has disjoint
+    shingle sets, and different banding lands in a disjoint bucket
+    space; both silently never match."""
+    spark.createDataFrame(
+        [{"bands": int(bands), "rows_per_band": int(rows_per_band), "n": int(n)}],
+        "bands int, rows_per_band int, n int",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "params"))
+
+
+def _read_minhash_params(spark, path: str) -> "dict | None":
+    """The stored geometry, or None for a pre-params (legacy) index —
+    legacy indexes keep the module defaults plus the caller's ``n``,
+    so nothing built before the params table changes behavior."""
+    d = os.path.join(path, "params")
+    if not os.path.isdir(d):
+        return None
+    r = spark.read.parquet(d).first()
+    return {
+        "bands": int(r["bands"]),
+        "rows_per_band": int(r["rows_per_band"]),
+        "n": int(r["n"]),
+    }
 
 
 def _set_table(shingles: DataFrame, id_col: str) -> DataFrame:
@@ -88,13 +125,20 @@ def write_minhash_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    bands: int = _BANDS,
+    rows_per_band: int = _ROWS_PER_BAND,
 ) -> None:
     """Build the persistent index from a corpus batch (one shingle
-    pass feeds both tables)."""
+    pass feeds both tables).  The geometry (bands, rows_per_band) and
+    the shingle ``n`` are FROZEN in ``params/`` (written first) —
+    every later append and probe reads them back, so a caller-default
+    mismatch can never split the index into disjoint shingle/bucket
+    spaces."""
+    _write_minhash_params(docs.sparkSession, path, bands, rows_per_band, n)
     sh = shingle_docs(docs, text_col, id_col, n).cache()
-    _bucket_table(sh, id_col).write.mode("overwrite").parquet(
-        os.path.join(path, "buckets")
-    )
+    _bucket_table(sh, id_col, bands, rows_per_band).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "buckets"))
     _set_table(sh, id_col).write.mode("overwrite").parquet(
         os.path.join(path, "sets")
     )
@@ -109,9 +153,18 @@ def append_to_minhash_index(
     n: int = 3,
 ) -> None:
     """Append a (deduped) shard to the index so later increments see
-    it.  Parquet append — no rewrite of existing index files."""
+    it.  Parquet append — no rewrite of existing index files.  The
+    stored ``params/`` geometry and shingle ``n`` always win over the
+    caller's defaults (legacy indexes without params keep the module
+    defaults — unchanged behavior)."""
+    stored = _read_minhash_params(docs.sparkSession, path)
+    bands, rows, n = (
+        (stored["bands"], stored["rows_per_band"], stored["n"])
+        if stored is not None
+        else (_BANDS, _ROWS_PER_BAND, n)
+    )
     sh = shingle_docs(docs, text_col, id_col, n).cache()
-    _bucket_table(sh, id_col).write.mode("append").parquet(
+    _bucket_table(sh, id_col, bands, rows).write.mode("append").parquet(
         os.path.join(path, "buckets")
     )
     _set_table(sh, id_col).write.mode("append").parquet(
@@ -149,13 +202,24 @@ def append_shard_to_minhash_index(
     otherwise a crash between the new sets write and the new buckets
     write would leave the OLD ``_SUCCESS`` standing over mismatched
     sets/buckets — a day that probes as complete but whose candidates
-    verify against the wrong shingle sets."""
+    verify against the wrong shingle sets.
+
+    Geometry: an existing index's stored ``params/`` always wins; the
+    FIRST shard creates the index and freezes the module defaults
+    plus the caller's ``n`` (same contract as the vector twin)."""
+    stored = _read_minhash_params(docs.sparkSession, path)
+    if stored is not None:
+        bands, rows = stored["bands"], stored["rows_per_band"]
+        n = stored["n"]
+    else:
+        bands, rows = _BANDS, _ROWS_PER_BAND
+        _write_minhash_params(docs.sparkSession, path, bands, rows, n)
     _retract_day_marker(path, ds)
     sh = shingle_docs(docs, text_col, id_col, n).cache()
     _set_table(sh, id_col).write.mode("overwrite").parquet(
         os.path.join(path, "sets", f"ds={ds}")
     )
-    _bucket_table(sh, id_col).write.mode("overwrite").parquet(
+    _bucket_table(sh, id_col, bands, rows).write.mode("overwrite").parquet(
         os.path.join(path, "buckets", f"ds={ds}")
     )
     sh.unpersist()
@@ -236,12 +300,20 @@ def incremental_neardup_pairs(
     verified day list so incomplete days are excluded by an isin
     partition filter, not trusted to be absent.
     """
+    # the shard must shingle and band with the BUILD's stored
+    # geometry — a different n gives disjoint shingle sets, different
+    # banding a disjoint bucket space (stored params always win;
+    # legacy indexes keep the module defaults + caller n)
+    stored = _read_minhash_params(spark, path)
+    bands, rows = _BANDS, _ROWS_PER_BAND
+    if stored is not None:
+        bands, rows, n = stored["bands"], stored["rows_per_band"], stored["n"]
     # cache lifecycle: consumed by the CALLER's action (the returned
     # pairs are lazy), so the entry outlives this function — it is
     # SHARD-scale (the daily increment, not the corpus), plan-keyed,
     # and LRU-evictable.
     sh_new = shingle_docs(new_docs, text_col, id_col, n).cache()
-    b_new = _bucket_table(sh_new, id_col)
+    b_new = _bucket_table(sh_new, id_col, bands, rows)
     s_new = _set_table(sh_new, id_col)
 
     b_old = spark.read.parquet(os.path.join(path, "buckets"))
@@ -1100,6 +1172,12 @@ def minhash_index_recall_sample(
         raise ValueError(f"sample_q must be >= 1, got {sample_q}")
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    stored = _read_minhash_params(spark, path)
+    bands, rows = (
+        (stored["bands"], stored["rows_per_band"])
+        if stored is not None
+        else (_BANDS, _ROWS_PER_BAND)
+    )
     sets = spark.read.parquet(os.path.join(path, "sets"))
     if "ds" in sets.columns:
         sets = sets.filter(F.col("ds").isin(_marker_complete_days(path))).drop("ds")
@@ -1165,10 +1243,10 @@ def minhash_index_recall_sample(
         "n_docs": n,
         "sample_q": queries.count(),
         "threshold": threshold,
-        "bands": _BANDS,
-        "rows_per_band": _ROWS_PER_BAND,
+        "bands": bands,
+        "rows_per_band": rows,
         "predicted_recall_at_threshold": round(
-            1.0 - (1.0 - threshold**_ROWS_PER_BAND) ** _BANDS, 4
+            1.0 - (1.0 - threshold**rows) ** bands, 4
         ),
         "true_pairs": true_pairs,
         "found_pairs": found_pairs,
@@ -1182,3 +1260,248 @@ def minhash_index_recall_sample(
         ),
         "probe_sec": probe_sec,
     }
+
+
+def minhash_geometry_for_recall(
+    threshold: float,
+    recall_target: float = 0.9,
+    min_rows: int = 1,
+    max_rows: int = 8,
+    min_bands: int = 8,
+    max_bands: int = 64,
+) -> dict:
+    """INVERSE banding solve for the MinHash family: the (bands,
+    rows_per_band) that hold ``recall_target`` at the caller's
+    Jaccard ``threshold`` — the text twin of
+    ``vector_geometry_for_recall``, completing the three-family
+    sensor+actuator symmetry (IVF probes widen, both LSH families
+    re-band).  The banding closed form: a pair at Jaccard J matches
+    one band with probability J^rows, so ``bands =
+    ⌈ln(1−target)/ln(1−threshold^rows)⌉``.
+
+    Row selection is PRECISION-FIRST, mirroring the vector solve's
+    deepest-feasible-planes rule: deeper rows make each band more
+    selective (random-overlap pairs collide per band with roughly the
+    background-Jaccard^rows rate, so every shed row multiplies the
+    false-candidate load), at the price of more bands; the solve
+    takes the DEEPEST rows whose bands bill fits ``max_bands``.
+    ``feasible=False`` (with the widest tried geometry and its
+    achieved prediction) when even ``min_rows`` cannot reach the
+    target — the signature cost (bands·rows minhashes per doc) is
+    reported so callers see what they are buying."""
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+
+    def _bands_needed(rows: int) -> float:
+        match = threshold**rows
+        if match >= 1.0:
+            return 1.0
+        return math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - match))
+
+    rows = max_rows
+    while rows > min_rows and _bands_needed(rows) > max_bands:
+        rows -= 1
+    need = _bands_needed(rows)
+    feasible = need <= max_bands
+    bands = int(min(max(need if feasible else max_bands, min_bands), max_bands))
+    return {
+        "rows_per_band": rows,
+        "bands": bands,
+        "feasible": feasible,
+        "threshold": threshold,
+        "recall_target": recall_target,
+        "predicted_recall_at_threshold": 1.0
+        - (1.0 - threshold**rows) ** bands,
+        "signature_hashes_per_doc": bands * rows,
+    }
+
+
+def rebuild_minhash_index(
+    spark: SparkSession,
+    path: str,
+    geometry: dict,
+    id_col: str = "doc_id",
+) -> dict:
+    """Re-band the ENTIRE MinHash index under an explicit (bands,
+    rows_per_band) — the text twin of
+    ``rebuild_vector_index(geometry=...)``, and the rebuild step of
+    ``minhash_index_recall_autotune``.  Signatures are deterministic
+    functions of (shingle set, geometry), so every bucket row is
+    recomputed from the stored ``sets/`` — no re-shingling and no
+    raw-text access (which is also why the shingle ``n`` is frozen:
+    changing it would need the original text).
+
+    Layout-preserving like the vector rebuild: a ds-partitioned index
+    keeps its per-day ``sets/ds=*`` shards and gets per-day bucket
+    partitions with ``_SUCCESS`` markers restored ONLY for days that
+    were marker-complete before the rebuild; a flat index stays flat.
+    Same ``<path>.rebuild`` + two-rename crash-safety contract and
+    single-writer/no-concurrent-probe caveats.  Returns
+    ``{"n_docs", "geometry", "layout"}``."""
+    import shutil
+
+    stored = _read_minhash_params(spark, path)
+    n = stored["n"] if stored is not None else 3
+    bands, rows = int(geometry["bands"]), int(geometry["rows_per_band"])
+    sets = spark.read.parquet(os.path.join(path, "sets"))
+    layout = "ds" if "ds" in sets.columns else "flat"
+    tmp = path.rstrip("/") + ".rebuild"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _write_minhash_params(spark, tmp, bands, rows, n)
+    n_docs = sets.count()
+    if layout == "ds":
+        pre_complete = {
+            d
+            for d in os.listdir(os.path.join(path, "buckets"))
+            if d.startswith("ds=")
+            and os.path.exists(os.path.join(path, "buckets", d, "_SUCCESS"))
+        }
+        sets.write.mode("overwrite").partitionBy("ds").parquet(
+            os.path.join(tmp, "sets")
+        )
+        shingles = sets.select(
+            F.col(id_col), F.col("ds"), F.explode("sh_set").alias("shingle")
+        )
+        # one partitioned job recomputes every day's buckets; the
+        # per-day markers are restored after (a bulk partitionBy
+        # write only stamps the top level)
+        sig = _bucket_table(
+            shingles.select(id_col, "shingle"), id_col, bands, rows
+        )
+        (
+            shingles.select(id_col, "ds")
+            .distinct()
+            .join(sig, id_col)
+            .write.mode("overwrite")
+            .partitionBy("ds")
+            .parquet(os.path.join(tmp, "buckets"))
+        )
+        for d in os.listdir(os.path.join(tmp, "buckets")):
+            if d.startswith("ds=") and d in pre_complete:
+                open(os.path.join(tmp, "buckets", d, "_SUCCESS"), "w").close()
+    else:
+        sets.write.mode("overwrite").parquet(os.path.join(tmp, "sets"))
+        shingles = sets.select(F.col(id_col), F.explode("sh_set").alias("shingle"))
+        _bucket_table(shingles, id_col, bands, rows).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "buckets"))
+    if not os.path.exists(os.path.join(tmp, "buckets", "_SUCCESS")):
+        raise RuntimeError(f"rebuild at {tmp} is incomplete (no buckets/_SUCCESS)")
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "n_docs": n_docs,
+        "geometry": {"bands": bands, "rows_per_band": rows, "n": n},
+        "layout": layout,
+    }
+
+
+def minhash_index_recall_autotune(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.5,
+    recall_target: float = 0.9,
+    sample_q: int = 20,
+    max_steps: int = 6,
+    max_bands: int = 128,
+    min_rows: int = 1,
+    id_col: str = "doc_id",
+    salt: str = "recall",
+) -> dict:
+    """Closed-loop GEOMETRY sizing for the persistent MinHash index:
+    re-band under progressively wider geometry until the MEASURED
+    Jaccard recall (``minhash_index_recall_sample``) meets the target
+    — the text member of the actuator family (CLI: ``job
+    tune-recall-minhash``), with the same contract as
+    ``vector_index_recall_autotune``: measure the stored geometry
+    first (a healthy index never rebuilds), jump to the inverse
+    banding solve on a breach, escalate by doubling bands to
+    ``max_bands`` then shedding rows toward ``min_rows`` (each shed
+    row multiplies the false-candidate load — the honest price
+    trail), one full re-banding rebuild per step, NO structurally
+    exact endpoint (exhaustion with ``met=False`` is possible and
+    honest), and ``met=None`` without rebuilding when the sample has
+    no true pairs at the threshold.  The md5-order sample and its
+    exact-Jaccard truth depend only on the stored ``sets/``, which
+    rebuilds never change — step deltas are geometry-attributable."""
+    import time
+
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
+
+    def _predicted(bands: int, rows: int) -> float:
+        return round(1.0 - (1.0 - threshold**rows) ** bands, 4)
+
+    def _measure(rebuild_sec: "float | None") -> dict:
+        r = minhash_index_recall_sample(
+            spark, path, threshold=threshold, sample_q=sample_q,
+            id_col=id_col, salt=salt,
+        )
+        return {
+            "bands": r["bands"],
+            "rows_per_band": r["rows_per_band"],
+            "predicted_recall_at_threshold": r["predicted_recall_at_threshold"],
+            "true_pairs": r["true_pairs"],
+            "found_pairs": r["found_pairs"],
+            "recall_at_threshold": r["recall_at_threshold"],
+            "min_query_recall": r["min_query_recall"],
+            "probe_sec": r["probe_sec"],
+            "rebuild_sec": rebuild_sec,
+            "n_docs": r["n_docs"],
+        }
+
+    first = _measure(None)
+    res: dict = {
+        "n_docs": first["n_docs"],
+        "threshold": threshold,
+        "recall_target": recall_target,
+        "sample_q": sample_q,
+        "steps": [first],
+    }
+    if first["recall_at_threshold"] is None:
+        res.update(bands=first["bands"], rows_per_band=first["rows_per_band"],
+                   recall_at_threshold=None, met=None, exhausted=False)
+        return res
+
+    exhausted = False
+    while (
+        res["steps"][-1]["recall_at_threshold"] < recall_target
+        and len(res["steps"]) < max_steps
+        and not exhausted
+    ):
+        cur = res["steps"][-1]
+        solve = minhash_geometry_for_recall(
+            threshold, recall_target=recall_target,
+            min_rows=min_rows, max_bands=min(max_bands, 64),
+        )
+        if _predicted(solve["bands"], solve["rows_per_band"]) > _predicted(
+            cur["bands"], cur["rows_per_band"]
+        ):
+            nxt = {"bands": solve["bands"],
+                   "rows_per_band": solve["rows_per_band"]}
+        elif cur["bands"] < max_bands:
+            nxt = {"bands": min(2 * cur["bands"], max_bands),
+                   "rows_per_band": cur["rows_per_band"]}
+        elif cur["rows_per_band"] > min_rows:
+            nxt = {"bands": cur["bands"],
+                   "rows_per_band": cur["rows_per_band"] - 1}
+        else:
+            exhausted = True
+            break
+        t0 = time.monotonic()
+        rebuild_minhash_index(spark, path, nxt, id_col=id_col)
+        res["steps"].append(_measure(round(time.monotonic() - t0, 3)))
+    last = res["steps"][-1]
+    res.update(
+        bands=last["bands"],
+        rows_per_band=last["rows_per_band"],
+        recall_at_threshold=last["recall_at_threshold"],
+        met=last["recall_at_threshold"] >= recall_target,
+        exhausted=exhausted,
+    )
+    return res

@@ -715,3 +715,135 @@ def test_vector_autotune_honest_on_no_true_pairs(spark, sf_small, tmp_path):
     assert res["met"] is None and len(res["steps"]) == 1
     assert res["recall_at_threshold"] is None
     assert _read_vector_params(spark, idx) == before
+
+
+def test_minhash_geometry_for_recall_inverse_model():
+    """The text-family inverse banding solve: prediction honors the
+    target when feasible, deeper rows are preferred while the bands
+    bill fits (precision-first), and infeasibility is reported."""
+    import pytest
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        minhash_geometry_for_recall,
+    )
+
+    # a strong threshold affords the deepest rows within 64 bands
+    strong = minhash_geometry_for_recall(0.7, recall_target=0.9)
+    assert strong["feasible"] and strong["rows_per_band"] == 8
+    assert strong["predicted_recall_at_threshold"] >= 0.9
+    # a weak threshold sheds rows until the bands bill fits
+    weak = minhash_geometry_for_recall(0.5, recall_target=0.9)
+    assert weak["feasible"]
+    assert weak["rows_per_band"] < strong["rows_per_band"]
+    assert weak["predicted_recall_at_threshold"] >= 0.9
+    assert weak["signature_hashes_per_doc"] == weak["bands"] * weak["rows_per_band"]
+    # unaffordable with a rows floor: honest infeasibility
+    bad = minhash_geometry_for_recall(0.2, recall_target=0.99, min_rows=3)
+    assert not bad["feasible"]
+    assert bad["rows_per_band"] == 3 and bad["bands"] == 64
+    assert bad["predicted_recall_at_threshold"] < 0.99
+    with pytest.raises(ValueError):
+        minhash_geometry_for_recall(0.5, recall_target=1.5)
+    with pytest.raises(ValueError):
+        minhash_geometry_for_recall(1.0)
+
+
+def test_minhash_index_geometry_frozen_and_rebuild_preserves_probe(
+    spark, sf_small, tmp_path
+):
+    """The params contract, applied to the text family (round 10):
+    the build freezes (bands, rows, shingle n); appends and probes
+    read the stored geometry (caller defaults can no longer split the
+    index into disjoint spaces); a re-banding rebuild preserves the
+    ds layout, its completeness markers, and probe correctness."""
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_minhash_params,
+        append_shard_to_minhash_index,
+        incremental_neardup_pairs,
+        minhash_index_recall_sample,
+        rebuild_minhash_index,
+        shard_indexed,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "minhash_custom")
+    # day 1 freezes the default geometry + n
+    append_shard_to_minhash_index(docs, idx, "2024-01-01", n=4)
+    stored = _read_minhash_params(spark, idx)
+    assert stored == {"bands": 16, "rows_per_band": 4, "n": 4}
+
+    # a later append with DIFFERENT caller defaults must follow the
+    # stored n=4 (a clone then matches at jaccard 1.0 — with a
+    # mismatched n it would have disjoint shingle sets and J=0)
+    src = docs.orderBy("doc_id").first()
+    clone = spark.createDataFrame(
+        [(9_000_000, src.text)], "doc_id long, text string"
+    )
+    hits = incremental_neardup_pairs(
+        spark, clone, idx, threshold=0.9, before_ds="2024-01-02", n=3
+    ).collect()
+    assert any(
+        r.doc_a == src.doc_id and r.jaccard == 1.0 for r in hits
+    ), hits
+
+    # re-band under an explicit geometry: params updated, markers
+    # preserved, the same clone probe still hits
+    rep = rebuild_minhash_index(spark, idx, {"bands": 24, "rows_per_band": 3})
+    assert rep["layout"] == "ds" and rep["geometry"]["n"] == 4
+    assert _read_minhash_params(spark, idx) == {
+        "bands": 24, "rows_per_band": 3, "n": 4,
+    }
+    assert shard_indexed(idx, "2024-01-01")
+    hits2 = incremental_neardup_pairs(
+        spark, clone, idx, threshold=0.9, before_ds="2024-01-02"
+    ).collect()
+    assert any(r.doc_a == src.doc_id and r.jaccard == 1.0 for r in hits2)
+    # the sensor reports the STORED geometry, not module constants
+    sens = minhash_index_recall_sample(spark, idx, threshold=1.0, sample_q=3)
+    assert (sens["bands"], sens["rows_per_band"]) == (24, 3)
+
+
+def test_minhash_autotune_meets_target_where_geometry_fails(spark, tmp_path):
+    """`minhash_index_recall_autotune` on the regime the fixed 16x4
+    geometry cannot hold: prefix-variant pairs at Jaccard ~0.53-0.62
+    against a 0.9 target at threshold 0.5 (the banding form predicts
+    ~0.73-0.8 per pair there).  The tuner must measure the stored
+    geometry first, jump to the inverse solve, and terminate with
+    measured recall >= target, the final geometry landed in params/
+    and predictions monotone along the trail."""
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_minhash_params,
+        minhash_index_recall_autotune,
+        write_minhash_index,
+    )
+
+    rows = []
+    for i in range(150):
+        toks = [f"d{i}w{j}" for j in range(42)]
+        rows.append((i, " ".join(toks)))
+        keep = 22 + (i * 7) % 6  # prefix fractions ~0.52-0.64
+        rows.append((10_000 + i, " ".join(toks[:keep])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "minhash_tune")
+    write_minhash_index(docs, idx)
+
+    res = minhash_index_recall_autotune(
+        spark, idx, threshold=0.5, recall_target=0.9, sample_q=25
+    )
+    first, last = res["steps"][0], res["steps"][-1]
+    assert (first["bands"], first["rows_per_band"]) == (16, 4)
+    assert first["rebuild_sec"] is None
+    assert first["true_pairs"] > 0, res
+    assert first["recall_at_threshold"] < 0.9, res
+    assert res["met"] and res["recall_at_threshold"] >= 0.9, res
+    assert len(res["steps"]) >= 2 and last["rebuild_sec"] is not None
+    stored = _read_minhash_params(spark, idx)
+    assert (stored["bands"], stored["rows_per_band"]) == (
+        res["bands"], res["rows_per_band"],
+    )
+    for a, b in zip(res["steps"], res["steps"][1:]):
+        assert (
+            b["predicted_recall_at_threshold"]
+            >= a["predicted_recall_at_threshold"] - 1e-12
+        )
+    assert {s["true_pairs"] for s in res["steps"]} == {first["true_pairs"]}
