@@ -1036,6 +1036,84 @@ def _cpu_speed_probe() -> dict:
     return {"cpu_probe_sec": round(time.monotonic() - t0, 3)}
 
 
+def measure_minhash_recall_autotune(
+    spark, variants_per_doc: int = 200, recall_target: float = 0.9
+) -> dict:
+    """The text actuator replay at 1M (round-10 symmetry with
+    ``measure_vector_recall_autotune``): the 1M prefix-variant corpus
+    whose pair mass spans the banding s-curve, tuned to a measured
+    Jaccard-recall target at the weak threshold (0.5) the default
+    16×4 geometry cannot hold (per-pair hit ~0.73–0.8 in the
+    J 0.53–0.64 band) — inverse banding solve → full re-banding
+    rebuild → re-measure."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        minhash_index_recall_autotune,
+        write_minhash_index,
+    )
+
+    _quiesce(spark)
+    base = spark.read.parquet(os.path.join(BASE, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    v = variants_per_doc
+    variants = (
+        base.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(v - 1))).alias("k"),
+        )
+        .select(
+            (F.col("doc_id") * v + F.col("k")).alias("doc_id"),
+            F.when(F.col("k") == 0, F.col("text"))
+            .otherwise(
+                F.substring(
+                    "text", 1,
+                    F.ceil(
+                        F.length("text")
+                        * (F.lit(0.5) + F.col("k") / F.lit(2.0 * v))
+                    ).cast("int"),
+                )
+            )
+            .alias("text"),
+        )
+    )
+    n = variants.count()
+    idx = tempfile.mkdtemp(prefix="stress_minhashtune_")
+    try:
+        _, build_sec = timed(lambda: write_minhash_index(variants, idx))
+        tune, tune_sec = timed(
+            lambda: minhash_index_recall_autotune(
+                spark, idx, threshold=0.5, recall_target=recall_target,
+                sample_q=15,
+            )
+        )
+        return {
+            # target in the label: the tier runs two targets and
+            # label-keyed artifact comparison must tell them apart
+            "label": "minhash index recall autotune (prefix-variant corpus, "
+            f"{v} variants/doc, target={recall_target})",
+            "n_docs": n,
+            "index_build_sec": build_sec,
+            "tune_sec": tune_sec,
+            "threshold": tune["threshold"],
+            "recall_target": tune["recall_target"],
+            "met": tune["met"],
+            "exhausted": tune["exhausted"],
+            "final": {
+                "bands": tune["bands"],
+                "rows_per_band": tune["rows_per_band"],
+                "recall_at_threshold": tune["recall_at_threshold"],
+            },
+            "steps": tune["steps"],
+        }
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def measure_d2_timing(spark, n_centers: int = 1000, k_cells: int = 1000) -> dict:
     """Isolated d2-init cost point (VERDICT r09 next #5): one fresh-JVM
     measurement of ``select_seeds_d2`` alone and the full
@@ -1983,6 +2061,17 @@ def run_tier(tier: str) -> list[dict]:
         # docs) so both text and vector families have a 1M measured
         # calibration point (VERDICT r09 next #4)
         return [measure_minhash_recall_sensor(spark, variants_per_doc=200)]
+    if tier == "minhashautotune":
+        # round-10 symmetry closer: the text actuator replay at 1M.
+        # target 0.9 demonstrates the honest fast-path (the corpus's
+        # pair mass at threshold 0.5 is mostly high-J, measured 0.96
+        # at the default geometry -> zero rebuilds); target 0.97 sits
+        # above that measurement and forces the breach -> re-band ->
+        # met trail at scale
+        return [
+            measure_minhash_recall_autotune(spark),
+            measure_minhash_recall_autotune(spark, recall_target=0.97),
+        ]
     if tier == "vecautotune":
         # round-10: the hyperplane actuator replay — a low-recall 1M
         # clustered index brought to a measured target via inverse
