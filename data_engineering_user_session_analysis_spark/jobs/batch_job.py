@@ -243,6 +243,8 @@ def run_docs_index_step(
     ds: str,
     threshold: float = 0.5,
     recall_sample_q: "int | None" = None,
+    recall_floor: "float | None" = None,
+    auto_tune_recall: bool = False,
 ) -> dict:
     """Daily document-shard dedup-index step (optional part of
     ``run_daily_pipeline``): probe the persistent MinHash index for
@@ -256,7 +258,16 @@ def run_docs_index_step(
     Day 1 (no prior index) self-dedups the shard with the star-edge
     graph instead.  Within-shard duplicates on later days fall out of
     the probe's shard self-join (``doc_a < doc_b`` — the min-id doc
-    survives)."""
+    survives).
+
+    ``recall_floor`` / ``auto_tune_recall``: the same breached→tune
+    alarm/consumer pair as the vectors step — when the
+    ``recall_sample_q`` sensor's measured Jaccard recall at the
+    step's threshold falls below the floor, ``recall_breached``
+    trips, and with ``auto_tune_recall=True`` the step re-bands
+    in-line via ``minhash_index_recall_autotune`` (trail in
+    ``recall_tuned``).  A no-true-pairs sensor (recall None) never
+    trips the floor."""
     from data_engineering_user_session_analysis_spark.operators.dedup import (
         dedup_canonical,
         minhash_dedup_edges,
@@ -264,6 +275,7 @@ def run_docs_index_step(
     from data_engineering_user_session_analysis_spark.operators.dedup_index import (
         append_shard_to_minhash_index,
         incremental_neardup_pairs,
+        minhash_index_recall_autotune,
         minhash_index_recall_sample,
         shard_indexed,
     )
@@ -303,6 +315,17 @@ def run_docs_index_step(
         report["recall_check"] = minhash_index_recall_sample(
             spark, idx, threshold=threshold, sample_q=recall_sample_q
         )
+        if recall_floor is not None:
+            measured = report["recall_check"]["recall_at_threshold"]
+            report["recall_breached"] = (
+                measured is not None and measured < recall_floor
+            )
+            report["recall_tuned"] = None
+            if auto_tune_recall and report["recall_breached"]:
+                report["recall_tuned"] = minhash_index_recall_autotune(
+                    spark, idx, threshold=threshold,
+                    recall_target=recall_floor, sample_q=recall_sample_q,
+                )
     return report
 
 
@@ -500,6 +523,8 @@ def run_daily_pipeline(
     recall_sample_q: "int | None" = None,
     vector_recall_floor: "float | None" = None,
     auto_tune_vector_recall: bool = False,
+    doc_recall_floor: "float | None" = None,
+    auto_tune_doc_recall: bool = False,
 ) -> dict:
     """The composed daily operational verb (``job daily <ds>``) — the
     sequence a real deployment runs once per day, chaining the
@@ -585,6 +610,8 @@ def run_daily_pipeline(
         report["dedup_index"] = run_docs_index_step(
             spark, docs_path, out_dir, ds,
             recall_sample_q=recall_sample_q,
+            recall_floor=doc_recall_floor,
+            auto_tune_recall=auto_tune_doc_recall,
         )
     if emb_path is not None:
         report["vector_index"] = run_vectors_index_step(

@@ -561,3 +561,54 @@ def test_vectors_index_step_recall_floor_consumer(spark, tmp_path):
         spark, p2, out, "2024-01-02", threshold=0.9, recall_sample_q=5
     )
     assert "recall_breached" not in rep2 and "recall_tuned" not in rep2
+
+
+def test_docs_index_step_recall_floor_consumer(spark, tmp_path):
+    """The docs-step twin of the vectors-step breached->tune pair: a
+    day-2 shard of ~0.55-Jaccard prefix variants measures below a
+    0.9 floor at the default 16x4 banding; with auto_tune_recall the
+    step re-bands in-line (minhash_index_recall_autotune) and the
+    stored params end at the tuner's met geometry."""
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import (
+        run_docs_index_step,
+    )
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_minhash_params,
+        append_shard_to_minhash_index,
+    )
+
+    base_rows, day2_rows = [], []
+    for i in range(150):
+        toks = [f"d{i}w{j}" for j in range(42)]
+        base_rows.append((i, " ".join(toks)))
+        keep = 22 + (i * 7) % 6  # prefix fractions ~0.52-0.64
+        day2_rows.append((10_000 + i, " ".join(toks[:keep])))
+    out = str(tmp_path / "serving")
+    idx = os.path.join(out, "doc_index")
+    append_shard_to_minhash_index(
+        spark.createDataFrame(base_rows, "doc_id long, text string"),
+        idx, "2024-01-01",
+    )
+    p2 = str(tmp_path / "day2_docs")
+    spark.createDataFrame(day2_rows, "doc_id long, text string").write.parquet(p2)
+
+    rep = run_docs_index_step(
+        spark, p2, out, "2024-01-02", threshold=0.5,
+        recall_sample_q=25, recall_floor=0.9, auto_tune_recall=True,
+    )
+    assert rep["recall_check"]["recall_at_threshold"] is not None
+    assert rep["recall_check"]["recall_at_threshold"] < 0.9, rep["recall_check"]
+    assert rep["recall_breached"] is True
+    tuned = rep["recall_tuned"]
+    assert tuned is not None and tuned["met"], tuned
+    assert tuned["recall_at_threshold"] >= 0.9
+    stored = _read_minhash_params(spark, idx)
+    assert (stored["bands"], stored["rows_per_band"]) == (
+        tuned["bands"], tuned["rows_per_band"],
+    )
+
+    # floorless re-run keeps the old report shape
+    rep2 = run_docs_index_step(
+        spark, p2, out, "2024-01-02", threshold=0.5, recall_sample_q=5
+    )
+    assert "recall_breached" not in rep2 and "recall_tuned" not in rep2
