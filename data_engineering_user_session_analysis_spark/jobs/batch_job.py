@@ -267,7 +267,14 @@ def run_docs_index_step(
     trips, and with ``auto_tune_recall=True`` the step re-bands
     in-line via ``minhash_index_recall_autotune`` (trail in
     ``recall_tuned``).  A no-true-pairs sensor (recall None) never
-    trips the floor."""
+    trips the floor.
+
+    A ``recall_floor`` without a ``recall_sample_q`` is rejected up
+    front: the breach check lives inside the sensor branch, so a
+    floor with no sample size would silently never measure, never
+    trip, and never tune — an alarm the caller believes is armed but
+    isn't (ADVICE r10)."""
+    _validate_recall_args(recall_sample_q, recall_floor, auto_tune_recall)
     from data_engineering_user_session_analysis_spark.operators.dedup import (
         dedup_canonical,
         minhash_dedup_edges,
@@ -322,9 +329,15 @@ def run_docs_index_step(
             )
             report["recall_tuned"] = None
             if auto_tune_recall and report["recall_breached"]:
+                # unattended path: keep at least 2 rows per band (a
+                # 1-row band admits every shared-shingle pair as a
+                # candidate) — the attended CLI can still pass
+                # min_rows=1 explicitly; the candidate-load ceiling
+                # in the tuner guards both paths (ADVICE r10)
                 report["recall_tuned"] = minhash_index_recall_autotune(
                     spark, idx, threshold=threshold,
                     recall_target=recall_floor, sample_q=recall_sample_q,
+                    min_rows=2,
                 )
     return report
 
@@ -347,6 +360,33 @@ def _complete_prior_days(idx: str, ds: str, indexed_fn) -> list[str]:
         and p.split("=", 1)[1] < ds
         and indexed_fn(idx, p.split("=", 1)[1])
     )
+
+
+def _validate_recall_args(
+    recall_sample_q: "int | None",
+    recall_floor: "float | None",
+    auto_tune_recall: bool,
+) -> None:
+    """Reject recall-sensor configurations that would be silently
+    inert: the floor check and the autotune consumer both live inside
+    the ``if recall_sample_q:`` sensor branch, so a caller who arms a
+    floor (or the tune) without a sample size would get no
+    measurement, no ``recall_breached`` key, and no error — an
+    orchestrator alerting on ``breached and not tuned`` sees nothing
+    (ADVICE r10, medium)."""
+    if recall_floor is not None and not recall_sample_q:
+        raise ValueError(
+            "recall_floor requires a positive recall_sample_q: the "
+            "floor is checked against the sampled-recall sensor, so "
+            "without a sample size the breach alarm would be "
+            "silently inert"
+        )
+    if auto_tune_recall and recall_floor is None:
+        raise ValueError(
+            "auto_tune_recall requires a recall_floor: the tune "
+            "consumer fires only on a floor breach, so without a "
+            "floor it would be silently inert"
+        )
 
 
 def run_vectors_index_step(
@@ -406,9 +446,14 @@ def run_vectors_index_step(
     opt in while others alert on ``breached and not tuned``.  A
     sensor with no true pairs at the threshold (recall None) never
     trips the floor — tuning against a vacuum is refused by the verb
-    itself.
+    itself.  As in the docs step, a floor without a
+    ``recall_sample_q`` is a configuration error and raises
+    (ADVICE r10: the nested breach check would otherwise make the
+    alarm silently inert).
     """
     import math
+
+    _validate_recall_args(recall_sample_q, recall_floor, auto_tune_recall)
 
     from data_engineering_user_session_analysis_spark.operators.dedup import dedup_canonical
     from data_engineering_user_session_analysis_spark.operators.dedup_index import (
@@ -503,9 +548,16 @@ def run_vectors_index_step(
             )
             report["recall_tuned"] = None
             if auto_tune_recall and report["recall_breached"]:
+                # unattended path: floor planes at 4 (each shed plane
+                # doubles random candidates — min_planes=1 would let
+                # the ladder walk toward near-all-pairs buckets); the
+                # attended CLI keeps the permissive default, and the
+                # tuner's candidate-load ceiling guards both paths
+                # (ADVICE r10)
                 report["recall_tuned"] = vector_index_recall_autotune(
                     spark, idx, threshold=threshold,
                     recall_target=recall_floor, sample_q=recall_sample_q,
+                    min_planes=4,
                 )
     return report
 
@@ -672,7 +724,7 @@ def main(argv: list[str]) -> None:
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
     operational pipeline ``job daily <ds> [--auto-rebuild-vectors]
-    [--recall-check] [--tune-vector-recall]``
+    [--recall-check] [--tune-vector-recall] [--tune-doc-recall]``
     — the index steps read today's shard locations from
     ``DOCS_SHARD_PATH`` / ``EMB_SHARD_PATH`` and are skipped when
     unset)."""
@@ -685,18 +737,21 @@ def main(argv: list[str]) -> None:
         auto_rebuild = "--auto-rebuild-vectors" in argv
         # --recall-check: attach the measured-recall sensors to the
         # daily index-step reports (sample_q 20)
-        # --tune-vector-recall: give the vector sensor its consumer —
-        # on a measured breach of the 0.8 floor, tune the geometry
-        # in-line (implies --recall-check)
+        # --tune-vector-recall / --tune-doc-recall: give the sensors
+        # their consumers — on a measured breach of the 0.8 floor,
+        # tune the geometry in-line (each implies --recall-check)
         tune_recall = "--tune-vector-recall" in argv
+        tune_doc_recall = "--tune-doc-recall" in argv
         recall_q = (
-            20 if ("--recall-check" in argv or tune_recall) else None
+            20
+            if ("--recall-check" in argv or tune_recall or tune_doc_recall)
+            else None
         )
         argv = [
             a for a in argv
             if a not in (
                 "--auto-rebuild-vectors", "--recall-check",
-                "--tune-vector-recall",
+                "--tune-vector-recall", "--tune-doc-recall",
             )
         ]
         ds = argv[2]
@@ -712,6 +767,8 @@ def main(argv: list[str]) -> None:
             recall_sample_q=recall_q,
             vector_recall_floor=0.8 if tune_recall else None,
             auto_tune_vector_recall=tune_recall,
+            doc_recall_floor=0.8 if tune_doc_recall else None,
+            auto_tune_doc_recall=tune_doc_recall,
         )
         print(report)
         return

@@ -1001,6 +1001,7 @@ def vector_index_recall_autotune(
     max_tables: int = 128,
     min_planes: int = 1,
     candidates_per_vector: float = 32.0,
+    max_candidate_load: "float | None" = 1024.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "recall",
@@ -1043,9 +1044,25 @@ def vector_index_recall_autotune(
     conclude the threshold is unaffordable for this family.
     ``met=None`` (no rebuild) when the sample has no true pairs at
     the threshold — raise ``sample_q`` or lower ``threshold`` rather
-    than tuning against a vacuum."""
+    than tuning against a vacuum.
+
+    ``max_candidate_load`` (ADVICE r10): an escalation toward
+    ``max_tables``/``min_planes`` can land a geometry whose expected
+    random candidate load, ``N·tables/2^planes``, approaches
+    O(N²)-class at weak thresholds — every NEXT geometry is priced
+    with the same closed form the inverse solve reports, and a
+    load-increasing move past the ceiling stops the walk
+    (``exhausted=True`` + ``stopped_on_candidate_load`` naming the
+    refused geometry and its load) instead of silently buying recall
+    with an unaffordable probe.  ``None`` disables the gate.  The
+    walk mechanics live in ``operators/recall_tune.py`` — the one
+    engine all three index families share."""
     import time
 
+    from data_engineering_user_session_analysis_spark.operators.recall_tune import (
+        autotune_walk,
+        solve_then_ladder,
+    )
     from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
         vector_geometry_for_recall,
     )
@@ -1053,15 +1070,18 @@ def vector_index_recall_autotune(
     if not 0.0 < recall_target < 1.0:
         raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
 
-    def _predicted(tables: int, planes: int) -> float:
+    def _predicted(g: dict) -> float:
         p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-        return round(1.0 - (1.0 - p**planes) ** tables, 4)
+        return round(1.0 - (1.0 - p ** g["planes"]) ** g["tables"], 4)
+
+    state: dict = {"n": 2}
 
     def _measure(rebuild_sec: "float | None") -> dict:
         r = vector_index_recall_sample(
             spark, path, threshold=threshold, sample_q=sample_q,
             id_col=id_col, vec_col=vec_col, salt=salt,
         )
+        state["n"] = r["n_vectors"]
         return {
             "tables": r["tables"],
             "planes": r["planes"],
@@ -1075,59 +1095,55 @@ def vector_index_recall_autotune(
             "n_vectors": r["n_vectors"],
         }
 
-    first = _measure(None)
-    res: dict = {
+    def _solve() -> dict:
+        return vector_geometry_for_recall(
+            state["n"], threshold, recall_target=recall_target,
+            candidates_per_vector=candidates_per_vector,
+            min_planes=min_planes, max_tables=min(max_tables, 64),
+        )
+
+    def _apply(geom: dict) -> float:
+        t0 = time.monotonic()
+        rebuild_vector_index(
+            spark, path, geometry=geom, id_col=id_col, vec_col=vec_col
+        )
+        return round(time.monotonic() - t0, 3)
+
+    walk = autotune_walk(
+        measure=_measure,
+        recall_key="recall_at_threshold",
+        recall_target=recall_target,
+        max_steps=max_steps,
+        next_geometry=solve_then_ladder(
+            solve=_solve,
+            predicted=_predicted,
+            primary_key="tables",
+            primary_max=max_tables,
+            secondary_key="planes",
+            secondary_min=min_planes,
+            widen_primary=lambda t: 2 * t,
+            shrink_secondary=lambda p: p - 1,
+        ),
+        apply_geometry=_apply,
+        # the banding family's closed-form random-candidate load —
+        # the same expression vector_geometry_for_recall reports
+        candidate_load=lambda g: state["n"] * g["tables"] / 2.0 ** g["planes"],
+        max_candidate_load=max_candidate_load,
+    )
+    first, last = walk["steps"][0], walk["steps"][-1]
+    return {
         "n_vectors": first["n_vectors"],
         "threshold": threshold,
         "recall_target": recall_target,
         "sample_q": sample_q,
-        "steps": [first],
+        "steps": walk["steps"],
+        "tables": last["tables"],
+        "planes": last["planes"],
+        "recall_at_threshold": last["recall_at_threshold"],
+        "met": walk["met"],
+        "exhausted": walk["exhausted"],
+        "stopped_on_candidate_load": walk["stopped_on_candidate_load"],
     }
-    if first["recall_at_threshold"] is None:
-        # no true pairs in the sample: nothing to tune against, and a
-        # rebuild on zero evidence would be theater
-        res.update(tables=first["tables"], planes=first["planes"],
-                   recall_at_threshold=None, met=None, exhausted=False)
-        return res
-
-    exhausted = False
-    while (
-        res["steps"][-1]["recall_at_threshold"] < recall_target
-        and len(res["steps"]) < max_steps
-        and not exhausted
-    ):
-        cur = res["steps"][-1]
-        solve = vector_geometry_for_recall(
-            cur["n_vectors"], threshold, recall_target=recall_target,
-            candidates_per_vector=candidates_per_vector,
-            min_planes=min_planes, max_tables=min(max_tables, 64),
-        )
-        if _predicted(solve["tables"], solve["planes"]) > _predicted(
-            cur["tables"], cur["planes"]
-        ):
-            nxt = {"tables": solve["tables"], "planes": solve["planes"]}
-        elif cur["tables"] < max_tables:
-            nxt = {"tables": min(2 * cur["tables"], max_tables),
-                   "planes": cur["planes"]}
-        elif cur["planes"] > min_planes:
-            nxt = {"tables": cur["tables"], "planes": cur["planes"] - 1}
-        else:
-            exhausted = True
-            break
-        t0 = time.monotonic()
-        rebuild_vector_index(
-            spark, path, geometry=nxt, id_col=id_col, vec_col=vec_col
-        )
-        res["steps"].append(_measure(round(time.monotonic() - t0, 3)))
-    last = res["steps"][-1]
-    res.update(
-        tables=last["tables"],
-        planes=last["planes"],
-        recall_at_threshold=last["recall_at_threshold"],
-        met=last["recall_at_threshold"] >= recall_target,
-        exhausted=exhausted,
-    )
-    return res
 
 
 def minhash_index_recall_sample(
@@ -1337,6 +1353,10 @@ def rebuild_minhash_index(
     keeps its per-day ``sets/ds=*`` shards and gets per-day bucket
     partitions with ``_SUCCESS`` markers restored ONLY for days that
     were marker-complete before the rebuild; a flat index stays flat.
+    Under the ds layout signatures are recomputed per (doc_id, ds)
+    group — the exact grouping the per-day append wrote — so a doc_id
+    present in multiple day partitions keeps its per-day signatures
+    instead of getting one merged cross-day signature (ADVICE r10).
     Same ``<path>.rebuild`` + two-rename crash-safety contract and
     single-writer/no-concurrent-probe caveats.  Returns
     ``{"n_docs", "geometry", "layout"}``."""
@@ -1361,19 +1381,28 @@ def rebuild_minhash_index(
         sets.write.mode("overwrite").partitionBy("ds").parquet(
             os.path.join(tmp, "sets")
         )
-        shingles = sets.select(
-            F.col(id_col), F.col("ds"), F.explode("sh_set").alias("shingle")
-        )
         # one partitioned job recomputes every day's buckets; the
         # per-day markers are restored after (a bulk partitionBy
-        # write only stamps the top level)
-        sig = _bucket_table(
-            shingles.select(id_col, "shingle"), id_col, bands, rows
+        # write only stamps the top level).  Signatures are grouped
+        # per (doc_id, ds) — NOT per doc_id across days: a doc_id
+        # present in multiple ds partitions (re-ingested/updated doc)
+        # was signed per-day by the append path, so grouping its
+        # shingles across days would merge the signatures and land
+        # the rebuild in different buckets than an append-built index
+        # (ADVICE r10).  The composite struct key keeps it one
+        # distributed job over all days instead of a job per day.
+        shingles = sets.select(
+            F.struct(F.col(id_col), F.col("ds")).alias("_rid"),
+            F.explode("sh_set").alias("shingle"),
         )
         (
-            shingles.select(id_col, "ds")
-            .distinct()
-            .join(sig, id_col)
+            _bucket_table(shingles, "_rid", bands, rows)
+            .select(
+                F.col(f"_rid.{id_col}").alias(id_col),
+                F.col("_rid.ds").alias("ds"),
+                "band",
+                "bucket",
+            )
             .write.mode("overwrite")
             .partitionBy("ds")
             .parquet(os.path.join(tmp, "buckets"))
@@ -1401,6 +1430,37 @@ def rebuild_minhash_index(
     }
 
 
+def _minhash_pair_collision_rate(
+    spark: SparkSession, path: str, n_docs: int
+) -> "float | None":
+    """Measured per-band bucket-collision probability of a random
+    doc pair under the index's CURRENT buckets — the empirical input
+    the autotune's candidate-load gate needs (ADVICE r10): unlike the
+    vector family, the MinHash false-candidate rate depends on the
+    corpus's background Jaccard, which no closed form knows.  One
+    bounded agg over the stored buckets: bucket-mate (ordered) pairs
+    summed over all (band, bucket) groups, divided by
+    ``bands · n · (n−1)``.  Includes TRUE near-dup collisions, so the
+    backed-out background Jaccard overestimates — the gate errs
+    conservative.  ``None`` when the index is too small to price."""
+    stored = _read_minhash_params(spark, path)
+    bands = stored["bands"] if stored is not None else _BANDS
+    if n_docs < 2:
+        return None
+    b = spark.read.parquet(os.path.join(path, "buckets"))
+    if "ds" in b.columns:
+        b = b.filter(F.col("ds").isin(_marker_complete_days(path))).drop("ds")
+    mates = (
+        b.groupBy("band", "bucket")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1)).alias("m"))
+        .first()["m"]
+    )
+    if mates is None:
+        return None
+    return mates / (bands * n_docs * (n_docs - 1.0))
+
+
 def minhash_index_recall_autotune(
     spark: SparkSession,
     path: str,
@@ -1410,6 +1470,7 @@ def minhash_index_recall_autotune(
     max_steps: int = 6,
     max_bands: int = 128,
     min_rows: int = 1,
+    max_candidate_load: "float | None" = 1024.0,
     id_col: str = "doc_id",
     salt: str = "recall",
 ) -> dict:
@@ -1428,20 +1489,50 @@ def minhash_index_recall_autotune(
     honest), and ``met=None`` without rebuilding when the sample has
     no true pairs at the threshold.  The md5-order sample and its
     exact-Jaccard truth depend only on the stored ``sets/``, which
-    rebuilds never change — step deltas are geometry-attributable."""
+    rebuilds never change — step deltas are geometry-attributable.
+
+    ``max_candidate_load`` (ADVICE r10): shedding rows toward
+    ``min_rows`` multiplies the false-candidate load by the inverse
+    background Jaccard per shed row — a ladder that ignores it can
+    land an O(N²)-class geometry.  The expected load of every NEXT
+    geometry is priced as ``n · bands · J_bg^rows`` with ``J_bg``
+    backed out of the CURRENT buckets' measured collision rate
+    (``_minhash_pair_collision_rate`` — one bounded agg, computed
+    once per tune), and a load-increasing move past the ceiling stops
+    the walk with ``stopped_on_candidate_load`` instead of buying
+    recall with an unaffordable probe.  The walk mechanics live in
+    ``operators/recall_tune.py``."""
     import time
+
+    from data_engineering_user_session_analysis_spark.operators.recall_tune import (
+        autotune_walk,
+        solve_then_ladder,
+    )
 
     if not 0.0 < recall_target < 1.0:
         raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
 
-    def _predicted(bands: int, rows: int) -> float:
-        return round(1.0 - (1.0 - threshold**rows) ** bands, 4)
+    def _predicted(g: dict) -> float:
+        return round(
+            1.0 - (1.0 - threshold ** g["rows_per_band"]) ** g["bands"], 4
+        )
+
+    state: dict = {"n": 0, "j_bg": None}
 
     def _measure(rebuild_sec: "float | None") -> dict:
         r = minhash_index_recall_sample(
             spark, path, threshold=threshold, sample_q=sample_q,
             id_col=id_col, salt=salt,
         )
+        state["n"] = r["n_docs"]
+        if state["j_bg"] is None:
+            # back out the background Jaccard once, from the ENTRY
+            # geometry's measured collision rate (p = J^rows): the
+            # rate is geometry-dependent but J is corpus-intrinsic,
+            # so one estimate prices every ladder move
+            p = _minhash_pair_collision_rate(spark, path, r["n_docs"])
+            if p is not None and p > 0 and r["rows_per_band"] > 0:
+                state["j_bg"] = min(p ** (1.0 / r["rows_per_band"]), 1.0)
         return {
             "bands": r["bands"],
             "rows_per_band": r["rows_per_band"],
@@ -1455,53 +1546,49 @@ def minhash_index_recall_autotune(
             "n_docs": r["n_docs"],
         }
 
-    first = _measure(None)
-    res: dict = {
+    def _load(g: dict) -> "float | None":
+        if state["j_bg"] is None:
+            return None
+        return state["n"] * g["bands"] * state["j_bg"] ** g["rows_per_band"]
+
+    def _apply(geom: dict) -> float:
+        t0 = time.monotonic()
+        rebuild_minhash_index(spark, path, geom, id_col=id_col)
+        return round(time.monotonic() - t0, 3)
+
+    walk = autotune_walk(
+        measure=_measure,
+        recall_key="recall_at_threshold",
+        recall_target=recall_target,
+        max_steps=max_steps,
+        next_geometry=solve_then_ladder(
+            solve=lambda: minhash_geometry_for_recall(
+                threshold, recall_target=recall_target,
+                min_rows=min_rows, max_bands=min(max_bands, 64),
+            ),
+            predicted=_predicted,
+            primary_key="bands",
+            primary_max=max_bands,
+            secondary_key="rows_per_band",
+            secondary_min=min_rows,
+            widen_primary=lambda b: 2 * b,
+            shrink_secondary=lambda r: r - 1,
+        ),
+        apply_geometry=_apply,
+        candidate_load=_load,
+        max_candidate_load=max_candidate_load,
+    )
+    first, last = walk["steps"][0], walk["steps"][-1]
+    return {
         "n_docs": first["n_docs"],
         "threshold": threshold,
         "recall_target": recall_target,
         "sample_q": sample_q,
-        "steps": [first],
+        "steps": walk["steps"],
+        "bands": last["bands"],
+        "rows_per_band": last["rows_per_band"],
+        "recall_at_threshold": last["recall_at_threshold"],
+        "met": walk["met"],
+        "exhausted": walk["exhausted"],
+        "stopped_on_candidate_load": walk["stopped_on_candidate_load"],
     }
-    if first["recall_at_threshold"] is None:
-        res.update(bands=first["bands"], rows_per_band=first["rows_per_band"],
-                   recall_at_threshold=None, met=None, exhausted=False)
-        return res
-
-    exhausted = False
-    while (
-        res["steps"][-1]["recall_at_threshold"] < recall_target
-        and len(res["steps"]) < max_steps
-        and not exhausted
-    ):
-        cur = res["steps"][-1]
-        solve = minhash_geometry_for_recall(
-            threshold, recall_target=recall_target,
-            min_rows=min_rows, max_bands=min(max_bands, 64),
-        )
-        if _predicted(solve["bands"], solve["rows_per_band"]) > _predicted(
-            cur["bands"], cur["rows_per_band"]
-        ):
-            nxt = {"bands": solve["bands"],
-                   "rows_per_band": solve["rows_per_band"]}
-        elif cur["bands"] < max_bands:
-            nxt = {"bands": min(2 * cur["bands"], max_bands),
-                   "rows_per_band": cur["rows_per_band"]}
-        elif cur["rows_per_band"] > min_rows:
-            nxt = {"bands": cur["bands"],
-                   "rows_per_band": cur["rows_per_band"] - 1}
-        else:
-            exhausted = True
-            break
-        t0 = time.monotonic()
-        rebuild_minhash_index(spark, path, nxt, id_col=id_col)
-        res["steps"].append(_measure(round(time.monotonic() - t0, 3)))
-    last = res["steps"][-1]
-    res.update(
-        bands=last["bands"],
-        rows_per_band=last["rows_per_band"],
-        recall_at_threshold=last["recall_at_threshold"],
-        met=last["recall_at_threshold"] >= recall_target,
-        exhausted=exhausted,
-    )
-    return res

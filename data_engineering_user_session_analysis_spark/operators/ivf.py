@@ -2108,42 +2108,83 @@ def ivf_index_probe_autotune(
         "stratified": stratify_by_cell,
         "steps": [],
     }
+    # the walk mechanics (measure-first, step budget, structural
+    # endpoint, met accounting) are the shared three-family engine —
+    # operators/recall_tune.py; this family's actuator is CHEAP
+    # (probe widths, no rebuild) and has an exact endpoint (full
+    # width searches every cell), so no candidate-load gate is
+    # needed: the width caps (K1, K) bound the probe at brute force.
+    from data_engineering_user_session_analysis_spark.operators.recall_tune import (
+        autotune_walk,
+    )
+
     if levels == 2:
         k1 = max(math.ceil(math.sqrt(max(k, 1))), 2)
         g = max(sized["cell_coupling"], 1)
-        s, c = sized["nprobe_super"], sized["nprobe_cell"]
-        for _ in range(max_steps):
+        widths = {"nprobe": sized["nprobe_super"],
+                  "nprobe_cell": sized["nprobe_cell"]}
+
+        def _measure2(_cost: "float | None") -> dict:
             rec, sec = _measure_probe_recall(
-                spark, path, queries, truth, s, c, topk, id_col, vec_col
+                spark, path, queries, truth,
+                widths["nprobe"], widths["nprobe_cell"],
+                topk, id_col, vec_col,
             )
-            res["steps"].append(
-                {"nprobe": s, "nprobe_cell": c, "recall_at_k": rec, "probe_sec": sec}
-            )
-            if rec >= recall_target or (s >= k1 and c >= k):
-                break
+            return {"nprobe": widths["nprobe"],
+                    "nprobe_cell": widths["nprobe_cell"],
+                    "recall_at_k": rec, "probe_sec": sec}
+
+        def _next2(cur: dict) -> dict:
+            # widen the binding axis per the measured grid frontier:
+            # c doubles while coupling headroom remains, else s
+            # doubles (capped at K1) and c re-floors to the coupling
+            s, c = cur["nprobe"], cur["nprobe_cell"]
             if c < min(2 * g * s, k):
-                c = min(2 * c, k)
-            elif s < k1:
-                s = min(2 * s, k1)
-                c = min(max(c, g * s), k)
-            else:
-                c = min(2 * c, k)
-        res["nprobe"], res["nprobe_cell"] = s, c
+                return {"nprobe": s, "nprobe_cell": min(2 * c, k)}
+            if s < k1:
+                s2 = min(2 * s, k1)
+                return {"nprobe": s2, "nprobe_cell": min(max(c, g * s2), k)}
+            return {"nprobe": s, "nprobe_cell": min(2 * c, k)}
+
+        walk = autotune_walk(
+            measure=_measure2,
+            recall_key="recall_at_k",
+            recall_target=recall_target,
+            max_steps=max_steps,
+            next_geometry=_next2,
+            apply_geometry=lambda geom: widths.update(geom),
+            structural_stop=lambda cur: (
+                cur["nprobe"] >= k1 and cur["nprobe_cell"] >= k
+            ),
+        )
+        res["steps"] = walk["steps"]
+        res["nprobe"], res["nprobe_cell"] = (
+            widths["nprobe"], widths["nprobe_cell"],
+        )
     else:
-        p = sized["nprobe_cell"]
-        for _ in range(max_steps):
+        widths = {"nprobe": sized["nprobe_cell"]}
+
+        def _measure1(_cost: "float | None") -> dict:
             rec, sec = _measure_probe_recall(
-                spark, path, queries, truth, p, 4, topk, id_col, vec_col
+                spark, path, queries, truth, widths["nprobe"], 4,
+                topk, id_col, vec_col,
             )
-            res["steps"].append(
-                {"nprobe": p, "recall_at_k": rec, "probe_sec": sec}
-            )
-            if rec >= recall_target or p >= k:
-                break
-            p = min(2 * p, k)
-        res["nprobe"] = p
+            return {"nprobe": widths["nprobe"],
+                    "recall_at_k": rec, "probe_sec": sec}
+
+        walk = autotune_walk(
+            measure=_measure1,
+            recall_key="recall_at_k",
+            recall_target=recall_target,
+            max_steps=max_steps,
+            next_geometry=lambda cur: {"nprobe": min(2 * cur["nprobe"], k)},
+            apply_geometry=lambda geom: widths.update(geom),
+            structural_stop=lambda cur: cur["nprobe"] >= k,
+        )
+        res["steps"] = walk["steps"]
+        res["nprobe"] = widths["nprobe"]
     last = res["steps"][-1]
     res["recall_at_k"] = last["recall_at_k"]
     res["probe_sec"] = last["probe_sec"]
-    res["met"] = last["recall_at_k"] >= recall_target
+    res["met"] = walk["met"]
     return res

@@ -1023,10 +1023,12 @@ def _cpu_speed_probe() -> dict:
     EFFECTIVE speed at run time.  This environment is a microVM —
     host CPU steal is invisible to load averages inside the guest —
     so cross-run dispersion on an identical deterministic code path
-    needs a paired measurement of the box itself to attribute.  Two
-    probes: single-thread (a serial @ on a matrix too small for BLAS
-    threading to matter) and the same shape repeated enough to hold
-    the cores for ~a second."""
+    needs a paired measurement of the box itself to attribute.  One
+    probe, one key (``cpu_probe_sec``): a serial repeated ``@`` on a
+    matrix small enough that BLAS threading doesn't dominate —
+    enough to price the box since the observed steal is uniform
+    across cores (ADVICE r10 trimmed the claimed-but-never-shipped
+    second multi-core probe)."""
     import numpy as np
 
     a = np.random.RandomState(0).randn(1500, 1500)

@@ -612,3 +612,32 @@ def test_docs_index_step_recall_floor_consumer(spark, tmp_path):
         spark, p2, out, "2024-01-02", threshold=0.5, recall_sample_q=5
     )
     assert "recall_breached" not in rep2 and "recall_tuned" not in rep2
+
+
+def test_recall_floor_without_sample_q_raises(spark, tmp_path):
+    """ADVICE r10 (medium): a recall_floor with no recall_sample_q
+    used to be silently inert — the breach check lives inside the
+    sensor branch, so the caller's alarm never armed and the report
+    carried no recall_breached key.  Both index steps must refuse the
+    configuration up front, before touching any data."""
+    import pytest
+
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import (
+        run_docs_index_step,
+        run_vectors_index_step,
+    )
+
+    for fn, path in (
+        (run_docs_index_step, str(tmp_path / "nonexistent_docs")),
+        (run_vectors_index_step, str(tmp_path / "nonexistent_emb")),
+    ):
+        with pytest.raises(ValueError, match="recall_sample_q"):
+            fn(spark, path, str(tmp_path / "out"), "2024-01-01",
+               recall_floor=0.8)
+        with pytest.raises(ValueError, match="recall_sample_q"):
+            fn(spark, path, str(tmp_path / "out"), "2024-01-01",
+               recall_floor=0.8, recall_sample_q=0)
+        # a tune consumer with no floor to breach is equally inert
+        with pytest.raises(ValueError, match="recall_floor"):
+            fn(spark, path, str(tmp_path / "out"), "2024-01-01",
+               recall_sample_q=20, auto_tune_recall=True)

@@ -847,3 +847,133 @@ def test_minhash_autotune_meets_target_where_geometry_fails(spark, tmp_path):
             >= a["predicted_recall_at_threshold"] - 1e-12
         )
     assert {s["true_pairs"] for s in res["steps"]} == {first["true_pairs"]}
+
+
+def test_vector_autotune_candidate_load_ceiling(spark, tmp_path):
+    """ADVICE r10: the escalation ladder must consult expected
+    candidate load.  With a ceiling below any load-increasing move,
+    the tuner refuses the first rebuild, reports the refused geometry
+    and its priced load, and leaves the stored geometry untouched —
+    an honest exhausted=True instead of an O(N^2)-class geometry."""
+    import numpy as np
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_vector_params,
+        vector_index_recall_autotune,
+        write_vector_index,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    base = rng.randn(120, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    for i in range(60):
+        u = rng.randn(dim)
+        u /= np.linalg.norm(u)
+        v = base[i] + 0.45 * u
+        rows.append((10_000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "vec_gated")
+    write_vector_index(emb, idx, dim=dim, tables=1, planes=16)
+    before = _read_vector_params(spark, idx)
+
+    res = vector_index_recall_autotune(
+        spark, idx, threshold=0.85, recall_target=0.9, sample_q=20,
+        max_candidate_load=0.001,  # below any widening move's load
+    )
+    assert res["met"] is False and res["exhausted"] is True
+    assert len(res["steps"]) == 1  # measured the stored geometry only
+    gate = res["stopped_on_candidate_load"]
+    assert gate is not None
+    assert gate["max_candidate_load"] == 0.001
+    assert gate["expected_candidate_load"] > 0.001
+    assert set(gate["geometry"]) == {"tables", "planes"}
+    assert _read_vector_params(spark, idx) == before  # no rebuild ran
+
+
+def test_minhash_autotune_candidate_load_ceiling(spark, tmp_path):
+    """The text twin: the priced load uses the background Jaccard
+    backed out of the CURRENT buckets' measured collision rate, so
+    the gate works without any closed-form false-positive model."""
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_minhash_params,
+        minhash_index_recall_autotune,
+        write_minhash_index,
+    )
+
+    rows = []
+    for i in range(100):
+        toks = [f"d{i}w{j}" for j in range(42)]
+        rows.append((i, " ".join(toks)))
+        keep = 22 + (i * 7) % 6
+        rows.append((10_000 + i, " ".join(toks[:keep])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "minhash_gated")
+    write_minhash_index(docs, idx)
+    before = _read_minhash_params(spark, idx)
+
+    res = minhash_index_recall_autotune(
+        spark, idx, threshold=0.5, recall_target=0.9, sample_q=20,
+        max_candidate_load=1e-9,
+    )
+    assert res["met"] is False and res["exhausted"] is True
+    assert len(res["steps"]) == 1
+    gate = res["stopped_on_candidate_load"]
+    assert gate is not None and gate["expected_candidate_load"] > 1e-9
+    assert set(gate["geometry"]) == {"bands", "rows_per_band"}
+    assert _read_minhash_params(spark, idx) == before
+
+
+def test_rebuild_minhash_signs_per_day_not_cross_day(spark, tmp_path):
+    """ADVICE r10: a doc_id present in multiple ds partitions (a
+    re-ingested/updated doc) was signed PER DAY by the append path;
+    the rebuild must reproduce exactly those per-day buckets, not one
+    merged cross-day signature attached to every day.  Pin:
+    rebuilding under the SAME geometry is bucket-for-bucket identical
+    to the append-built index."""
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        append_shard_to_minhash_index,
+        rebuild_minhash_index,
+    )
+
+    day1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    # doc_id 1 re-ingested on day 2 with DIFFERENT text: its day-2
+    # signature must come from the day-2 shingles alone
+    day2 = spark.createDataFrame(
+        [(1, "totally different words entirely here now"),
+         (3, "eight nine ten eleven twelve thirteen")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "minhash_multi_ds")
+    append_shard_to_minhash_index(day1, idx, "2024-01-01")
+    append_shard_to_minhash_index(day2, idx, "2024-01-02")
+
+    import os
+
+    def _bucket_set():
+        df = spark.read.parquet(os.path.join(idx, "buckets"))
+        return {
+            (r.doc_id, str(r.ds), r.band, r.bucket) for r in df.collect()
+        }
+
+    before = _bucket_set()
+    # the doc appears under both days with day-specific signatures
+    assert {d for (i, d, b, k) in before if i == 1} == {
+        "2024-01-01", "2024-01-02",
+    }
+    sigs_by_day = {
+        d: {(b, k) for (i, dd, b, k) in before if i == 1 and dd == d}
+        for d in ("2024-01-01", "2024-01-02")
+    }
+    assert sigs_by_day["2024-01-01"] != sigs_by_day["2024-01-02"]
+
+    rep = rebuild_minhash_index(
+        spark, idx, {"bands": 16, "rows_per_band": 4}
+    )
+    assert rep["layout"] == "ds"
+    assert _bucket_set() == before  # bit-equivalent to the append path
