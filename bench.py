@@ -223,6 +223,78 @@ def main() -> None:
         print(f"WARN: corpus-prep throughput metric failed: {exc!r}", file=sys.stderr)
     spark.catalog.clearCache()
 
+    probe_end = _cpu_probe()
+
+    # ---- probe-normalized cross-round regression gate (VERDICT r10
+    # #1).  Three rounds running, nominal >1.25x rows had to be
+    # re-litigated by hand against host steal (a microVM box whose
+    # effective speed swings ~2.3x, measured).  The protocol now does
+    # the arithmetic itself: each row's cross-round nominal ratio is
+    # divided by the BOX ratio at that row's position in the run —
+    # probes are taken at run start and end, and a row's probe unit
+    # is interpolated start->end by its measurement position, so
+    # mid-run drift (the r10 signature: 0.249 -> 0.425 within one
+    # run) normalizes per-row instead of per-run.  Only rows whose
+    # NORMALIZED ratio exceeds 1.25x are flagged; anything still
+    # flagged gets one isolated fresh-JVM re-measure as confirmation
+    # (the attribution step, run by hand or by the round's closing
+    # sweep — the flag list makes it a bounded task instead of a
+    # registry re-run).
+    # previous-round baseline: the committed BENCH_local.json (the
+    # full-detail artifact each round commits) — overridable for
+    # cross-comparing arbitrary runs
+    prev_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_PREV",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+    )
+    prev = None
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = None
+    normalized: dict[str, dict] = {}
+    flagged: list[str] = []
+    all_now = {**timings, **registry_timings}
+    order_now = list(all_now)  # insertion order == measurement order
+    if (
+        prev
+        and prev.get("sf") == sf  # ratios are meaningless across scales
+        and prev.get("cpu_probe_sec_start")
+        and prev.get("cpu_probe_sec_end")
+    ):
+        prev_rows = {**prev.get("queries", {}), **prev.get("registry_queries", {})}
+        order_prev = list(prev_rows)
+
+        def _probe_at(order, start, end, name):
+            # linear interpolation of the box's probe unit at the
+            # row's position in its run's measurement order
+            if name not in order or len(order) == 1:
+                return (start + end) / 2.0
+            p = (order.index(name) + 0.5) / len(order)
+            return start + p * (end - start)
+
+        for name, now_sec in all_now.items():
+            if name not in prev_rows or prev_rows[name] <= 0:
+                continue
+            nominal = now_sec / prev_rows[name]
+            unit_now = _probe_at(order_now, probe_start, probe_end, name)
+            unit_prev = _probe_at(
+                order_prev,
+                prev["cpu_probe_sec_start"],
+                prev["cpu_probe_sec_end"],
+                name,
+            )
+            unit = unit_now / unit_prev if unit_prev > 0 else 1.0
+            norm = nominal / unit if unit > 0 else nominal
+            normalized[name] = {
+                "nominal_ratio": round(nominal, 4),
+                "probe_unit_ratio": round(unit, 4),
+                "normalized_ratio": round(norm, 4),
+            }
+            if norm > 1.25:
+                flagged.append(name)
+
     total = round(sum(timings.values()), 4)
     # Like-for-like subtotal over the query set shared with the r02
     # bench, so cross-round comparisons don't require manual
@@ -279,7 +351,13 @@ def main() -> None:
         "ingest_events_per_sec": ingest_events_per_sec,
         "corpus_prep_docs_per_sec": corpus_prep_docs_per_sec,
         "cpu_probe_sec_start": probe_start,
-        "cpu_probe_sec_end": _cpu_probe(),
+        "cpu_probe_sec_end": probe_end,
+        # per-row cross-round ratios, probe-normalized (see the gate
+        # comment above): `flagged_normalized_gt_1_25` is the ONLY
+        # list the round's attribution step needs to re-litigate
+        "normalized_vs_prev": normalized,
+        "flagged_normalized_gt_1_25": sorted(flagged),
+        "regression_gate": "normalized>1.25 (nominal/probe-unit, probes interpolated by row position)",
         "sf": sf,
     }
     # The driver captures a bounded tail of stdout: round 6's `trials`
@@ -298,7 +376,14 @@ def main() -> None:
             f.write("\n")
     except OSError as exc:
         print(f"WARN: could not write {out_path}: {exc!r}", file=sys.stderr)
-    compact = {k: v for k, v in payload.items() if k != "trials"}
+    # normalized_vs_prev joins trials in the full-detail file only:
+    # ~50 rows x 3 ratios would risk the same stdout-window
+    # truncation the trials map caused in r06; the compact line
+    # carries the flag list, which is what the driver/judge act on
+    compact = {
+        k: v for k, v in payload.items()
+        if k not in ("trials", "normalized_vs_prev")
+    }
     compact["full_detail_file"] = os.path.basename(out_path)
     print(json.dumps(compact))
 
