@@ -255,6 +255,58 @@ def _marker_complete_days(path: str) -> list[str]:
     )
 
 
+def _truth_cache_lookup(
+    spark: SparkSession,
+    path: str,
+    family: str,
+    fingerprint_df: DataFrame,
+    fp_id_col: str,
+    fp_payload_col: str,
+    n: int,
+    *key_parts,
+) -> "tuple[str, bool]":
+    """Locate the persisted exact-truth cache for a recall sensor
+    (VERDICT r10 #5: exact truth was ~70–200 s of the 1M autotune's
+    cost and was recomputed per invocation on an unchanged corpus).
+    The cache key is a CONTENT fingerprint — one bounded column-scan
+    agg, ``bit_xor(xxhash64(id, payload))`` over the marker-complete
+    corpus plus its row count — joined with the sensor parameters
+    (threshold, sample_q, salt…).  Content keying gives the exact
+    invalidation semantics for free: an append or a day re-run
+    changes the fingerprint (new key, recompute); a REBUILD leaves
+    the verify surface (sets/vectors) byte-identical, so the key —
+    and the cached truth, which depends only on that surface — stays
+    valid across the autotune's rebuild steps, which is where the
+    recomputation cost actually lived.  Returns ``(cache_dir, hit)``;
+    the xor-fold is order-independent, so partition order never
+    perturbs the key."""
+    import hashlib
+
+    fp = (
+        fingerprint_df.agg(
+            F.expr(f"bit_xor(xxhash64({fp_id_col}, {fp_payload_col}))").alias("fp")
+        ).first()["fp"]
+    )
+    key = hashlib.md5(
+        "|".join(str(p) for p in (family, n, fp, *key_parts)).encode()
+    ).hexdigest()
+    cdir = os.path.join(path, "truth_cache", key)
+    return cdir, os.path.exists(os.path.join(cdir, "_SUCCESS"))
+
+
+def _preserve_truth_cache(path: str, tmp: str) -> None:
+    """Carry the truth cache across a rebuild's two-rename swap: the
+    cache is keyed on the verify surface's CONTENT, which a rebuild
+    never changes (it recomputes buckets only), so dropping it with
+    the old directory would force the exact recomputation the cache
+    exists to avoid — each autotune step re-measures post-rebuild."""
+    import shutil
+
+    src = os.path.join(path, "truth_cache")
+    if os.path.isdir(src):
+        shutil.move(src, os.path.join(tmp, "truth_cache"))
+
+
 def shard_indexed(path: str, ds: str) -> bool:
     """True when day ``ds``'s index contribution is COMPLETE (the
     bucket dir's ``_SUCCESS`` marker, written last — see
@@ -729,6 +781,7 @@ def rebuild_vector_index(
         ).write.mode("overwrite").parquet(os.path.join(tmp, "buckets"))
     if not os.path.exists(os.path.join(tmp, "buckets", "_SUCCESS")):
         raise RuntimeError(f"rebuild at {tmp} is incomplete (no buckets/_SUCCESS)")
+    _preserve_truth_cache(path, tmp)
     old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
@@ -913,26 +966,43 @@ def vector_index_recall_sample(
         )
         .localCheckpoint(eager=True)
     )
-    truth = (
-        F.broadcast(queries)
-        .crossJoin(
-            vec.select(
-                F.col(id_col).alias("other_id"),
-                F.col(vec_col).alias("o_emb"),
-                F.col("nrm").alias("o_nrm"),
-            )
-        )
-        .filter(F.col("other_id") != F.col("q_id"))
-        .withColumn(
-            "cosine",
-            foldl_dot_column("q_emb", "o_emb") / (F.col("q_nrm") * F.col("o_nrm")),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("q_id", "other_id")
-        .distinct()  # a legacy flat-append retry can duplicate stored
-        # rows; counts must be pair counts, not row counts
-        .localCheckpoint(eager=True)  # one corpus pass, reused by both counts
+    # exact truth is the sensor's expensive pass (a sample×corpus
+    # cosine scan) and depends only on the stored vectors — cache it
+    # under the index keyed by corpus content + sensor params, so an
+    # autotune's post-rebuild re-measures (and back-to-back daily
+    # sensor/tune calls on an unchanged corpus) skip it entirely
+    t_truth = time.monotonic()
+    cdir, cache_hit = _truth_cache_lookup(
+        spark, path, "vector",
+        vec.select(F.col(id_col), F.col(vec_col)), id_col, vec_col,
+        n, threshold, sample_q, salt, id_col,
     )
+    if cache_hit:
+        truth = spark.read.parquet(cdir).localCheckpoint(eager=True)
+    else:
+        truth = (
+            F.broadcast(queries)
+            .crossJoin(
+                vec.select(
+                    F.col(id_col).alias("other_id"),
+                    F.col(vec_col).alias("o_emb"),
+                    F.col("nrm").alias("o_nrm"),
+                )
+            )
+            .filter(F.col("other_id") != F.col("q_id"))
+            .withColumn(
+                "cosine",
+                foldl_dot_column("q_emb", "o_emb")
+                / (F.col("q_nrm") * F.col("o_nrm")),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("q_id", "other_id")
+            .distinct()  # a legacy flat-append retry can duplicate stored
+            # rows; counts must be pair counts, not row counts
+            .localCheckpoint(eager=True)  # one corpus pass, reused below
+        )
+        truth.write.mode("overwrite").parquet(cdir)
+    truth_sec = round(time.monotonic() - t_truth, 3)
     t0 = time.monotonic()
     q_buckets = _vector_bucket_table(
         queries.select(F.col("q_id").alias(id_col), F.col("q_emb").alias(vec_col)),
@@ -988,6 +1058,8 @@ def vector_index_recall_sample(
             else None
         ),
         "probe_sec": probe_sec,
+        "truth_sec": truth_sec,
+        "truth_cache": "hit" if cache_hit else "miss",
     }
 
 
@@ -1207,25 +1279,41 @@ def minhash_index_recall_sample(
         .select(F.col(id_col).alias("q_id"), F.col("sh_set").alias("q_set"))
         .localCheckpoint(eager=True)
     )
-    truth = (
-        F.broadcast(queries)
-        .crossJoin(
-            sets.select(F.col(id_col).alias("other_id"), F.col("sh_set").alias("o_set"))
-        )
-        .filter(F.col("other_id") != F.col("q_id"))
-        .withColumn(
-            "_i", F.size(F.array_intersect("q_set", "o_set")).cast("double")
-        )
-        .withColumn(
-            "jaccard",
-            F.col("_i")
-            / (F.size("q_set") + F.size("o_set") - F.col("_i")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("q_id", "other_id")
-        .distinct()  # same duplicate-row guard as the vector sensor
-        .localCheckpoint(eager=True)
+    # exact-Jaccard truth cached under the index, same contract as
+    # the vector sensor: content-keyed on the stored sets, so appends
+    # invalidate naturally and re-banding rebuilds keep it valid
+    t_truth = time.monotonic()
+    cdir, cache_hit = _truth_cache_lookup(
+        spark, path, "minhash",
+        sets.select(F.col(id_col), F.col("sh_set")), id_col, "sh_set",
+        n, threshold, sample_q, salt, id_col,
     )
+    if cache_hit:
+        truth = spark.read.parquet(cdir).localCheckpoint(eager=True)
+    else:
+        truth = (
+            F.broadcast(queries)
+            .crossJoin(
+                sets.select(
+                    F.col(id_col).alias("other_id"), F.col("sh_set").alias("o_set")
+                )
+            )
+            .filter(F.col("other_id") != F.col("q_id"))
+            .withColumn(
+                "_i", F.size(F.array_intersect("q_set", "o_set")).cast("double")
+            )
+            .withColumn(
+                "jaccard",
+                F.col("_i")
+                / (F.size("q_set") + F.size("o_set") - F.col("_i")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("q_id", "other_id")
+            .distinct()  # same duplicate-row guard as the vector sensor
+            .localCheckpoint(eager=True)
+        )
+        truth.write.mode("overwrite").parquet(cdir)
+    truth_sec = round(time.monotonic() - t_truth, 3)
     t0 = time.monotonic()
     buckets = spark.read.parquet(os.path.join(path, "buckets"))
     if "ds" in buckets.columns:
@@ -1275,6 +1363,8 @@ def minhash_index_recall_sample(
             else None
         ),
         "probe_sec": probe_sec,
+        "truth_sec": truth_sec,
+        "truth_cache": "hit" if cache_hit else "miss",
     }
 
 
@@ -1418,6 +1508,7 @@ def rebuild_minhash_index(
         ).parquet(os.path.join(tmp, "buckets"))
     if not os.path.exists(os.path.join(tmp, "buckets", "_SUCCESS")):
         raise RuntimeError(f"rebuild at {tmp} is incomplete (no buckets/_SUCCESS)")
+    _preserve_truth_cache(path, tmp)
     old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)

@@ -509,7 +509,10 @@ def test_vector_index_recall_sample_weak_threshold_honest(spark, sf_small, tmp_p
 
     a = vector_index_recall_sample(spark, idx, threshold=0.4, sample_q=12)
     b = vector_index_recall_sample(spark, idx, threshold=0.4, sample_q=12)
-    drop = lambda d: {k: v for k, v in d.items() if k != "probe_sec"}
+    drop = lambda d: {
+        k: v for k, v in d.items()
+        if k not in ("probe_sec", "truth_sec", "truth_cache")
+    }
     assert drop(a) == drop(b)  # md5 sample + deterministic signatures
     assert a["true_pairs"] > 0
     assert 0.0 <= a["recall_at_threshold"] <= 1.0
@@ -569,7 +572,10 @@ def test_minhash_index_recall_sample_deterministic_and_honest(
 
     a = minhash_index_recall_sample(spark, idx, threshold=0.3, sample_q=15)
     b = minhash_index_recall_sample(spark, idx, threshold=0.3, sample_q=15)
-    drop = lambda d: {k: v for k, v in d.items() if k != "probe_sec"}
+    drop = lambda d: {
+        k: v for k, v in d.items()
+        if k not in ("probe_sec", "truth_sec", "truth_cache")
+    }
     assert drop(a) == drop(b)
     if a["true_pairs"]:
         assert 0.0 <= a["recall_at_threshold"] <= 1.0
@@ -977,3 +983,107 @@ def test_rebuild_minhash_signs_per_day_not_cross_day(spark, tmp_path):
     )
     assert rep["layout"] == "ds"
     assert _bucket_set() == before  # bit-equivalent to the append path
+
+
+def test_vector_recall_truth_cache(spark, tmp_path):
+    """VERDICT r10 #5: exact truth was recomputed per sensor/tune
+    invocation even on an unchanged corpus.  The truth is now cached
+    under the index, CONTENT-keyed: a second call hits, an append
+    invalidates (new key), and a rebuild — which never changes the
+    verify surface — keeps the cache valid (so autotune's
+    post-rebuild re-measures skip the expensive pass, which is where
+    the 1M tune_sec actually went)."""
+    import numpy as np
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        append_to_vector_index,
+        rebuild_vector_index,
+        vector_index_recall_sample,
+        write_vector_index,
+    )
+
+    rng = np.random.RandomState(5)
+    dim = 16
+    base = rng.randn(150, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(150)]
+    for i in range(75):
+        u = rng.randn(dim)
+        u /= np.linalg.norm(u)
+        rows.append((10_000 + i, [float(x) for x in (base[i] + 0.45 * u)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "vec_cache")
+    write_vector_index(emb, idx, dim=dim)
+
+    r1 = vector_index_recall_sample(spark, idx, threshold=0.85, sample_q=15)
+    r2 = vector_index_recall_sample(spark, idx, threshold=0.85, sample_q=15)
+    assert (r1["truth_cache"], r2["truth_cache"]) == ("miss", "hit")
+    core = lambda r: {
+        k: v for k, v in r.items()
+        if k not in ("probe_sec", "truth_sec", "truth_cache")
+    }
+    assert core(r1) == core(r2)  # byte-identical measurement
+    assert r1["true_pairs"] > 0
+
+    # a DIFFERENT threshold is a different truth: its own key
+    r3 = vector_index_recall_sample(spark, idx, threshold=0.5, sample_q=15)
+    assert r3["truth_cache"] == "miss"
+
+    # a rebuild keeps the cache valid (verify surface unchanged)
+    rebuild_vector_index(spark, idx, geometry={"tables": 16, "planes": 6})
+    r4 = vector_index_recall_sample(spark, idx, threshold=0.85, sample_q=15)
+    assert r4["truth_cache"] == "hit"
+    assert r4["true_pairs"] == r1["true_pairs"]
+
+    # an append changes the corpus content: the key rolls, recompute
+    extra = spark.createDataFrame(
+        [(99_999, [float(x) for x in base[0]])],
+        "vec_id long, embedding array<float>",
+    )
+    append_to_vector_index(extra, idx)
+    r5 = vector_index_recall_sample(spark, idx, threshold=0.85, sample_q=15)
+    assert r5["truth_cache"] == "miss"
+
+
+def test_minhash_recall_truth_cache(spark, tmp_path):
+    """Text twin of the vector truth-cache contract."""
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        append_to_minhash_index,
+        minhash_index_recall_sample,
+        rebuild_minhash_index,
+        write_minhash_index,
+    )
+
+    rows = []
+    for i in range(80):
+        toks = [f"d{i}w{j}" for j in range(30)]
+        rows.append((i, " ".join(toks)))
+        rows.append((10_000 + i, " ".join(toks[:20])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "minhash_cache")
+    write_minhash_index(docs, idx)
+
+    r1 = minhash_index_recall_sample(spark, idx, threshold=0.5, sample_q=12)
+    r2 = minhash_index_recall_sample(spark, idx, threshold=0.5, sample_q=12)
+    assert (r1["truth_cache"], r2["truth_cache"]) == ("miss", "hit")
+    core = lambda r: {
+        k: v for k, v in r.items()
+        if k not in ("probe_sec", "truth_sec", "truth_cache")
+    }
+    assert core(r1) == core(r2)
+    assert r1["true_pairs"] > 0
+
+    rebuild_minhash_index(spark, idx, {"bands": 24, "rows_per_band": 3})
+    r3 = minhash_index_recall_sample(spark, idx, threshold=0.5, sample_q=12)
+    assert r3["truth_cache"] == "hit"
+    assert r3["true_pairs"] == r1["true_pairs"]
+
+    append_to_minhash_index(
+        spark.createDataFrame(
+            [(99_999, "completely new appended document text")],
+            "doc_id long, text string",
+        ),
+        idx,
+    )
+    r4 = minhash_index_recall_sample(spark, idx, threshold=0.5, sample_q=12)
+    assert r4["truth_cache"] == "miss"
