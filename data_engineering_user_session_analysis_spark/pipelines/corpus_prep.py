@@ -80,6 +80,7 @@ def prepare_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     config: CorpusPrepConfig = CorpusPrepConfig(),
+    stage_timings: dict[str, float] | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full prep pipeline; returns ``(result, report)``.
 
@@ -87,10 +88,28 @@ def prepare_corpus(
     quality columns; if ``config.pack_budget`` is set it also carries
     ``pack_id``.  ``report`` maps stage name -> surviving row count,
     in stage order (dict insertion order).
+
+    ``stage_timings`` (optional, caller-owned dict) receives wall
+    seconds between consecutive report barriers, same keys as
+    ``report``.  Each barrier's job re-walks lineage, but Spark
+    reuses the previous barrier's shuffle files (skipped stages), so
+    the delta is dominated by the new stage's own cost — map-only
+    recompute of upstream projections is the residual.
     """
+    import time as _time
+
     c = config
     report: dict[str, int] = {}
-    report["input"] = docs.count()
+    _t = [_time.perf_counter()]
+
+    def _barrier(stage: str, count: int) -> None:
+        report[stage] = count
+        if stage_timings is not None:
+            now = _time.perf_counter()
+            stage_timings[stage] = round(now - _t[0], 3)
+            _t[0] = now
+
+    _barrier("input", docs.count())
 
     scrubbed = scrub_pii(docs, c.text_col)
     quality = repetition_signals(
@@ -112,19 +131,19 @@ def prepare_corpus(
         quality = quality.crossJoin(F.broadcast(thr))
         keep = keep & (F.col("quality_score") >= F.col("threshold"))
     filtered = quality.filter(keep).drop("threshold")
-    report["quality_filtered"] = filtered.count()
+    _barrier("quality_filtered", filtered.count())
 
     # exact dedup: keep the min-id doc per identical text (the reps
     # side of the star-edge construction — operators/dedup.py)
     _, canonical_ids = exact_dup_star_edges(filtered, c.text_col, c.id_col)
     exact = filtered.join(canonical_ids, c.id_col, "left_semi")
-    report["exact_deduped"] = exact.count()
+    _barrier("exact_deduped", exact.count())
 
     pairs = minhash_lsh_pairs(
         exact, threshold=c.neardup_threshold, text_col=c.text_col, id_col=c.id_col
     )
     neardup = dedup_canonical(exact, pairs, id_col=c.id_col)
-    report["neardup_deduped"] = neardup.count()
+    _barrier("neardup_deduped", neardup.count())
 
     result = neardup
     if benchmark is not None:
@@ -135,7 +154,7 @@ def prepare_corpus(
             text_col=c.text_col,
             id_col=c.id_col,
         )
-        report["decontaminated"] = result.count()
+        _barrier("decontaminated", result.count())
 
     if c.sample_k is not None:
         result = weighted_sample(
@@ -146,14 +165,14 @@ def prepare_corpus(
             "_w",
             c.sample_k,
         ).drop("_w")
-        report["sampled"] = result.count()
+        _barrier("sampled", result.count())
 
     if c.pack_budget is not None:
         packs = pack_sequences(
             result, c.id_col, "n_tokens", c.pack_budget
         ).select(c.id_col, "pack_id")
         result = result.join(packs, c.id_col)
-        report["packed"] = result.count()
+        _barrier("packed", result.count())
 
     if c.split_weights is not None:
         from data_engineering_user_session_analysis_spark.operators.sampling import deterministic_split

@@ -1950,13 +1950,93 @@ def measure_kmeans_refinement_e2e(
         shutil.rmtree(idx_ref, ignore_errors=True)
 
 
+def measure_corpus_prep(spark, replicas: int = 200) -> dict:
+    """End-to-end corpus-prep throughput one decade up (VERDICT r10
+    item 4): ``prepare_corpus`` over 1M DISTINCT docs with per-stage
+    wall seconds, so the 100 TB posture is a measured stage budget
+    instead of a single sf0.1 docs/s number.
+
+    The corpus is 200 clone shards of the sf0.1 documents with every
+    token suffixed per-replica (``_r<k>``): clone-shard texts share
+    ZERO shingles across replicas, so exact and near-dup dedup see
+    200 independent 5k-doc corpora rather than collapsing the clones
+    — each stage does real decade-scale work.  (A plain id-shift
+    clone corpus would be 99.5% exact dups and the expensive stages
+    would run at sf0.1 size.)"""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.pipelines.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    _quiesce(spark)
+    base = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    shift = SHIFTS["documents"]["doc_id"]
+    docs = (
+        base.crossJoin(
+            F.broadcast(spark.range(replicas).select(F.col("id").alias("_r")))
+        )
+        .withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(shift))
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit("_r"), F.col("_r").cast("string")),
+                ),
+                " ",
+            ),
+        )
+        .drop("_r")
+        .repartition(max(spark.sparkContext.defaultParallelism, 32))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = docs.count()
+    res: dict = {"label": f"corpus prep 1M ({replicas} token-suffixed clone shards)"}
+    res["n_docs"] = n_docs
+    stage_timings: dict[str, float] = {}
+    t0 = time.monotonic()
+    result, report = prepare_corpus(
+        docs, config=CorpusPrepConfig(pack_budget=2048), stage_timings=stage_timings
+    )
+    result.write.format("noop").mode("overwrite").save()
+    total = time.monotonic() - t0
+    cores = spark.sparkContext.defaultParallelism
+    res["report"] = report
+    res["stage_sec"] = stage_timings
+    res["dominant_stage"] = max(stage_timings, key=stage_timings.get)
+    res["total_sec"] = round(total, 2)
+    res["docs_per_sec"] = round(n_docs / total, 1)
+    res["docs_per_sec_per_core"] = round(n_docs / total / cores, 2)
+    return res
+
+
 def run_tier(tier: str) -> list[dict]:
     """One measurement tier in THIS process.  Tiers are designed to
     run in separate JVMs: a single long-lived session accumulates
     shuffle files, code-cache, and old-gen pressure that inflate
     later tiers 2-4× versus an isolated run (measured: q5@100x 48 s
     in-session vs 11.6 s isolated; embedding-neardup@100x 144 s vs
-    61 s) — `_quiesce` between passes is not enough at decade scale."""
+    61 s) — `_quiesce` between passes is not enough at decade scale.
+
+    Every tier is probe-paired (VERDICT r10 item 6): a fixed-size CPU
+    probe at tier start and end is attached to every result dict
+    (``tier_cpu_probe_sec_start``/``_end``) so cross-run tier-second
+    discrepancies — like r10's 204 s vs 72 s MinHash tune_sec, which
+    had to be attributed to host steal by analogy — are attributable
+    from the artifact alone."""
+    _cpu_speed_probe()  # first-touch/BLAS warmup, discarded
+    probe_start = _cpu_speed_probe()["cpu_probe_sec"]
+    results = _run_tier_inner(tier)
+    probe_end = _cpu_speed_probe()["cpu_probe_sec"]
+    for d in results:
+        d["tier_cpu_probe_sec_start"] = probe_start
+        d["tier_cpu_probe_sec_end"] = probe_end
+    return results
+
+
+def _run_tier_inner(tier: str) -> list[dict]:
     from data_engineering_user_session_analysis_spark import get_spark
 
     spark = get_spark(f"stress-{tier}")
@@ -2110,6 +2190,10 @@ def run_tier(tier: str) -> list[dict]:
         return [measure_kmeans_refinement(spark)]
     if tier == "kmeansrefine2e":
         return [measure_kmeans_refinement_e2e(spark)]
+    if tier == "corpusprep1m":
+        # round-11: the composed LLM-pipeline throughput budget at 1M
+        # docs (VERDICT r10 item 4) — per-stage seconds, probe-paired
+        return [measure_corpus_prep(spark)]
     if tier == "docs1m":
         # round-9: one more doubling for the docs star tier (500k →
         # 1M docs) — edges/doc + wall-time linearity evidence

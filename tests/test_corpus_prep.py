@@ -60,6 +60,22 @@ def test_prepare_corpus_stages(spark, sf_small):
         assert "alice@example.com" not in pii[0].text
 
 
+def test_prepare_corpus_stage_timings(spark, sf_small):
+    # the optional caller-owned timing dict gets one entry per report
+    # barrier, same keys/order, positive seconds (the stress tier's
+    # 1M-doc budget rides this hook — stress_bench.measure_corpus_prep)
+    corpus, _ = _corpus_with_junk(spark, sf_small)
+    timings: dict[str, float] = {}
+    _, report = prepare_corpus(
+        corpus,
+        config=CorpusPrepConfig(pack_budget=512),
+        stage_timings=timings,
+    )
+    barrier_keys = [k for k in report if not k.startswith("split_")]
+    assert list(timings) == barrier_keys
+    assert all(v > 0 for v in timings.values())
+
+
 def test_prepare_corpus_deterministic(spark, sf_small):
     corpus, _ = _corpus_with_junk(spark, sf_small)
     cfg = CorpusPrepConfig(sample_k=100, pack_budget=512)
