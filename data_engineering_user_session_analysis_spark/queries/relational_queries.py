@@ -121,18 +121,60 @@ def docs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "value_percentiles",
+    # Explicit replay of Spark's exact-percentile algorithm rather
+    # than quantile_cont: Spark aggregates counts per DISTINCT value
+    # and, when the floor- and ceil-rank values land in the same
+    # bucket (tie-heavy 2-decimal data: at sf1 the 'view' p90
+    # neighbors are both 115.04), returns the bucket value directly —
+    # quantile_cont computes (1-f)*a + f*b, which for a == b is NOT a
+    # in floating point (115.04000000000002).  The CTE mirrors the
+    # bucket walk and the same-bucket short-circuit, with every
+    # literal cast to DOUBLE so both engines run identical
+    # double-precision expressions (DuckDB parses bare 0.9 as
+    # DECIMAL, which would floor() differently at exact-integer
+    # positions).
     """
+WITH vc AS (
+  SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, value,
+    sum(c) OVER (PARTITION BY event_type ORDER BY value) - c AS cum_lo,
+    sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum_hi,
+    sum(c) OVER (PARTITION BY event_type) AS n
+  FROM vc
+), pcts AS (
+  SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                 CAST(0.99 AS DOUBLE)]) AS p
+), pos AS (
+  SELECT g.event_type, pcts.p, pcts.p * (g.n - 1) AS pos
+  FROM (SELECT DISTINCT event_type, n FROM cum) g CROSS JOIN pcts
+), ab AS (
+  SELECT pos.event_type, pos.p, pos.pos,
+    max(CASE WHEN cum.cum_lo <= floor(pos.pos)
+              AND floor(pos.pos) < cum.cum_hi THEN cum.value END) AS a,
+    max(CASE WHEN cum.cum_lo <= ceil(pos.pos)
+              AND ceil(pos.pos) < cum.cum_hi THEN cum.value END) AS b
+  FROM pos JOIN cum ON pos.event_type = cum.event_type
+  GROUP BY 1, 2, 3
+), r AS (
+  SELECT event_type, p,
+    CASE WHEN pos = floor(pos) OR a = b THEN a
+         ELSE (floor(pos) + 1 - pos) * a + (pos - floor(pos)) * b
+    END AS v
+  FROM ab
+)
 SELECT event_type,
-  quantile_cont(value, 0.5) AS p50,
-  quantile_cont(value, 0.9) AS p90,
-  quantile_cont(value, 0.99) AS p99
-FROM events GROUP BY event_type
+  max(CASE WHEN p = CAST(0.5 AS DOUBLE) THEN v END) AS p50,
+  max(CASE WHEN p = CAST(0.9 AS DOUBLE) THEN v END) AS p90,
+  max(CASE WHEN p = CAST(0.99 AS DOUBLE) THEN v END) AS p99
+FROM r GROUP BY event_type
 """,
 )
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group.  (The 100 TB variant
     is approx_percentile — single-pass sketch; exact needs a sort and
-    is the correctness baseline here.)"""
+    is the correctness baseline here.)  The oracle replays Spark's
+    distinct-value bucket walk explicitly — see the SQL comment."""
     ev = load_events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("p50"),

@@ -26,19 +26,30 @@ _DEC = "decimal(18,4)"
 @register(
     "q1_pricing_summary",
     """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c,
+    100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS disc_c,
+    100 + CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS tax_c,
+    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qty_c
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+)
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (1 - CAST(l_discount AS DECIMAL(12,2)))
-           * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(qty_c AS DECIMAL(38,0))) AS DOUBLE)
+    / CAST(100 AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(price_c AS DECIMAL(38,0))) AS DOUBLE)
+    / CAST(100 AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(price_c * disc_c AS DECIMAL(38,0))) AS DOUBLE)
+    / CAST(10000 AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(price_c * disc_c * tax_c AS DECIMAL(38,0))) AS DOUBLE)
+    / CAST(1000000 AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(qty_c AS DECIMAL(38,0))) AS DOUBLE)
+    / CAST(100 AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(price_c AS DECIMAL(38,0))) AS DOUBLE)
+    / CAST(100 AS DOUBLE) / count(*) AS avg_price,
   CAST(count(*) AS BIGINT) AS count_order
-FROM lineitem
-WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+FROM c
 GROUP BY l_returnflag, l_linestatus
 """,
 )
@@ -47,23 +58,45 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-aggregate hash aggregation (map-side partial + final).
 
     Inputs (2-decimal money/rates stored as double) are cast to
-    decimal BEFORE any arithmetic: decimal × decimal is exact in both
-    engines, whereas casting a computed double product rounds
-    differently (shortest-string vs binary-scaled)."""
+    decimal BEFORE any arithmetic, then to exact integer cent units:
+    decimal × decimal is exact in both engines, whereas casting a
+    computed double product rounds differently.
+
+    The money sums aggregate integer MICRO-UNITS into DECIMAL(38,0)
+    and only then convert: CAST(int AS DOUBLE) then divide by a
+    double power of ten — each step a single correct rounding in
+    BOTH engines.  Casting a 17-significant-digit DECIMAL(38,6)
+    straight to double is where the sf1 sweep caught a real engine
+    divergence: the exact sum 28014498335.008974 rounds to ...972 in
+    the JVM (BigDecimal.doubleValue, correctly rounded once) but to
+    ...976 in DuckDB (hugeint→double then /10^scale — two
+    roundings).  The integer-units path keeps the pre-division value
+    below 2^64, where both conversions are a single rounding, for
+    micro-unit sums up to ~1.8e19 (≈ sf600).  Per-row math is plain
+    BIGINT (≤1.2e11) — cheaper to shuffle than decimal, same plan
+    shape."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.to_date("l_shipdate") <= F.lit("1998-09-02")
     )
     dec = "decimal(12,2)"
-    price = F.col("l_extendedprice").cast(dec)
-    disc = price * (F.lit(1) - F.col("l_discount").cast(dec))
-    charge = disc * (F.lit(1) + F.col("l_tax").cast(dec))
+    price_c = (F.col("l_extendedprice").cast(dec) * 100).cast("long")
+    disc_c = F.lit(100) - (F.col("l_discount").cast(dec) * 100).cast("long")
+    tax_c = F.lit(100) + (F.col("l_tax").cast(dec) * 100).cast("long")
+    qty_c = (F.col("l_quantity").cast(dec) * 100).cast("long")
+    d38 = "decimal(38,0)"
+
+    def _units(col, scale: int):
+        return F.sum(col.cast(d38)).cast("double") / F.lit(float(scale))
+
+    sum_qty = _units(qty_c, 100)
+    sum_base = _units(price_c, 100)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
-        F.sum(price).cast("double").alias("sum_base_price"),
-        F.sum(disc).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
-        (F.sum(F.col("l_quantity").cast(dec)).cast("double") / F.count("*")).alias("avg_qty"),
-        (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+        sum_qty.alias("sum_qty"),
+        sum_base.alias("sum_base_price"),
+        _units(price_c * disc_c, 10000).alias("sum_disc_price"),
+        _units(price_c * disc_c * tax_c, 1000000).alias("sum_charge"),
+        (sum_qty / F.count("*")).alias("avg_qty"),
+        (sum_base / F.count("*")).alias("avg_price"),
         F.count("*").alias("count_order"),
     )
 
