@@ -27,9 +27,17 @@ files) and the same value distributions measured from sf0.1:
   layout's ~1-4e-8 recall zone, so the minhash row checks the
   designed outputs-coincide contract rather than the probabilistic
   gray zone below ~J 0.8 where LSH recall is genuinely partial).
-- embeddings: 10 gaussian clusters in 64-dim (sigma 0.3), float32,
-  plus ~1% planted near-dup vectors (copy + sigma 0.005 noise) so
-  cosine-threshold queries return non-degenerate rows.
+- embeddings: 64-dim standard-normal float32 with random labels —
+  measured from the driver's sf0.1 file, intra-label cosine is
+  statistically identical to random-pair cosine (mean 0.007 vs
+  0.004, p90 0.165 ≈ the 1/sqrt(64) random spread), i.e. labels
+  carry almost no geometry; near-dup structure is PLANTED (~1%
+  copy + sigma 0.005 noise).  A first draft used tight gaussian
+  clusters (intra cos ~0.92): above the neardup threshold that
+  made every same-cluster pair a true pair — 20M output rows and a
+  562 s quadratic-output query at sf1.  Matching the driver's
+  near-orthogonal geometry keeps cosine-threshold outputs linear
+  in the planted mass, like the real corpus.
 
 Correctness use only: the sweep compares Spark vs DuckDB on the SAME
 files, so provenance does not matter -- but distribution fidelity
@@ -206,9 +214,8 @@ def gen(sf: float, out: str, seed: int = 42) -> dict:
     }))
 
     k = n["embeddings"]
-    centers = rng.normal(0, 1, (10, 64))
     labels = rng.integers(0, 10, k)
-    vecs = centers[labels] + rng.normal(0, 0.3, (k, 64))
+    vecs = rng.normal(0, 1, (k, 64))
     dup_at = np.where((np.arange(k) > 100) & (rng.random(k) < 0.01))[0]
     for i in dup_at:  # planted near-dup vectors for cosine queries
         src = int(rng.integers(0, i))
