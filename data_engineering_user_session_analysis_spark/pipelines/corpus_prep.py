@@ -21,6 +21,18 @@ so the whole pipeline is reproducible run-to-run and auditable —
 layout.  A ``report`` dict carries per-stage survivor counts (one
 cheap count per stage, the operational visibility every data
 pipeline needs).
+
+Measured stage budget at 1M distinct docs (STRESS_sf1_r11,
+``stress_bench.py --tier corpusprep1m``, local[32], probe-paired):
+192.8 s end-to-end = 5,186 docs/s, 162 docs/s/core.  Per stage:
+quality+scrub 14.1 s, exact dedup 28.1 s, near-dup cluster dedup
+69.7 s (the dominant stage — MinHash pairs + connected components,
+the pipeline's only multi-shuffle step), packing 35.0 s.  100 TB
+posture: throughput is bounded by the near-dup stage's band-bucket
+shuffle, which is linear in surviving doc mass (star edges keep
+clone groups g−1, never g²); at the measured 162 docs/s/core, 1B
+docs is ~1.7 h on 1,000 cores, and the map-only stages (scrub,
+quality, features) pipeline ahead of it without a barrier.
 """
 
 from __future__ import annotations

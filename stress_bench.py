@@ -1013,6 +1013,10 @@ def measure_vector_recall_autotune(
                 "recall_at_threshold": tune["recall_at_threshold"],
             },
             "steps": tune["steps"],
+            # why an exhausted walk stopped — without this the
+            # artifact can't distinguish ladder-out-of-moves from a
+            # ceiling refusal (r11: the 0.97 text replay stopped here)
+            "stopped_on_candidate_load": tune.get("stopped_on_candidate_load"),
         }
     finally:
         shutil.rmtree(idx, ignore_errors=True)
@@ -1039,7 +1043,8 @@ def _cpu_speed_probe() -> dict:
 
 
 def measure_minhash_recall_autotune(
-    spark, variants_per_doc: int = 200, recall_target: float = 0.9
+    spark, variants_per_doc: int = 200, recall_target: float = 0.9,
+    max_candidate_load: "float | None" = 1024.0,
 ) -> dict:
     """The text actuator replay at 1M (round-10 symmetry with
     ``measure_vector_recall_autotune``): the 1M prefix-variant corpus
@@ -1047,7 +1052,17 @@ def measure_minhash_recall_autotune(
     Jaccard-recall target at the weak threshold (0.5) the default
     16×4 geometry cannot hold (per-pair hit ~0.73–0.8 in the
     J 0.53–0.64 band) — inverse banding solve → full re-banding
-    rebuild → re-measure."""
+    rebuild → re-measure.
+
+    ``max_candidate_load`` is threaded through so the tier can show
+    BOTH ceiling behaviors on this corpus: at the default ceiling the
+    0.97 walk stops honestly (this replay corpus is all near-dup
+    clusters by construction, so the collision-rate-derived J_bg —
+    deliberately a measured upper bound, it cannot tell true-pair
+    mass from noise — prices the solve's wider banding (55×4,
+    ~4.5k candidates/doc) above the ceiling), and with the ceiling
+    lifted the same walk re-bands to 55×4 and measures 1.0, the
+    round-10 trail."""
     import shutil
     import tempfile
 
@@ -1090,14 +1105,16 @@ def measure_minhash_recall_autotune(
         tune, tune_sec = timed(
             lambda: minhash_index_recall_autotune(
                 spark, idx, threshold=0.5, recall_target=recall_target,
-                sample_q=15,
+                sample_q=15, max_candidate_load=max_candidate_load,
             )
         )
         return {
-            # target in the label: the tier runs two targets and
-            # label-keyed artifact comparison must tell them apart
+            # target + ceiling in the label: the tier runs multiple
+            # configurations and label-keyed artifact comparison must
+            # tell them apart
             "label": "minhash index recall autotune (prefix-variant corpus, "
-            f"{v} variants/doc, target={recall_target})",
+            f"{v} variants/doc, target={recall_target}, "
+            f"load_ceiling={max_candidate_load})",
             "n_docs": n,
             "index_build_sec": build_sec,
             "tune_sec": tune_sec,
@@ -1111,6 +1128,7 @@ def measure_minhash_recall_autotune(
                 "recall_at_threshold": tune["recall_at_threshold"],
             },
             "steps": tune["steps"],
+            "stopped_on_candidate_load": tune.get("stopped_on_candidate_load"),
         }
     finally:
         shutil.rmtree(idx, ignore_errors=True)
@@ -2148,11 +2166,21 @@ def _run_tier_inner(tier: str) -> list[dict]:
         # target 0.9 demonstrates the honest fast-path (the corpus's
         # pair mass at threshold 0.5 is mostly high-J, measured 0.96
         # at the default geometry -> zero rebuilds); target 0.97 sits
-        # above that measurement and forces the breach -> re-band ->
-        # met trail at scale
+        # above that measurement and forces the breach.  Round 11:
+        # with the ADVICE-r10 candidate-load ceiling in place the
+        # breach path forks — at the default ceiling the walk REFUSES
+        # the solve's wider banding (55x4 priced ~4.5k candidates/doc:
+        # this corpus is all near-dup clusters, so the measured-
+        # collision-rate J_bg prices band-widening steeply) and stops
+        # exhausted with the refusal record; with the ceiling lifted
+        # the same walk re-bands to 55x4 and measures recall 1.0 (the
+        # round-10 trail).  Both runs recorded.
         return [
             measure_minhash_recall_autotune(spark),
             measure_minhash_recall_autotune(spark, recall_target=0.97),
+            measure_minhash_recall_autotune(
+                spark, recall_target=0.97, max_candidate_load=None
+            ),
         ]
     if tier == "vecautotune":
         # round-10: the hyperplane actuator replay — a low-recall 1M
