@@ -129,10 +129,16 @@ def main() -> None:
 
     probe_end = _cpu_probe()
     statuses = [e["status"] for e in results.values()]
+    data_provenance = (
+        "tools/gen_testdata.py seed=42 (driver ships sf<=0.1; schema "
+        "byte-identical, distributions measured from sf0.1)"
+        if ".testdata" in sf_dir
+        else "driver-shipped tables (/root/testdata)"
+    )
     payload = {
         "sf": sf,
         "sf_dir": sf_dir,
-        "generator": "tools/gen_testdata.py seed=42 (driver ships sf<=0.1; schema byte-identical, distributions measured from sf0.1)",
+        "data_provenance": data_provenance,
         "n_queries": len(results),
         "n_pass": statuses.count("pass"),
         "n_mismatch": statuses.count("mismatch"),
