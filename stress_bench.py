@@ -1968,6 +1968,89 @@ def measure_kmeans_refinement_e2e(
         shutil.rmtree(idx_ref, ignore_errors=True)
 
 
+def measure_truth_cache_1m(spark, variants_per_doc: int = 200) -> dict:
+    """1M-scale evidence for the content-keyed truth cache (VERDICT
+    r10 next #5): the sensor's exact-Jaccard truth pass is the bulk
+    of a 1M tune's cost (r10 measured 204 s tune vs 7 s probe), so
+    the second sensor call on an UNCHANGED index must skip it.  One
+    index build, two identical sensor calls: call 1 records
+    truth_cache=miss with the full truth_sec; call 2 records
+    truth_cache=hit with truth_sec near zero and byte-identical
+    recall numbers."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        minhash_index_recall_sample,
+        write_minhash_index,
+    )
+
+    _quiesce(spark)
+    base = spark.read.parquet(os.path.join(BASE, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    v = variants_per_doc
+    variants = (
+        base.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(v - 1))).alias("k"),
+        )
+        .select(
+            (F.col("doc_id") * v + F.col("k")).alias("doc_id"),
+            F.when(F.col("k") == 0, F.col("text"))
+            .otherwise(
+                F.substring(
+                    "text", 1,
+                    F.ceil(
+                        F.length("text")
+                        * (F.lit(0.5) + F.col("k") / F.lit(2.0 * v))
+                    ).cast("int"),
+                )
+            )
+            .alias("text"),
+        )
+    )
+    n = variants.count()
+    idx = tempfile.mkdtemp(prefix="stress_truthcache_")
+    try:
+        _, build_sec = timed(lambda: write_minhash_index(variants, idx))
+        r1, call1_sec = timed(
+            lambda: minhash_index_recall_sample(
+                spark, idx, threshold=0.5, sample_q=15
+            )
+        )
+        r2, call2_sec = timed(
+            lambda: minhash_index_recall_sample(
+                spark, idx, threshold=0.5, sample_q=15
+            )
+        )
+        return {
+            "label": f"truth cache at 1M ({v} variants/doc, two sensor calls)",
+            "n_docs": n,
+            "index_build_sec": build_sec,
+            "call1": {
+                "sec": call1_sec,
+                "truth_sec": r1["truth_sec"],
+                "truth_cache": r1["truth_cache"],
+                "recall_at_threshold": r1["recall_at_threshold"],
+                "true_pairs": r1["true_pairs"],
+            },
+            "call2": {
+                "sec": call2_sec,
+                "truth_sec": r2["truth_sec"],
+                "truth_cache": r2["truth_cache"],
+                "recall_at_threshold": r2["recall_at_threshold"],
+                "true_pairs": r2["true_pairs"],
+            },
+            "recall_identical": r1["recall_at_threshold"] == r2["recall_at_threshold"]
+            and r1["true_pairs"] == r2["true_pairs"],
+        }
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def measure_corpus_prep(spark, replicas: int = 200) -> dict:
     """End-to-end corpus-prep throughput one decade up (VERDICT r10
     item 4): ``prepare_corpus`` over 1M DISTINCT docs with per-stage
@@ -2218,6 +2301,10 @@ def _run_tier_inner(tier: str) -> list[dict]:
         return [measure_kmeans_refinement(spark)]
     if tier == "kmeansrefine2e":
         return [measure_kmeans_refinement_e2e(spark)]
+    if tier == "truthcache1m":
+        # round-11: the content-keyed truth cache demonstrated at 1M
+        # (two sensor calls on one unchanged index)
+        return [measure_truth_cache_1m(spark)]
     if tier == "corpusprep1m":
         # round-11: the composed LLM-pipeline throughput budget at 1M
         # docs (VERDICT r10 item 4) — per-stage seconds, probe-paired
