@@ -194,7 +194,18 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass.  Scale shape: signatures are a map-only projection,
     bucketing is one shuffle on (table, signature), exact scoring
     touches only bucket-mates — candidates drop from N² to Σ
-    bucket²."""
+    bucket².
+
+    The 8×4 geometry is PINNED so the static oracle SQL can replay
+    it (planes are compile-time constants of the SQL string), which
+    makes this row's candidate mass ~N²/2⁴ on near-orthogonal data —
+    measured quadratic across the sf0.1→sf1 sweeps (2.9 s → 244 s at
+    10× rows on a faster box).  That is a property of the pinned
+    demo geometry, not the production path: at scale, callers go
+    through the persistent vector index family
+    (operators/dedup_index.py + vector_lsh.lsh_params), which sizes
+    planes/tables with n — the 1M autotune replay landed 62×17,
+    keeping candidates linear in N (STRESS_sf1_r11)."""
     from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
         lsh_similarity_pairs,
     )
