@@ -17,6 +17,38 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+OVERHEAD_FLOOR = 0.5  # sec: below in both rounds -> exempt
+COMPUTE_BOUND = 2.0  # sec: at/above in either round -> normalized-only
+
+
+def gate_row(now_sec: float, prev_sec: float, norm: float, nominal: float) -> str:
+    """Regression-gate verdict for one cross-round row — see the gate
+    comment in main() for the three-class rationale (r11 measured 14
+    false flags on sub-second rows; ADVICE r11 showed the global
+    nominal floor masks compute-bound regressions on a faster box)."""
+    if now_sec < OVERHEAD_FLOOR and prev_sec < OVERHEAD_FLOOR:
+        return "exempt_overhead_bound"
+    if max(now_sec, prev_sec) >= COMPUTE_BOUND:
+        return "flagged" if norm > 1.25 else "ok"
+    return "flagged" if norm > 1.25 and nominal > 1.1 else "ok"
+
+
+def probe_series_unit(series: list[dict], idx: int) -> float:
+    """Box probe unit at row position idx+0.5: piecewise-linear
+    between the bracketing probes of a run's ``cpu_probe_series``
+    (``at_row`` = rows measured before that probe was taken)."""
+    x = idx + 0.5
+    pts = [(p["at_row"], p["sec"]) for p in series]
+    if x <= pts[0][0]:
+        return pts[0][1]
+    if x >= pts[-1][0]:
+        return pts[-1][1]
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        if x0 <= x <= x1:
+            return y0 + (x - x0) / (x1 - x0) * (y1 - y0) if x1 > x0 else y0
+    return pts[-1][1]
+
+
 HEADLINE = [
     "session_rollup",
     "session_rollup_keyed",
@@ -80,7 +112,23 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     _cpu_probe()  # first-touch/thread-pool warmup, discarded
-    probe_start = _cpu_probe()
+
+    # Probe SERIES, not just endpoints: r11's gate interpolated two
+    # endpoint probes by row position, and one mid-run 2.2x box-speed
+    # step change flagged 14 unchanged sub-second rows (the step is
+    # invisible to a 2-point linear model).  A probe every
+    # PROBE_EVERY measured rows brackets each row by probes a few
+    # seconds away, so a step change only distorts the one segment it
+    # lands in.  Cost: ~10 probes x ~0.2s on a ~70s run.
+    PROBE_EVERY = 8
+    probe_series: list[dict] = []
+    rows_measured = 0
+
+    def _probe_mark() -> None:
+        probe_series.append({"at_row": rows_measured, "sec": _cpu_probe()})
+
+    _probe_mark()
+    probe_start = probe_series[0]["sec"]
 
     spark = get_spark("bench")
     # JVM/codegen warmup on the smallest SF so per-query numbers
@@ -135,6 +183,9 @@ def main() -> None:
         timings[name] = round(best, 4)
         trials_log[name] = trial_times
         _clear_caches()
+        rows_measured += 1
+        if rows_measured % PROBE_EVERY == 0:
+            _probe_mark()
 
     # Full-registry sweep (min-of-3: the r7 min-of-2 protocol left the
     # registry minimums carrying cold-JVM noise — first trials measured
@@ -160,6 +211,12 @@ def main() -> None:
         registry_timings[name] = round(best, 4)
         trials_log[name] = trial_times
         _clear_caches()
+        rows_measured += 1
+        if rows_measured % PROBE_EVERY == 0:
+            _probe_mark()
+
+    if probe_series[-1]["at_row"] != rows_measured:
+        _probe_mark()  # close the bracket after the last query row
 
     # End-to-end streaming ingest throughput (events/sec through
     # file-stream source -> enrichment -> partitioned parquet lake,
@@ -226,20 +283,31 @@ def main() -> None:
     probe_end = _cpu_probe()
 
     # ---- probe-normalized cross-round regression gate (VERDICT r10
-    # #1).  Three rounds running, nominal >1.25x rows had to be
-    # re-litigated by hand against host steal (a microVM box whose
-    # effective speed swings ~2.3x, measured).  The protocol now does
-    # the arithmetic itself: each row's cross-round nominal ratio is
-    # divided by the BOX ratio at that row's position in the run —
-    # probes are taken at run start and end, and a row's probe unit
-    # is interpolated start->end by its measurement position, so
-    # mid-run drift (the r10 signature: 0.249 -> 0.425 within one
-    # run) normalizes per-row instead of per-run.  Only rows whose
-    # NORMALIZED ratio exceeds 1.25x are flagged; anything still
-    # flagged gets one isolated fresh-JVM re-measure as confirmation
-    # (the attribution step, run by hand or by the round's closing
-    # sweep — the flag list makes it a bounded task instead of a
-    # registry re-run).
+    # #1, de-noised r12 per VERDICT r11 #2 + ADVICE).  Three rounds
+    # running, nominal >1.25x rows had to be re-litigated by hand
+    # against host steal (a microVM box whose effective speed swings
+    # ~2.3x, measured).  The protocol does the arithmetic itself:
+    # each row's cross-round nominal ratio is divided by the BOX
+    # ratio at that row's position, where the box unit comes from the
+    # per-segment PROBE SERIES (one probe every PROBE_EVERY rows —
+    # r11's two-endpoint interpolation could not model a mid-run 2.2x
+    # step change and flagged 14 unchanged rows).  Three row classes:
+    #   - overhead-bound (< 0.5s min-of-N in BOTH rounds): EXEMPT —
+    #     the box's measured +-35% dispersion exceeds any signal a
+    #     sub-half-second row can carry; all 14 r11 false flags were
+    #     in this class.
+    #   - compute-bound (>= 2s in EITHER round): flagged on the
+    #     NORMALIZED ratio alone — these rows scale with box speed,
+    #     and the r11 nominal>1.1 floor would mask a real regression
+    #     whenever the box got faster (a 40% slower query on a 40%
+    #     faster box shows nominal ~0.93: ADVICE r11).
+    #   - in between: both conditions (normalized>1.25 AND
+    #     nominal>1.1) — partially overhead-bound rows don't fully
+    #     track box speed, so a faster box must not manufacture
+    #     flags out of unchanged nominal times (measured r11: nine
+    #     rows at nominal 0.94-1.29 flagged purely by unit 0.74).
+    # Anything still flagged gets one isolated fresh-JVM re-measure
+    # as confirmation — the flag list bounds that task.
     # previous-round baseline: the committed BENCH_local.json (the
     # full-detail artifact each round commits) — overridable for
     # cross-comparing arbitrary runs
@@ -257,6 +325,7 @@ def main() -> None:
     flagged: list[str] = []
     all_now = {**timings, **registry_timings}
     order_now = list(all_now)  # insertion order == measurement order
+
     if (
         prev
         and prev.get("sf") == sf  # ratios are meaningless across scales
@@ -265,45 +334,30 @@ def main() -> None:
     ):
         prev_rows = {**prev.get("queries", {}), **prev.get("registry_queries", {})}
         order_prev = list(prev_rows)
-
-        def _probe_at(order, start, end, name):
-            # linear interpolation of the box's probe unit at the
-            # row's position in its run's measurement order
-            if name not in order or len(order) == 1:
-                return (start + end) / 2.0
-            p = (order.index(name) + 0.5) / len(order)
-            return start + p * (end - start)
+        # r11-and-earlier artifacts carry only endpoint probes:
+        # synthesize a 2-point series so the gate still runs.
+        prev_series = prev.get("cpu_probe_series") or [
+            {"at_row": 0, "sec": prev["cpu_probe_sec_start"]},
+            {"at_row": len(order_prev), "sec": prev["cpu_probe_sec_end"]},
+        ]
 
         for name, now_sec in all_now.items():
             if name not in prev_rows or prev_rows[name] <= 0:
                 continue
-            nominal = now_sec / prev_rows[name]
-            unit_now = _probe_at(order_now, probe_start, probe_end, name)
-            unit_prev = _probe_at(
-                order_prev,
-                prev["cpu_probe_sec_start"],
-                prev["cpu_probe_sec_end"],
-                name,
-            )
+            prev_sec = prev_rows[name]
+            nominal = now_sec / prev_sec
+            unit_now = probe_series_unit(probe_series, order_now.index(name))
+            unit_prev = probe_series_unit(prev_series, order_prev.index(name))
             unit = unit_now / unit_prev if unit_prev > 0 else 1.0
             norm = nominal / unit if unit > 0 else nominal
+            gate = gate_row(now_sec, prev_sec, norm, nominal)
             normalized[name] = {
                 "nominal_ratio": round(nominal, 4),
                 "probe_unit_ratio": round(unit, 4),
                 "normalized_ratio": round(norm, 4),
+                "gate": gate,
             }
-            # Both conditions: normalization models query time as
-            # proportional to box speed, which overhead-bound rows
-            # (sub-second plans, the ~90-job incremental replay)
-            # violate — when the box is FASTER than the baseline run
-            # (unit < 1) those rows don't speed up with it, and
-            # normalized-only flagging manufactures regressions out
-            # of unchanged nominal times (measured r11: nine rows at
-            # nominal 0.94-1.29 flagged purely by unit 0.74).  A row
-            # that is nominally no slower is not a regression; the
-            # probe divisor exists to EXCUSE host steal (unit > 1),
-            # not to raise the bar when the host is idle.
-            if norm > 1.25 and nominal > 1.1:
+            if gate == "flagged":
                 flagged.append(name)
 
     total = round(sum(timings.values()), 4)
@@ -363,12 +417,21 @@ def main() -> None:
         "corpus_prep_docs_per_sec": corpus_prep_docs_per_sec,
         "cpu_probe_sec_start": probe_start,
         "cpu_probe_sec_end": probe_end,
+        # per-segment box-speed series over the query rows (at_row =
+        # rows measured before the probe); probe_end above is taken
+        # AFTER the ingest/corpus metrics, bracketing the whole run
+        "cpu_probe_series": probe_series,
         # per-row cross-round ratios, probe-normalized (see the gate
         # comment above): `flagged_normalized_gt_1_25` is the ONLY
         # list the round's attribution step needs to re-litigate
         "normalized_vs_prev": normalized,
         "flagged_normalized_gt_1_25": sorted(flagged),
-        "regression_gate": "normalized>1.25 AND nominal>1.1 (nominal/probe-unit, probes interpolated by row position; nominal floor keeps a faster box from manufacturing flags on overhead-bound rows)",
+        "regression_gate": (
+            "per-segment probe series (every 8 rows); rows <0.5s both "
+            "rounds exempt (box dispersion > signal); rows >=2s either "
+            "round flag on normalized>1.25 alone; in-between rows need "
+            "normalized>1.25 AND nominal>1.1"
+        ),
         "sf": sf,
     }
     # The driver captures a bounded tail of stdout: round 6's `trials`

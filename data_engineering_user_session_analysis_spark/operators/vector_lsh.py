@@ -235,6 +235,56 @@ def vector_geometry_for_recall(
     }
 
 
+#: Clamps for :func:`oracle_geometry` — the SQL-replayable demo law.
+ORACLE_MIN_PLANES, ORACLE_MAX_PLANES = 4, 30
+ORACLE_MIN_TABLES, ORACLE_MAX_TABLES = 8, 64
+
+
+def oracle_tables_for_planes(planes: int) -> int:
+    """Tables holding 0.9 near-dup recall (at ``NEARDUP_COS``) for a
+    given plane count — the ``lsh_params`` recall solve, broken out
+    so a static SQL CASE over the bounded planes range can replay it
+    (the transcendentals run HERE, in Python, once per plane value;
+    the SQL only looks the result up, so no cross-engine libm drift
+    can flip a geometry)."""
+    p_dup = 1.0 - math.acos(NEARDUP_COS) / math.pi
+    miss = 1.0 - p_dup**planes
+    want = (
+        math.ceil(math.log(0.1) / math.log(miss))
+        if 0.0 < miss < 1.0
+        else ORACLE_MAX_TABLES
+    )
+    return min(max(want, ORACLE_MIN_TABLES), ORACLE_MAX_TABLES)
+
+
+def oracle_geometry(n_vectors: int) -> tuple[int, int]:
+    """(tables, planes) for the SQL-replayable N-scaled LSH demo row.
+
+    The full ``lsh_params`` solve is a float fixpoint a SQL engine
+    cannot be trusted to reproduce bit-for-bit, so the registry row
+    uses this integer-exact restriction of the same two laws:
+
+    - ``planes = clamp(bit_length(N) - 2, 4, 30)`` — i.e.
+      ⌈log2(N·16/32)⌉ with a nominal 16 tables, computed via integer
+      bit-length (SQL: ``length(bin(n)) - 2``), so random candidates
+      per vector stay O(1) and total candidate mass stays LINEAR in
+      N (the pinned 8×4 demo geometry this replaced was measured
+      quadratic: 82.8× wall at 10× rows in the r11 sf1 sweep).
+    - ``tables = oracle_tables_for_planes(planes)`` — the recall law
+      at ``NEARDUP_COS``, materialized as a 27-entry lookup both
+      engines share (Python computes it; the oracle SQL embeds it as
+      a literal CASE).
+
+    Candidates/vector stays 20–100 and predicted near-dup recall
+    ≥0.9 from n=500 through n=10⁹ (planes clamp binds past ~5·10⁸).
+    Recall at WEAK thresholds (the registry row's 0.4) decays with
+    planes — the documented, closed-form-predicted price of linear
+    candidate mass; see ``lsh_params``."""
+    flog2 = max(int(n_vectors).bit_length() - 1, 1)
+    planes = min(max(flog2 - 1, ORACLE_MIN_PLANES), ORACLE_MAX_PLANES)
+    return oracle_tables_for_planes(planes), planes
+
+
 def _plane_sign(table: int, plane: int, dim: int) -> int:
     h = hashlib.md5(f"{table}:{plane}:{dim}".encode()).digest()
     return 1 if h[0] & 1 else -1

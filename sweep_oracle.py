@@ -19,11 +19,21 @@ Per query:
                       row count + schema recorded, note says why
 - ``spark_error``     the engine itself failed (failure)
 
-Probe-paired (VERDICT r10 item 6): a fixed-size CPU probe runs at
-sweep start and end so timings are attributable under host steal.
+Probe-paired PER ROW (VERDICT r11 #6): a fixed-size CPU probe runs
+every PROBE_EVERY queries (plus start/end), so per-row timings — and
+the cross-decade scaling table below — are attributable under host
+steal without hand arithmetic.
+
+Cross-decade scaling (VERDICT r11 #3): pass a lower-SF sweep artifact
+via ``SWEEP_COMPARE_TO`` (or it defaults to the committed sf0.1 sweep
+when sweeping sf1) and the artifact gains ``scaling_vs_compare`` — a
+per-row map of nominal and probe-normalized spark_sec ratios.  At 10x
+rows a healthy row lands <=~15x normalized; a quadratic one shows
+~100x (the r11 sweep pair measured embedding_neardup at 82.8x, the
+defect that motivated this table).
 
 Usage: python sweep_oracle.py [SF_DIR] [OUT_JSON]
-Env:   SWEEP_ORACLE_TIMEOUT_S (default 600)
+Env:   SWEEP_ORACLE_TIMEOUT_S (default 600), SWEEP_COMPARE_TO
 """
 
 from __future__ import annotations
@@ -35,6 +45,8 @@ import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PROBE_EVERY = 10
 
 
 def _cpu_probe() -> float:
@@ -49,7 +61,7 @@ def _cpu_probe() -> float:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".testdata/sf1"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "SWEEP_sf1_r11.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SWEEP_sf1_r12.json"
     timeout_s = float(os.environ.get("SWEEP_ORACLE_TIMEOUT_S", "600"))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -58,12 +70,19 @@ def main() -> None:
 
     import duckdb
 
+    from bench import probe_series_unit
     from data_engineering_user_session_analysis_spark import get_spark
     from data_engineering_user_session_analysis_spark.queries import ORACLE, QUERIES
-    from tests.oracle_harness import compare, duckdb_conn
+    from tests.oracle_harness import compare_pandas, duckdb_conn
 
     _cpu_probe()  # warmup, discarded
-    probe_start = _cpu_probe()
+    probe_series: list[dict] = []
+    rows_done = 0
+
+    def _probe_mark() -> None:
+        probe_series.append({"at_row": rows_done, "sec": _cpu_probe()})
+
+    _probe_mark()
 
     spark = get_spark("sweep")
     con = duckdb_conn(sf_dir)
@@ -73,13 +92,30 @@ def main() -> None:
     def run_oracle(sql: str):
         """fetchdf with an interrupt watchdog: DuckDB has no statement
         timeout, so a quadratic oracle at this decade is bounded by
-        con.interrupt() from a timer thread."""
-        timer = threading.Timer(timeout_s, con.interrupt)
+        con.interrupt() from a timer thread.  The timer can fire
+        AFTER fetchdf returns but before cancel() lands (ADVICE r11):
+        when that race hits, the stale interrupt sits on the shared
+        connection and would abort the NEXT query — so if the timer
+        ran, drain the connection with a throwaway statement before
+        returning."""
+        fired = threading.Event()
+
+        def _interrupt() -> None:
+            fired.set()
+            con.interrupt()
+
+        timer = threading.Timer(timeout_s, _interrupt)
         timer.start()
         try:
             return con.execute(sql).fetchdf()
         finally:
             timer.cancel()
+            timer.join()  # after this, fired is final
+            if fired.is_set():
+                try:
+                    con.execute("SELECT 1").fetchall()  # absorb stale interrupt
+                except Exception:
+                    pass
 
     results: dict[str, dict] = {}
     for name in sorted(QUERIES):
@@ -95,6 +131,7 @@ def main() -> None:
             entry["status"] = "spark_error"
             entry["error"] = repr(exc)[:500]
             results[name] = entry
+            rows_done += 1
             print(json.dumps({name: entry}), flush=True)
             continue
         if name not in ORACLE:
@@ -106,9 +143,10 @@ def main() -> None:
                 oracle_pdf = run_oracle(ORACLE[name])
                 entry["oracle_sec"] = round(time.perf_counter() - t1, 3)
                 entry["oracle_rows"] = len(oracle_pdf)
-                import pandas as pd
-
-                problems = compare(name, spark_df, oracle_pdf)
+                # compare the ALREADY-collected frame: the timed
+                # collection IS the compared collection, and the
+                # Spark query runs once, not twice (ADVICE r11)
+                problems = compare_pandas(name, spdf, oracle_pdf)
                 entry["status"] = "pass" if not problems else "mismatch"
                 if problems:
                     entry["problems"] = problems[:5]
@@ -124,10 +162,62 @@ def main() -> None:
                 entry["status"] = "oracle_skipped"
                 entry["note"] = f"oracle error at sf{sf}: {repr(exc)[:300]}; spark rows+schema recorded"
         results[name] = entry
+        rows_done += 1
+        if rows_done % PROBE_EVERY == 0:
+            _probe_mark()
         print(json.dumps({name: {k: entry[k] for k in ('status', 'spark_sec', 'oracle_sec') if k in entry}}), flush=True)
         spark.catalog.clearCache()
 
-    probe_end = _cpu_probe()
+    if probe_series[-1]["at_row"] != rows_done:
+        _probe_mark()
+
+    # ---- cross-decade scaling table (VERDICT r11 #3 + #6): per-row
+    # spark_sec vs a lower-SF sweep, nominal AND probe-normalized
+    # (each row divided by the box-speed ratio at its position in its
+    # own run, so a sweep sharing the box with a pytest run — the r11
+    # sf0.1 sweep ran 2.6x slow per probe-unit — still yields
+    # trustworthy ratios).
+    compare_to = os.environ.get("SWEEP_COMPARE_TO")
+    if compare_to is None and sf >= 1.0:
+        default_cmp = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "SWEEP_sf0.1_r12.json"
+        )
+        compare_to = default_cmp if os.path.exists(default_cmp) else None
+    scaling: dict[str, dict] = {}
+    scaling_meta = None
+    if compare_to and os.path.exists(compare_to):
+        try:
+            with open(compare_to) as f:
+                base = json.load(f)
+            base_rows = base.get("queries", {})
+            base_order = list(base_rows)
+            base_series = base.get("cpu_probe_series") or [
+                {"at_row": 0, "sec": base.get("cpu_probe_sec_start", 1.0)},
+                {"at_row": len(base_order), "sec": base.get("cpu_probe_sec_end", 1.0)},
+            ]
+            order_now = list(results)
+            for name, entry in results.items():
+                b = base_rows.get(name)
+                if not b or not b.get("spark_sec") or not entry.get("spark_sec"):
+                    continue
+                nominal = entry["spark_sec"] / b["spark_sec"]
+                unit_now = probe_series_unit(probe_series, order_now.index(name))
+                unit_base = probe_series_unit(base_series, base_order.index(name))
+                unit = unit_now / unit_base if unit_base > 0 else 1.0
+                scaling[name] = {
+                    "spark_sec_ratio": round(nominal, 2),
+                    "probe_normalized_ratio": round(
+                        nominal / unit if unit > 0 else nominal, 2
+                    ),
+                }
+            scaling_meta = {
+                "compare_to": compare_to,
+                "compare_sf": base.get("sf"),
+                "rows_factor": "see per-table counts; documents/embeddings 10x at sf0.1->sf1",
+            }
+        except (OSError, ValueError) as exc:
+            scaling_meta = {"compare_to": compare_to, "error": repr(exc)[:200]}
+
     statuses = [e["status"] for e in results.values()]
     data_provenance = (
         "tools/gen_testdata.py seed=42 (driver ships sf<=0.1; schema "
@@ -146,23 +236,30 @@ def main() -> None:
         "n_oracle_skipped": statuses.count("oracle_skipped"),
         "n_spark_error": statuses.count("spark_error"),
         "oracle_timeout_s": timeout_s,
-        "cpu_probe_sec_start": probe_start,
-        "cpu_probe_sec_end": probe_end,
+        "cpu_probe_sec_start": probe_series[0]["sec"],
+        "cpu_probe_sec_end": probe_series[-1]["sec"],
+        "cpu_probe_series": probe_series,
         "total_spark_sec": round(
             sum(e["spark_sec"] or 0.0 for e in results.values()), 2
         ),
         "total_oracle_sec": round(
             sum(e["oracle_sec"] or 0.0 for e in results.values()), 2
         ),
+        "scaling_vs_compare": scaling or None,
+        "scaling_meta": scaling_meta,
         "queries": results,
     }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
-    compact = {k: v for k, v in payload.items() if k != "queries"}
+    compact = {k: v for k, v in payload.items() if k not in ("queries", "scaling_vs_compare", "cpu_probe_series")}
     compact["mismatches"] = sorted(
         n for n, e in results.items() if e["status"] in ("mismatch", "spark_error")
     )
+    if scaling:
+        compact["max_normalized_scaling"] = max(
+            (v["probe_normalized_ratio"], k) for k, v in scaling.items()
+        )
     print(json.dumps(compact))
 
 

@@ -61,8 +61,17 @@ def _normalize(df: pd.DataFrame) -> list[tuple]:
 
 def compare(name: str, spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
+    return compare_pandas(name, spark_df.toPandas(), oracle_pdf)
+
+
+def compare_pandas(
+    name: str, spdf: pd.DataFrame, oracle_pdf: pd.DataFrame
+) -> list[str]:
+    """compare() on an ALREADY-COLLECTED Spark result: callers that
+    timed the collection pass it in, so the compared rows are exactly
+    the timed rows and the query doesn't execute twice (ADVICE r11:
+    the sweep's double toPandas() roughly doubled sf1 wall time)."""
     problems: list[str] = []
-    spdf = spark_df.toPandas()
     if sorted(spdf.columns) != sorted(oracle_pdf.columns):
         problems.append(
             f"{name}: columns differ spark={sorted(spdf.columns)} "

@@ -1,0 +1,77 @@
+"""Pins for the bench regression gate's three-class protocol and the
+per-segment probe interpolation (VERDICT r11 #2 + ADVICE r11): the
+r11 gate's two failure modes — 14 false flags on sub-second rows
+under a mid-run box-speed step change, and a global nominal floor
+masking compute-bound regressions on a faster box — are each pinned
+here as a concrete scenario.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import gate_row, probe_series_unit  # noqa: E402
+
+
+def test_overhead_bound_rows_exempt():
+    """The r11 drifting-box scenario: a 0.2s row measured at nominal
+    1.3 with the probe unit collapsed mid-run — sub-half-second in
+    both rounds means box dispersion exceeds any signal, so the row
+    is exempt, never flagged."""
+    assert gate_row(0.26, 0.2, norm=2.0, nominal=1.3) == "exempt_overhead_bound"
+    # but a row that GREW past the floor is not exempt
+    assert gate_row(0.8, 0.3, norm=2.6, nominal=2.6) == "flagged"
+
+
+def test_compute_bound_flags_on_normalized_alone():
+    """ADVICE r11: a query 40% slower on a 40% faster box shows
+    nominal ~0.93 — the old global nominal>1.1 floor masked it.
+    Compute-bound rows scale with box speed, so normalized alone
+    decides."""
+    assert gate_row(4.2, 4.5, norm=1.55, nominal=0.93) == "flagged"
+    assert gate_row(4.2, 4.5, norm=1.2, nominal=0.93) == "ok"
+
+
+def test_mid_rows_need_both_conditions():
+    """Partially overhead-bound rows (0.5-2s) don't fully track box
+    speed: a faster box must not manufacture flags out of unchanged
+    nominal times (r11: nine rows at nominal 0.94-1.29 flagged
+    purely by probe unit 0.74)."""
+    assert gate_row(1.0, 1.05, norm=1.35, nominal=0.95) == "ok"
+    assert gate_row(1.5, 1.0, norm=1.5, nominal=1.5) == "flagged"
+    assert gate_row(1.2, 1.1, norm=1.3, nominal=1.09) == "ok"
+
+
+def test_probe_series_interpolation_models_step_change():
+    """A mid-run speed step (0.2 -> 0.44 between rows 16 and 24) must
+    not contaminate rows measured before it — the r11 two-endpoint
+    model spread the step over every row."""
+    series = [
+        {"at_row": 0, "sec": 0.2},
+        {"at_row": 8, "sec": 0.2},
+        {"at_row": 16, "sec": 0.2},
+        {"at_row": 24, "sec": 0.44},
+        {"at_row": 32, "sec": 0.44},
+    ]
+    # rows inside the flat-fast region read the fast unit exactly
+    assert probe_series_unit(series, 4) == 0.2
+    assert probe_series_unit(series, 12) == 0.2
+    # rows after the step read the slow unit
+    assert probe_series_unit(series, 28) == 0.44
+    # inside the step segment: linear between the brackets
+    mid = probe_series_unit(series, 19)  # x=19.5 between 16 and 24
+    assert 0.2 < mid < 0.44
+    # clamped at the edges
+    assert probe_series_unit(series, -5) == 0.2
+    assert probe_series_unit(series, 100) == 0.44
+
+
+def test_probe_series_two_point_backcompat():
+    """r11-and-earlier artifacts carry only endpoint probes — a
+    synthesized 2-point series must reproduce the old linear-by-
+    position behavior."""
+    series = [{"at_row": 0, "sec": 0.2}, {"at_row": 50, "sec": 0.4}]
+    u = probe_series_unit(series, 24)  # x=24.5 of 50 -> 49%
+    assert abs(u - (0.2 + 0.49 * 0.2)) < 1e-9

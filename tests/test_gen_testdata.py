@@ -35,6 +35,12 @@ def gen_dir(tmp_path_factory):
     return str(out)
 
 
+@pytest.mark.skipif(
+    not os.path.isdir(DRIVER_SF),
+    reason="driver-shipped /root/testdata not present on this machine "
+    "(the schema-parity pin only means something where the reference "
+    "files exist — ADVICE r11)",
+)
 def test_schemas_match_driver_files(gen_dir):
     for t in TABLES:
         driver = pq.read_schema(os.path.join(DRIVER_SF, f"{t}.parquet"))
