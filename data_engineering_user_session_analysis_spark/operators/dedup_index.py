@@ -49,6 +49,30 @@ from data_engineering_user_session_analysis_spark.operators.dedup import (
     shingle_docs,
 )
 
+# Directory-lifecycle mechanics shared by both families (params IO,
+# day markers, truth cache, rebuild staging/swap) live in
+# operators/index_lifecycle.py (VERDICT r11 #5); the private-name
+# aliases keep this module's long-standing import surface stable.
+from data_engineering_user_session_analysis_spark.operators.index_lifecycle import (
+    append_day_shard,
+    begin_rebuild,
+    commit_rebuild,
+    complete_days_only,
+    incremental_candidates,
+    marker_complete_days as _marker_complete_days,
+    md5_sample,
+    pre_complete_days,
+    preserve_truth_cache as _preserve_truth_cache,
+    read_params,
+    recall_sensor_score,
+    restore_day_markers,
+    retract_day_marker as _retract_day_marker,
+    scope_index_days,
+    shard_indexed,
+    truth_cache_lookup as _truth_cache_lookup,
+    write_params,
+)
+
 _BANDS = 16
 _ROWS_PER_BAND = 4
 
@@ -86,26 +110,22 @@ def _bucket_table(
 def _write_minhash_params(
     spark, path: str, bands: int, rows_per_band: int, n: int
 ) -> None:
-    """Persist the index geometry FIRST (the vector index's params
-    contract, applied to the text family): every append and probe
-    must shingle with the build's ``n`` and band with the build's
-    (bands, rows) — a shard shingled at a different n has disjoint
-    shingle sets, and different banding lands in a disjoint bucket
-    space; both silently never match."""
-    spark.createDataFrame(
-        [{"bands": int(bands), "rows_per_band": int(rows_per_band), "n": int(n)}],
+    """Text-family geometry freeze (``index_lifecycle.write_params``):
+    a shard shingled at a different ``n`` has disjoint shingle sets,
+    different banding a disjoint bucket space; both silently never
+    match."""
+    write_params(
+        spark,
+        path,
+        {"bands": int(bands), "rows_per_band": int(rows_per_band), "n": int(n)},
         "bands int, rows_per_band int, n int",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "params"))
+    )
 
 
 def _read_minhash_params(spark, path: str) -> "dict | None":
-    """The stored geometry, or None for a pre-params (legacy) index —
-    legacy indexes keep the module defaults plus the caller's ``n``,
-    so nothing built before the params table changes behavior."""
-    d = os.path.join(path, "params")
-    if not os.path.isdir(d):
+    r = read_params(spark, path)
+    if r is None:
         return None
-    r = spark.read.parquet(d).first()
     return {
         "bands": int(r["bands"]),
         "rows_per_band": int(r["rows_per_band"]),
@@ -117,6 +137,86 @@ def _set_table(shingles: DataFrame, id_col: str) -> DataFrame:
     return shingles.groupBy(id_col).agg(
         F.collect_list("shingle").alias("sh_set")
     )
+
+
+def _verify_pairs_from_sets(
+    candidates: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidates from
+    shingle-SET tables: candidate-bounded (two id-equi joins + one
+    array intersect per candidate), never a shingle self-join."""
+    return (
+        candidates.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b"))
+            .cast("long")
+            .alias("intersection"),
+            F.size("set_a").alias("na"),
+            F.size("set_b").alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("na") + F.col("nb") - F.col("intersection")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection", "jaccard")
+    )
+
+
+def index_neardup_pairs(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    restrict_ids: DataFrame | None = None,
+) -> DataFrame:
+    """ALL near-dup pairs within the indexed corpus, straight from the
+    stored probe surface — zero text passes: candidates from a
+    ``buckets/`` self-join on (band, bucket), exact Jaccard from
+    ``sets/``.  Output is bit-identical to ``minhash_lsh_pairs`` over
+    the same docs at the index's frozen geometry (same banding, same
+    verification — pinned in tests/test_corpus_prep.py).
+
+    ``restrict_ids``: optional (id_col) frame — only pairs where BOTH
+    ends survive the restriction are emitted (the corpus-prep case:
+    the exact-dedup survivor set probes an index built over the full
+    scrubbed corpus; a pair with a dropped end is irrelevant because
+    its surviving end is connected through the exact-dup star edges
+    instead).  Semi-joins prune the bucket scan before the self-join.
+
+    This is what makes a maintained index pay at prep time (VERDICT
+    r11 #4): the daily pipeline already shingles/signs each shard
+    ONCE when appending; re-deriving pairs for a full-corpus prep
+    run costs only the bucket join + candidate-bounded verification,
+    not the 64-hash signature pass over every doc's text again."""
+    b = spark.read.parquet(os.path.join(path, "buckets"))
+    s = spark.read.parquet(os.path.join(path, "sets"))
+    if "ds" in b.columns:
+        b, s = b.drop("ds"), s.drop("ds")
+    if restrict_ids is not None:
+        keep = restrict_ids.select(id_col)
+        b = b.join(keep, id_col, "left_semi")
+        s = s.join(keep, id_col, "left_semi")
+    cand = (
+        b.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+        .join(
+            b.select(F.col(id_col).alias("doc_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets_a = s.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
+    sets_b = s.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
+    return _verify_pairs_from_sets(cand, sets_a, sets_b, threshold)
 
 
 def write_minhash_index(
@@ -214,106 +314,12 @@ def append_shard_to_minhash_index(
     else:
         bands, rows = _BANDS, _ROWS_PER_BAND
         _write_minhash_params(docs.sparkSession, path, bands, rows, n)
-    _retract_day_marker(path, ds)
     sh = shingle_docs(docs, text_col, id_col, n).cache()
-    _set_table(sh, id_col).write.mode("overwrite").parquet(
-        os.path.join(path, "sets", f"ds={ds}")
-    )
-    _bucket_table(sh, id_col, bands, rows).write.mode("overwrite").parquet(
-        os.path.join(path, "buckets", f"ds={ds}")
+    append_day_shard(
+        path, ds, "sets", _set_table(sh, id_col),
+        _bucket_table(sh, id_col, bands, rows),
     )
     sh.unpersist()
-
-
-def _retract_day_marker(path: str, ds: str) -> None:
-    """Delete a day's bucket partition (its completeness marker lives
-    there) so the day reads as incomplete for the whole duration of a
-    re-run's writes."""
-    import shutil
-
-    shutil.rmtree(os.path.join(path, "buckets", f"ds={ds}"), ignore_errors=True)
-
-
-def _marker_complete_days(path: str) -> list[str]:
-    """Every ds whose index contribution verifiably COMPLETED (the
-    bucket partition's ``_SUCCESS`` marker — the same signal
-    ``shard_indexed`` / the daily verbs consult).  The recall sensors
-    scope BOTH their truth and candidate scans to this set: the
-    append path writes the verify surface (sets/vectors) BEFORE the
-    buckets, so a crashed day's rows would otherwise enter the truth
-    while having no bucket rows — structurally unfindable pairs that
-    deflate measured recall until the day re-runs, where the
-    production probe (only_ds) never sees that day at all."""
-    root = os.path.join(path, "buckets")
-    if not os.path.isdir(root):
-        return []
-    return sorted(
-        p.split("=", 1)[1]
-        for p in os.listdir(root)
-        if p.startswith("ds=")
-        and os.path.exists(os.path.join(root, p, "_SUCCESS"))
-    )
-
-
-def _truth_cache_lookup(
-    spark: SparkSession,
-    path: str,
-    family: str,
-    fingerprint_df: DataFrame,
-    fp_id_col: str,
-    fp_payload_col: str,
-    n: int,
-    *key_parts,
-) -> "tuple[str, bool]":
-    """Locate the persisted exact-truth cache for a recall sensor
-    (VERDICT r10 #5: exact truth was ~70–200 s of the 1M autotune's
-    cost and was recomputed per invocation on an unchanged corpus).
-    The cache key is a CONTENT fingerprint — one bounded column-scan
-    agg, ``bit_xor(xxhash64(id, payload))`` over the marker-complete
-    corpus plus its row count — joined with the sensor parameters
-    (threshold, sample_q, salt…).  Content keying gives the exact
-    invalidation semantics for free: an append or a day re-run
-    changes the fingerprint (new key, recompute); a REBUILD leaves
-    the verify surface (sets/vectors) byte-identical, so the key —
-    and the cached truth, which depends only on that surface — stays
-    valid across the autotune's rebuild steps, which is where the
-    recomputation cost actually lived.  Returns ``(cache_dir, hit)``;
-    the xor-fold is order-independent, so partition order never
-    perturbs the key."""
-    import hashlib
-
-    fp = (
-        fingerprint_df.agg(
-            F.expr(f"bit_xor(xxhash64({fp_id_col}, {fp_payload_col}))").alias("fp")
-        ).first()["fp"]
-    )
-    key = hashlib.md5(
-        "|".join(str(p) for p in (family, n, fp, *key_parts)).encode()
-    ).hexdigest()
-    cdir = os.path.join(path, "truth_cache", key)
-    return cdir, os.path.exists(os.path.join(cdir, "_SUCCESS"))
-
-
-def _preserve_truth_cache(path: str, tmp: str) -> None:
-    """Carry the truth cache across a rebuild's two-rename swap: the
-    cache is keyed on the verify surface's CONTENT, which a rebuild
-    never changes (it recomputes buckets only), so dropping it with
-    the old directory would force the exact recomputation the cache
-    exists to avoid — each autotune step re-measures post-rebuild."""
-    import shutil
-
-    src = os.path.join(path, "truth_cache")
-    if os.path.isdir(src):
-        shutil.move(src, os.path.join(tmp, "truth_cache"))
-
-
-def shard_indexed(path: str, ds: str) -> bool:
-    """True when day ``ds``'s index contribution is COMPLETE (the
-    bucket dir's ``_SUCCESS`` marker, written last — see
-    ``append_shard_to_minhash_index``)."""
-    return os.path.exists(
-        os.path.join(path, "buckets", f"ds={ds}", "_SUCCESS")
-    )
 
 
 def incremental_neardup_pairs(
@@ -368,48 +374,23 @@ def incremental_neardup_pairs(
     b_new = _bucket_table(sh_new, id_col, bands, rows)
     s_new = _set_table(sh_new, id_col)
 
-    b_old = spark.read.parquet(os.path.join(path, "buckets"))
-    s_old = spark.read.parquet(os.path.join(path, "sets"))
-    if "ds" in b_old.columns:  # ds-partitioned layout
-        if before_ds is not None:
-            b_old = b_old.filter(F.col("ds") < before_ds)
-            s_old = s_old.filter(F.col("ds") < before_ds)
-        if only_ds is not None:
-            days = [str(d) for d in only_ds]
-            b_old = b_old.filter(F.col("ds").isin(days))
-            s_old = s_old.filter(F.col("ds").isin(days))
-        b_old, s_old = b_old.drop("ds"), s_old.drop("ds")
-    elif before_ds is not None or only_ds is not None:
-        # the legacy flat-append layout cannot honor the contract —
-        # silently probing the caller's own appended rows would
-        # self-hit every shard doc at jaccard 1.0 and drop the whole
-        # day as duplicates
-        raise ValueError(
-            "before_ds/only_ds require the ds-partitioned index layout "
-            "(append_shard_to_minhash_index); this index was built "
-            "with the flat append_to_minhash_index layout"
-        )
-
-    # new-vs-corpus candidates from the stored probe surface
-    cand_cross = (
-        b_old.select(F.col(id_col).alias("doc_a"), "band", "bucket")
-        .join(
-            b_new.select(F.col(id_col).alias("doc_b"), "band", "bucket"),
-            ["band", "bucket"],
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
+    # legacy flat-append layout cannot honor before_ds/only_ds —
+    # silently probing the caller's own appended rows would self-hit
+    # every shard doc at jaccard 1.0 and drop the whole day
+    b_old, s_old = scope_index_days(
+        [
+            spark.read.parquet(os.path.join(path, "buckets")),
+            spark.read.parquet(os.path.join(path, "sets")),
+        ],
+        before_ds,
+        only_ds,
+        "before_ds/only_ds require the ds-partitioned index layout "
+        "(append_shard_to_minhash_index); this index was built "
+        "with the flat append_to_minhash_index layout",
     )
-    # new-vs-new candidates from the shard alone
-    cand_self = (
-        b_new.select(F.col(id_col).alias("doc_a"), "band", "bucket")
-        .join(
-            b_new.select(F.col(id_col).alias("doc_b"), "band", "bucket"),
-            ["band", "bucket"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+
+    cand = incremental_candidates(
+        b_old, b_new, id_col, "doc_a", "doc_b", ["band", "bucket"]
     )
     sets_a = s_old.unionByName(s_new).select(
         F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a")
@@ -417,28 +398,7 @@ def incremental_neardup_pairs(
     sets_b = s_new.select(
         F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b")
     )
-    return (
-        cand_cross.unionByName(cand_self)
-        .distinct()
-        .join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("set_a", "set_b"))
-            .cast("long")
-            .alias("intersection"),
-            F.size("set_a").alias("na"),
-            F.size("set_b").alias("nb"),
-        )
-        .withColumn(
-            "jaccard",
-            F.col("intersection")
-            / (F.col("na") + F.col("nb") - F.col("intersection")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "intersection", "jaccard")
-    )
+    return _verify_pairs_from_sets(cand, sets_a, sets_b, threshold)
 
 
 # ----------------------------------------------------------------- #
@@ -479,28 +439,24 @@ def _write_vector_params(
     spark, path: str, dim: int, tables: int, planes: int,
     target_n: "int | None" = None,
 ) -> None:
-    """Persist the index geometry FIRST (before any bucket/vector
-    write): every later append and probe must bucket with the
-    build's geometry — a shard bucketed with different planes lands
-    in a disjoint signature space and silently never matches.
+    """Vector-family geometry freeze (``index_lifecycle.write_params``);
     ``target_n`` (when the geometry was sized) rides along as the
     design point the outgrown check compares against."""
-    spark.createDataFrame(
-        [{"dim": dim, "tables": tables, "planes": planes,
-          "target_n": int(target_n) if target_n is not None else None}],
+    write_params(
+        spark,
+        path,
+        {"dim": dim, "tables": tables, "planes": planes,
+         "target_n": int(target_n) if target_n is not None else None},
         "dim int, tables int, planes int, target_n bigint",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "params"))
+    )
 
 
 def _read_vector_params(spark, path: str) -> "dict | None":
-    """The stored geometry, or None for a pre-params (legacy) index —
-    legacy indexes keep the original module defaults, so nothing
-    built before the params table changes behavior.  ``target_n`` is
-    None for params written before the design point was recorded."""
-    d = os.path.join(path, "params")
-    if not os.path.isdir(d):
+    """``target_n`` is None for params written before the design
+    point was recorded."""
+    r = read_params(spark, path)
+    if r is None:
         return None
-    r = spark.read.parquet(d).first()
     return {
         "dim": int(r["dim"]),
         "tables": int(r["tables"]),
@@ -662,13 +618,10 @@ def append_shard_to_vector_index(
             g = vector_index_geometry(target_n, dim)
             dim, tables, planes = g["dim"], g["tables"], g["planes"]
         _write_vector_params(emb.sparkSession, path, dim, tables, planes, target_n)
-    _retract_day_marker(path, ds)
-    _vector_norm_table(emb, id_col, vec_col).write.mode("overwrite").parquet(
-        os.path.join(path, "vectors", f"ds={ds}")
+    append_day_shard(
+        path, ds, "vectors", _vector_norm_table(emb, id_col, vec_col),
+        _vector_bucket_table(emb, id_col, vec_col, dim, tables, planes),
     )
-    _vector_bucket_table(emb, id_col, vec_col, dim, tables, planes).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "buckets", f"ds={ds}"))
 
 
 # the two index families share one completeness convention: the
@@ -716,8 +669,6 @@ def rebuild_vector_index(
     candidate-budget growth rule.  The stored ``target_n`` design
     point is preserved (or updated when ``target_n`` is also given)
     so the outgrown alarm keeps its meaning."""
-    import shutil
-
     stored = _read_vector_params(spark, path)
     # the stored dim is part of the index's identity (signature_column's
     # matmul shape and the hash family both depend on it) — a rebuild
@@ -734,24 +685,14 @@ def rebuild_vector_index(
         raise ValueError("rebuild_vector_index needs target_n or geometry")
     vecs = spark.read.parquet(os.path.join(path, "vectors"))
     layout = "ds" if "ds" in vecs.columns else "flat"
-    tmp = path.rstrip("/") + ".rebuild"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = begin_rebuild(path)
     _write_vector_params(spark, tmp, g["dim"], g["tables"], g["planes"], target_n)
     n = vecs.count()
     if layout == "ds":
         # vectors copied shard-for-shard, buckets recomputed per day in
         # ONE partitioned job each; per-day _SUCCESS markers restored
-        # after (a bulk partitionBy write only stamps the top level) —
-        # but ONLY for days that were complete BEFORE the rebuild: the
-        # marker is the daily verbs' completeness signal, and stamping a
-        # previously crashed, partially-written day would promote it to
-        # probe-visible without its re-run (ADVICE r8)
-        pre_complete = {
-            d
-            for d in os.listdir(os.path.join(path, "buckets"))
-            if d.startswith("ds=")
-            and os.path.exists(os.path.join(path, "buckets", d, "_SUCCESS"))
-        }
+        # for pre-complete days only (index_lifecycle — ADVICE r8)
+        pre_complete = pre_complete_days(path)
         vecs.write.mode("overwrite").partitionBy("ds").parquet(
             os.path.join(tmp, "vectors")
         )
@@ -771,22 +712,13 @@ def rebuild_vector_index(
             .partitionBy("ds")
             .parquet(os.path.join(tmp, "buckets"))
         )
-        for d in os.listdir(os.path.join(tmp, "buckets")):
-            if d.startswith("ds=") and d in pre_complete:
-                open(os.path.join(tmp, "buckets", d, "_SUCCESS"), "w").close()
+        restore_day_markers(tmp, pre_complete)
     else:
         vecs.write.mode("overwrite").parquet(os.path.join(tmp, "vectors"))
         _vector_bucket_table(
             vecs.drop("nrm"), id_col, vec_col, g["dim"], g["tables"], g["planes"]
         ).write.mode("overwrite").parquet(os.path.join(tmp, "buckets"))
-    if not os.path.exists(os.path.join(tmp, "buckets", "_SUCCESS")):
-        raise RuntimeError(f"rebuild at {tmp} is incomplete (no buckets/_SUCCESS)")
-    _preserve_truth_cache(path, tmp)
-    old = path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    commit_rebuild(path, tmp)
     return {
         "n_vectors": n,
         "geometry": {"dim": g["dim"], "tables": g["tables"], "planes": g["planes"]},
@@ -829,36 +761,20 @@ def incremental_vector_neardup(
         new_emb, id_col, vec_col, dim, tables, planes
     ).cache()
     v_new = _vector_norm_table(new_emb, id_col, vec_col)
-    b_old = spark.read.parquet(os.path.join(path, "buckets"))
-    v_old = spark.read.parquet(os.path.join(path, "vectors"))
-    if "ds" in b_old.columns:  # ds-partitioned layout
-        if before_ds is not None:
-            b_old = b_old.filter(F.col("ds") < before_ds)
-            v_old = v_old.filter(F.col("ds") < before_ds)
-        if only_ds is not None:
-            days = [str(d) for d in only_ds]
-            b_old = b_old.filter(F.col("ds").isin(days))
-            v_old = v_old.filter(F.col("ds").isin(days))
-        b_old, v_old = b_old.drop("ds"), v_old.drop("ds")
-    elif before_ds is not None or only_ds is not None:
-        raise ValueError(
-            "before_ds/only_ds require the ds-partitioned index layout "
-            "(append_shard_to_vector_index); this index was built with "
-            "the flat write/append layout"
-        )
-
-    cand_cross = (
-        b_old.select(F.col(id_col).alias("vec_a"), "t", "sig")
-        .join(b_new.select(F.col(id_col).alias("vec_b"), "t", "sig"), ["t", "sig"])
-        .select("vec_a", "vec_b")
-        .distinct()
+    b_old, v_old = scope_index_days(
+        [
+            spark.read.parquet(os.path.join(path, "buckets")),
+            spark.read.parquet(os.path.join(path, "vectors")),
+        ],
+        before_ds,
+        only_ds,
+        "before_ds/only_ds require the ds-partitioned index layout "
+        "(append_shard_to_vector_index); this index was built with "
+        "the flat write/append layout",
     )
-    cand_self = (
-        b_new.select(F.col(id_col).alias("vec_a"), "t", "sig")
-        .join(b_new.select(F.col(id_col).alias("vec_b"), "t", "sig"), ["t", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+
+    cand = incremental_candidates(
+        b_old, b_new, id_col, "vec_a", "vec_b", ["t", "sig"]
     )
     va = v_old.unionByName(v_new).select(
         F.col(id_col).alias("vec_a"),
@@ -871,9 +787,7 @@ def incremental_vector_neardup(
         F.col("nrm").alias("nb"),
     )
     return (
-        cand_cross.unionByName(cand_self)
-        .distinct()
-        .join(va, "vec_a")
+        cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .withColumn(
             "cosine", foldl_dot_column("ea", "eb") / (F.col("na") * F.col("nb"))
@@ -931,8 +845,6 @@ def vector_index_recall_sample(
     restriction a crashed day's vectors (written before its buckets)
     would enter the truth while being structurally unfindable,
     deflating measured recall until that day re-runs (ADVICE r09)."""
-    import time
-
     from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
         foldl_dot_column,
     )
@@ -947,18 +859,12 @@ def vector_index_recall_sample(
         if stored is not None
         else (_DIM, _TABLES, _PLANES)
     )
-    vec = spark.read.parquet(os.path.join(path, "vectors"))
-    if "ds" in vec.columns:
-        complete = _marker_complete_days(path)
-        vec = vec.filter(F.col("ds").isin(complete)).drop("ds")
-    vec = vec.filter(F.col("nrm") > 0)
+    vec = complete_days_only(
+        spark.read.parquet(os.path.join(path, "vectors")), path
+    ).filter(F.col("nrm") > 0)
     n = vec.count()
     queries = (
-        vec.orderBy(
-            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
-            F.col(id_col),
-        )
-        .limit(sample_q)
+        md5_sample(vec, id_col, salt, sample_q)
         .select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_emb"),
@@ -966,21 +872,13 @@ def vector_index_recall_sample(
         )
         .localCheckpoint(eager=True)
     )
+
     # exact truth is the sensor's expensive pass (a sample×corpus
-    # cosine scan) and depends only on the stored vectors — cache it
-    # under the index keyed by corpus content + sensor params, so an
-    # autotune's post-rebuild re-measures (and back-to-back daily
-    # sensor/tune calls on an unchanged corpus) skip it entirely
-    t_truth = time.monotonic()
-    cdir, cache_hit = _truth_cache_lookup(
-        spark, path, "vector",
-        vec.select(F.col(id_col), F.col(vec_col)), id_col, vec_col,
-        n, threshold, sample_q, salt, id_col,
-    )
-    if cache_hit:
-        truth = spark.read.parquet(cdir).localCheckpoint(eager=True)
-    else:
-        truth = (
+    # cosine scan) and depends only on the stored vectors — the
+    # shared core caches it under the index keyed by corpus content
+    # + sensor params (index_lifecycle.recall_sensor_score)
+    def _truth():
+        return (
             F.broadcast(queries)
             .crossJoin(
                 vec.select(
@@ -997,46 +895,35 @@ def vector_index_recall_sample(
             )
             .filter(F.col("cosine") >= threshold)
             .select("q_id", "other_id")
-            .distinct()  # a legacy flat-append retry can duplicate stored
-            # rows; counts must be pair counts, not row counts
-            .localCheckpoint(eager=True)  # one corpus pass, reused below
         )
-        truth.write.mode("overwrite").parquet(cdir)
-    truth_sec = round(time.monotonic() - t_truth, 3)
-    t0 = time.monotonic()
-    q_buckets = _vector_bucket_table(
-        queries.select(F.col("q_id").alias(id_col), F.col("q_emb").alias(vec_col)),
-        id_col,
-        vec_col,
-        dim,
-        tables,
-        planes,
-    ).select(F.col(id_col).alias("q_id"), "t", "sig")
-    buckets = spark.read.parquet(os.path.join(path, "buckets"))
-    if "ds" in buckets.columns:
-        # same marker-complete scope as the truth scan above
-        buckets = buckets.filter(
-            F.col("ds").isin(_marker_complete_days(path))
-        ).drop("ds")
-    cand = (
-        F.broadcast(q_buckets)
-        .join(buckets.select(F.col(id_col).alias("other_id"), "t", "sig"), ["t", "sig"])
-        .filter(F.col("other_id") != F.col("q_id"))
-        .select("q_id", "other_id")
-        .distinct()
-    )
-    per_q = (
-        truth.join(cand.withColumn("_hit", F.lit(1)), ["q_id", "other_id"], "left")
-        .groupBy("q_id")
-        .agg(
-            F.count("*").alias("n_true"),
-            F.count("_hit").alias("n_found"),
+
+    def _cand():
+        q_buckets = _vector_bucket_table(
+            queries.select(
+                F.col("q_id").alias(id_col), F.col("q_emb").alias(vec_col)
+            ),
+            id_col, vec_col, dim, tables, planes,
+        ).select(F.col(id_col).alias("q_id"), "t", "sig")
+        # same marker-complete scope as the truth scan
+        buckets = complete_days_only(
+            spark.read.parquet(os.path.join(path, "buckets")), path
         )
-        .collect()
+        return (
+            F.broadcast(q_buckets)
+            .join(
+                buckets.select(F.col(id_col).alias("other_id"), "t", "sig"),
+                ["t", "sig"],
+            )
+            .filter(F.col("other_id") != F.col("q_id"))
+            .select("q_id", "other_id")
+            .distinct()
+        )
+
+    score = recall_sensor_score(
+        spark, path, "vector",
+        vec.select(F.col(id_col), F.col(vec_col)), id_col, vec_col,
+        n, (threshold, sample_q, salt, id_col), _truth, _cand,
     )
-    probe_sec = round(time.monotonic() - t0, 3)
-    true_pairs = sum(r["n_true"] for r in per_q)
-    found_pairs = sum(r["n_found"] for r in per_q)
     p_thr = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     return {
         "n_vectors": n,
@@ -1047,19 +934,7 @@ def vector_index_recall_sample(
         "predicted_recall_at_threshold": round(
             1.0 - (1.0 - p_thr**planes) ** tables, 4
         ),
-        "true_pairs": true_pairs,
-        "found_pairs": found_pairs,
-        "recall_at_threshold": (
-            round(found_pairs / true_pairs, 4) if true_pairs else None
-        ),
-        "min_query_recall": (
-            round(min(r["n_found"] / r["n_true"] for r in per_q), 4)
-            if per_q
-            else None
-        ),
-        "probe_sec": probe_sec,
-        "truth_sec": truth_sec,
-        "truth_cache": "hit" if cache_hit else "miss",
+        **score,
     }
 
 
@@ -1134,6 +1009,7 @@ def vector_index_recall_autotune(
     from data_engineering_user_session_analysis_spark.operators.recall_tune import (
         autotune_walk,
         solve_then_ladder,
+        walk_result,
     )
     from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
         vector_geometry_for_recall,
@@ -1202,20 +1078,10 @@ def vector_index_recall_autotune(
         candidate_load=lambda g: state["n"] * g["tables"] / 2.0 ** g["planes"],
         max_candidate_load=max_candidate_load,
     )
-    first, last = walk["steps"][0], walk["steps"][-1]
-    return {
-        "n_vectors": first["n_vectors"],
-        "threshold": threshold,
-        "recall_target": recall_target,
-        "sample_q": sample_q,
-        "steps": walk["steps"],
-        "tables": last["tables"],
-        "planes": last["planes"],
-        "recall_at_threshold": last["recall_at_threshold"],
-        "met": walk["met"],
-        "exhausted": walk["exhausted"],
-        "stopped_on_candidate_load": walk["stopped_on_candidate_load"],
-    }
+    return walk_result(
+        walk, "n_vectors", ("tables", "planes"),
+        threshold=threshold, recall_target=recall_target, sample_q=sample_q,
+    )
 
 
 def minhash_index_recall_sample(
@@ -1254,8 +1120,6 @@ def minhash_index_recall_sample(
     candidates to marker-complete days (``_marker_complete_days``) —
     a crashed day's sets (written before its buckets) must not enter
     the truth as unfindable pairs (ADVICE r09)."""
-    import time
-
     if sample_q < 1:
         raise ValueError(f"sample_q must be >= 1, got {sample_q}")
     if not 0.0 < threshold <= 1.0:
@@ -1266,32 +1130,21 @@ def minhash_index_recall_sample(
         if stored is not None
         else (_BANDS, _ROWS_PER_BAND)
     )
-    sets = spark.read.parquet(os.path.join(path, "sets"))
-    if "ds" in sets.columns:
-        sets = sets.filter(F.col("ds").isin(_marker_complete_days(path))).drop("ds")
+    sets = complete_days_only(
+        spark.read.parquet(os.path.join(path, "sets")), path
+    )
     n = sets.count()
     queries = (
-        sets.orderBy(
-            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
-            F.col(id_col),
-        )
-        .limit(sample_q)
+        md5_sample(sets, id_col, salt, sample_q)
         .select(F.col(id_col).alias("q_id"), F.col("sh_set").alias("q_set"))
         .localCheckpoint(eager=True)
     )
-    # exact-Jaccard truth cached under the index, same contract as
-    # the vector sensor: content-keyed on the stored sets, so appends
-    # invalidate naturally and re-banding rebuilds keep it valid
-    t_truth = time.monotonic()
-    cdir, cache_hit = _truth_cache_lookup(
-        spark, path, "minhash",
-        sets.select(F.col(id_col), F.col("sh_set")), id_col, "sh_set",
-        n, threshold, sample_q, salt, id_col,
-    )
-    if cache_hit:
-        truth = spark.read.parquet(cdir).localCheckpoint(eager=True)
-    else:
-        truth = (
+
+    # exact-Jaccard truth cached under the index by the shared core:
+    # content-keyed on the stored sets, so appends invalidate
+    # naturally and re-banding rebuilds keep it valid
+    def _truth():
+        return (
             F.broadcast(queries)
             .crossJoin(
                 sets.select(
@@ -1309,40 +1162,32 @@ def minhash_index_recall_sample(
             )
             .filter(F.col("jaccard") >= threshold)
             .select("q_id", "other_id")
-            .distinct()  # same duplicate-row guard as the vector sensor
-            .localCheckpoint(eager=True)
         )
-        truth.write.mode("overwrite").parquet(cdir)
-    truth_sec = round(time.monotonic() - t_truth, 3)
-    t0 = time.monotonic()
-    buckets = spark.read.parquet(os.path.join(path, "buckets"))
-    if "ds" in buckets.columns:
-        # same marker-complete scope as the truth scan above
-        buckets = buckets.filter(
-            F.col("ds").isin(_marker_complete_days(path))
-        ).drop("ds")
-    q_buckets = buckets.join(
-        F.broadcast(queries.select(F.col("q_id").alias(id_col))), id_col
-    ).select(F.col(id_col).alias("q_id"), "band", "bucket")
-    cand = (
-        F.broadcast(q_buckets)
-        .join(
-            buckets.select(F.col(id_col).alias("other_id"), "band", "bucket"),
-            ["band", "bucket"],
+
+    def _cand():
+        # same marker-complete scope as the truth scan
+        buckets = complete_days_only(
+            spark.read.parquet(os.path.join(path, "buckets")), path
         )
-        .filter(F.col("other_id") != F.col("q_id"))
-        .select("q_id", "other_id")
-        .distinct()
+        q_buckets = buckets.join(
+            F.broadcast(queries.select(F.col("q_id").alias(id_col))), id_col
+        ).select(F.col(id_col).alias("q_id"), "band", "bucket")
+        return (
+            F.broadcast(q_buckets)
+            .join(
+                buckets.select(F.col(id_col).alias("other_id"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .filter(F.col("other_id") != F.col("q_id"))
+            .select("q_id", "other_id")
+            .distinct()
+        )
+
+    score = recall_sensor_score(
+        spark, path, "minhash",
+        sets.select(F.col(id_col), F.col("sh_set")), id_col, "sh_set",
+        n, (threshold, sample_q, salt, id_col), _truth, _cand,
     )
-    per_q = (
-        truth.join(cand.withColumn("_hit", F.lit(1)), ["q_id", "other_id"], "left")
-        .groupBy("q_id")
-        .agg(F.count("*").alias("n_true"), F.count("_hit").alias("n_found"))
-        .collect()
-    )
-    probe_sec = round(time.monotonic() - t0, 3)
-    true_pairs = sum(r["n_true"] for r in per_q)
-    found_pairs = sum(r["n_found"] for r in per_q)
     return {
         "n_docs": n,
         "sample_q": queries.count(),
@@ -1352,19 +1197,7 @@ def minhash_index_recall_sample(
         "predicted_recall_at_threshold": round(
             1.0 - (1.0 - threshold**rows) ** bands, 4
         ),
-        "true_pairs": true_pairs,
-        "found_pairs": found_pairs,
-        "recall_at_threshold": (
-            round(found_pairs / true_pairs, 4) if true_pairs else None
-        ),
-        "min_query_recall": (
-            round(min(r["n_found"] / r["n_true"] for r in per_q), 4)
-            if per_q
-            else None
-        ),
-        "probe_sec": probe_sec,
-        "truth_sec": truth_sec,
-        "truth_cache": "hit" if cache_hit else "miss",
+        **score,
     }
 
 
@@ -1450,24 +1283,16 @@ def rebuild_minhash_index(
     Same ``<path>.rebuild`` + two-rename crash-safety contract and
     single-writer/no-concurrent-probe caveats.  Returns
     ``{"n_docs", "geometry", "layout"}``."""
-    import shutil
-
     stored = _read_minhash_params(spark, path)
     n = stored["n"] if stored is not None else 3
     bands, rows = int(geometry["bands"]), int(geometry["rows_per_band"])
     sets = spark.read.parquet(os.path.join(path, "sets"))
     layout = "ds" if "ds" in sets.columns else "flat"
-    tmp = path.rstrip("/") + ".rebuild"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = begin_rebuild(path)
     _write_minhash_params(spark, tmp, bands, rows, n)
     n_docs = sets.count()
     if layout == "ds":
-        pre_complete = {
-            d
-            for d in os.listdir(os.path.join(path, "buckets"))
-            if d.startswith("ds=")
-            and os.path.exists(os.path.join(path, "buckets", d, "_SUCCESS"))
-        }
+        pre_complete = pre_complete_days(path)
         sets.write.mode("overwrite").partitionBy("ds").parquet(
             os.path.join(tmp, "sets")
         )
@@ -1497,23 +1322,14 @@ def rebuild_minhash_index(
             .partitionBy("ds")
             .parquet(os.path.join(tmp, "buckets"))
         )
-        for d in os.listdir(os.path.join(tmp, "buckets")):
-            if d.startswith("ds=") and d in pre_complete:
-                open(os.path.join(tmp, "buckets", d, "_SUCCESS"), "w").close()
+        restore_day_markers(tmp, pre_complete)
     else:
         sets.write.mode("overwrite").parquet(os.path.join(tmp, "sets"))
         shingles = sets.select(F.col(id_col), F.explode("sh_set").alias("shingle"))
         _bucket_table(shingles, id_col, bands, rows).write.mode(
             "overwrite"
         ).parquet(os.path.join(tmp, "buckets"))
-    if not os.path.exists(os.path.join(tmp, "buckets", "_SUCCESS")):
-        raise RuntimeError(f"rebuild at {tmp} is incomplete (no buckets/_SUCCESS)")
-    _preserve_truth_cache(path, tmp)
-    old = path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    commit_rebuild(path, tmp)
     return {
         "n_docs": n_docs,
         "geometry": {"bands": bands, "rows_per_band": rows, "n": n},
@@ -1538,9 +1354,9 @@ def _minhash_pair_collision_rate(
     bands = stored["bands"] if stored is not None else _BANDS
     if n_docs < 2:
         return None
-    b = spark.read.parquet(os.path.join(path, "buckets"))
-    if "ds" in b.columns:
-        b = b.filter(F.col("ds").isin(_marker_complete_days(path))).drop("ds")
+    b = complete_days_only(
+        spark.read.parquet(os.path.join(path, "buckets")), path
+    )
     mates = (
         b.groupBy("band", "bucket")
         .agg(F.count("*").alias("c"))
@@ -1598,6 +1414,7 @@ def minhash_index_recall_autotune(
     from data_engineering_user_session_analysis_spark.operators.recall_tune import (
         autotune_walk,
         solve_then_ladder,
+        walk_result,
     )
 
     if not 0.0 < recall_target < 1.0:
@@ -1669,17 +1486,7 @@ def minhash_index_recall_autotune(
         candidate_load=_load,
         max_candidate_load=max_candidate_load,
     )
-    first, last = walk["steps"][0], walk["steps"][-1]
-    return {
-        "n_docs": first["n_docs"],
-        "threshold": threshold,
-        "recall_target": recall_target,
-        "sample_q": sample_q,
-        "steps": walk["steps"],
-        "bands": last["bands"],
-        "rows_per_band": last["rows_per_band"],
-        "recall_at_threshold": last["recall_at_threshold"],
-        "met": walk["met"],
-        "exhausted": walk["exhausted"],
-        "stopped_on_candidate_load": walk["stopped_on_candidate_load"],
-    }
+    return walk_result(
+        walk, "n_docs", ("bands", "rows_per_band"),
+        threshold=threshold, recall_target=recall_target, sample_q=sample_q,
+    )

@@ -160,3 +160,24 @@ def solve_then_ladder(
         return None
 
     return _next
+
+
+def walk_result(
+    walk: dict, count_key: str, geom_keys: "tuple[str, ...]", **fixed
+) -> dict:
+    """The autotune verbs' shared result assembly: entry-corpus size
+    from the FIRST step, final geometry + measured recall from the
+    LAST, the full step trail, and the walk's termination flags —
+    each family adds only its (count_key, geometry keys) and the
+    fixed caller knobs."""
+    first, last = walk["steps"][0], walk["steps"][-1]
+    return {
+        count_key: first[count_key],
+        **fixed,
+        "steps": walk["steps"],
+        **{k: last[k] for k in geom_keys},
+        "recall_at_threshold": last["recall_at_threshold"],
+        "met": walk["met"],
+        "exhausted": walk["exhausted"],
+        "stopped_on_candidate_load": walk["stopped_on_candidate_load"],
+    }

@@ -84,8 +84,76 @@ class CorpusPrepConfig:
     #: function of the doc id, so re-running prep after adding new
     #: docs can never move an old doc's split (eval-set hygiene)
     split_weights: dict[str, float] | None = None
+    #: path of a persistent MinHash index (operators/dedup_index.py)
+    #: built over the SAME text the near-dup stage sees (i.e. the
+    #: post-scrub corpus).  When set, the near-dup stage derives
+    #: pairs from the index's stored buckets/sets — skipping the
+    #: shingle + 64-hash signature + set-collection passes the daily
+    #: index maintenance already paid — restricted to exact-dedup
+    #: survivors.  The index geometry (shingle n, bands, rows) wins
+    #: over any inline default; a sampled content-parity check
+    #: (``index_validation_sample`` docs, recomputed shingle sets vs
+    #: stored) raises loudly if the index was built over different
+    #: text, because a stale index silently under- or over-dedups.
+    minhash_index_path: str | None = None
+    index_validation_sample: int = 64
     id_col: str = "doc_id"
     text_col: str = "text"
+
+
+def _indexed_neardup_pairs(exact: DataFrame, c: CorpusPrepConfig) -> DataFrame:
+    """Near-dup pairs for the survivor set from the persistent MinHash
+    index at ``c.minhash_index_path`` (see the config docstring):
+    content-parity is verified on a deterministic sample BEFORE any
+    pair is trusted — recompute the sample's shingle sets from the
+    pipeline's own text at the index's frozen ``n`` and require the
+    stored sets to match exactly (set equality per doc; a scrub-rule
+    change, re-crawl, or wrong-corpus index all surface here as a
+    loud error instead of silently wrong dedup)."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import shingle_docs
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        _read_minhash_params,
+        index_neardup_pairs,
+    )
+
+    spark = exact.sparkSession
+    path = c.minhash_index_path
+    params = _read_minhash_params(spark, path)
+    n = params["n"] if params is not None else 3
+
+    k = max(int(c.index_validation_sample), 1)
+    sample = exact.select(c.id_col, c.text_col).orderBy(c.id_col).limit(k)
+    fresh = (
+        shingle_docs(sample, c.text_col, c.id_col, n)
+        .groupBy(c.id_col)
+        .agg(F.collect_list("shingle").alias("_fresh"))
+    )
+    stored = spark.read.parquet(f"{path}/sets")
+    if "ds" in stored.columns:
+        stored = stored.drop("ds")
+    joined = fresh.join(stored, c.id_col, "left").select(
+        c.id_col,
+        (
+            F.col("sh_set").isNotNull()
+            & (F.array_sort("_fresh") == F.array_sort("sh_set"))
+        ).alias("_ok"),
+    )
+    bad = [r[c.id_col] for r in joined.filter(~F.col("_ok")).head(5)]
+    if bad:
+        raise ValueError(
+            f"minhash_index_path={path} fails content parity for doc ids "
+            f"{bad}: the index's stored shingle sets differ from the "
+            f"pipeline's post-scrub text at n={n}.  The index must be "
+            "built over the SAME text the near-dup stage sees — rebuild "
+            "it (or drop minhash_index_path to compute inline)."
+        )
+    return index_neardup_pairs(
+        spark,
+        path,
+        threshold=c.neardup_threshold,
+        id_col=c.id_col,
+        restrict_ids=exact.select(c.id_col),
+    )
 
 
 def prepare_corpus(
@@ -151,9 +219,12 @@ def prepare_corpus(
     exact = filtered.join(canonical_ids, c.id_col, "left_semi")
     _barrier("exact_deduped", exact.count())
 
-    pairs = minhash_lsh_pairs(
-        exact, threshold=c.neardup_threshold, text_col=c.text_col, id_col=c.id_col
-    )
+    if c.minhash_index_path is not None:
+        pairs = _indexed_neardup_pairs(exact, c)
+    else:
+        pairs = minhash_lsh_pairs(
+            exact, threshold=c.neardup_threshold, text_col=c.text_col, id_col=c.id_col
+        )
     neardup = dedup_canonical(exact, pairs, id_col=c.id_col)
     _barrier("neardup_deduped", neardup.count())
 

@@ -208,3 +208,61 @@ def test_prepare_corpus_split_stage(spark, sf_small):
     # may dedup some away; those simply aren't compared)
     old_ids = {d for d, _ in assignments}
     assert {t for t in kept if t[0] in old_ids} <= assignments
+
+
+def test_prepare_corpus_reuses_minhash_index(spark, sf_small, tmp_path):
+    """VERDICT r11 #4: with a persistent MinHash index built over the
+    post-scrub corpus, the near-dup stage derives pairs from the
+    stored buckets/sets (no shingle/signature pass) and the survivor
+    set is IDENTICAL to the inline computation."""
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        write_minhash_index,
+    )
+    from data_engineering_user_session_analysis_spark.operators.scrubbing import scrub_pii
+
+    corpus, _ = _corpus_with_junk(spark, sf_small)
+    cfg = CorpusPrepConfig(min_tokens=5, max_dup_line_frac=0.9)
+    inline_result, inline_report = prepare_corpus(corpus, config=cfg)
+    inline_ids = {r.doc_id for r in inline_result.select("doc_id").collect()}
+
+    # the index covers the text the near-dup stage sees: post-scrub
+    idx = str(tmp_path / "mh_idx")
+    write_minhash_index(scrub_pii(corpus, "text"), idx)
+
+    cfg_idx = CorpusPrepConfig(
+        min_tokens=5, max_dup_line_frac=0.9, minhash_index_path=idx
+    )
+    idx_result, idx_report = prepare_corpus(corpus, config=cfg_idx)
+    idx_ids = {r.doc_id for r in idx_result.select("doc_id").collect()}
+    assert idx_ids == inline_ids
+    assert idx_report == inline_report
+
+
+def test_prepare_corpus_index_content_mismatch_raises(spark, sf_small, tmp_path):
+    """An index built over DIFFERENT text (here: the raw, un-scrubbed
+    corpus while the pipeline dedups scrubbed text... simulated more
+    strongly by corrupting the text) must be rejected loudly by the
+    sampled content-parity check, never silently mis-dedup."""
+    import pytest
+
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        write_minhash_index,
+    )
+
+    corpus, _ = _corpus_with_junk(spark, sf_small)
+    idx = str(tmp_path / "mh_idx_stale")
+    # stale index: built over text with every token suffixed (disjoint
+    # shingle space from what the pipeline will see)
+    stale = corpus.withColumn(
+        "text",
+        F.array_join(
+            F.transform(F.split("text", " "), lambda t: F.concat(t, F.lit("_x"))),
+            " ",
+        ),
+    )
+    write_minhash_index(stale, idx)
+    cfg = CorpusPrepConfig(
+        min_tokens=5, max_dup_line_frac=0.9, minhash_index_path=idx
+    )
+    with pytest.raises(ValueError, match="content parity"):
+        prepare_corpus(corpus, config=cfg)
