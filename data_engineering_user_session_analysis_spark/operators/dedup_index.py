@@ -204,6 +204,12 @@ def index_neardup_pairs(
         keep = restrict_ids.select(id_col)
         b = b.join(keep, id_col, "left_semi")
         s = s.join(keep, id_col, "left_semi")
+    # both tables feed TWO plan branches (bucket self-join sides;
+    # verify's a/b set fetches) — cache the post-restriction scan so
+    # each parquet table is read and semi-joined once, mirroring
+    # lsh_candidate_pairs' deliberate cache lifecycle (plan-keyed,
+    # caller-consumed, LRU-evictable)
+    b, s = b.cache(), s.cache()
     cand = (
         b.select(F.col(id_col).alias("doc_a"), "band", "bucket")
         .join(

@@ -109,7 +109,15 @@ def _indexed_neardup_pairs(exact: DataFrame, c: CorpusPrepConfig) -> DataFrame:
     pipeline's own text at the index's frozen ``n`` and require the
     stored sets to match exactly (set equality per doc; a scrub-rule
     change, re-crawl, or wrong-corpus index all surface here as a
-    loud error instead of silently wrong dedup)."""
+    loud error instead of silently wrong dedup).
+
+    Cost discipline: ``exact`` arrives PERSISTED (the exact-dedup
+    barrier materializes it), so the id projections feeding the
+    parity sample and both of ``index_neardup_pairs``'s semi-joins
+    read cached blocks instead of re-running the scrub/quality
+    lineage; the parity sample additionally filters on the broadcast
+    id sample FIRST, so even a cold read shingles ≤
+    ``index_validation_sample`` docs, not the corpus."""
     from data_engineering_user_session_analysis_spark.operators.dedup import shingle_docs
     from data_engineering_user_session_analysis_spark.operators.dedup_index import (
         _read_minhash_params,
@@ -121,8 +129,17 @@ def _indexed_neardup_pairs(exact: DataFrame, c: CorpusPrepConfig) -> DataFrame:
     params = _read_minhash_params(spark, path)
     n = params["n"] if params is not None else 3
 
+    # ids from the persisted survivor set; feeds the parity sample
+    # and both index semi-joins
+    keep_ids = exact.select(c.id_col)
+
     k = max(int(c.index_validation_sample), 1)
-    sample = exact.select(c.id_col, c.text_col).orderBy(c.id_col).limit(k)
+    sample_ids = keep_ids.orderBy(c.id_col).limit(k)
+    # id-filter pushes below the scrub/quality projections, so the
+    # regex chain runs only for the sampled docs
+    sample = exact.join(F.broadcast(sample_ids), c.id_col).select(
+        c.id_col, c.text_col
+    )
     fresh = (
         shingle_docs(sample, c.text_col, c.id_col, n)
         .groupBy(c.id_col)
@@ -152,7 +169,7 @@ def _indexed_neardup_pairs(exact: DataFrame, c: CorpusPrepConfig) -> DataFrame:
         path,
         threshold=c.neardup_threshold,
         id_col=c.id_col,
-        restrict_ids=exact.select(c.id_col),
+        restrict_ids=keep_ids,
     )
 
 
@@ -216,7 +233,15 @@ def prepare_corpus(
     # exact dedup: keep the min-id doc per identical text (the reps
     # side of the star-edge construction — operators/dedup.py)
     _, canonical_ids = exact_dup_star_edges(filtered, c.text_col, c.id_col)
-    exact = filtered.join(canonical_ids, c.id_col, "left_semi")
+    # persist the survivor set at this barrier: everything downstream
+    # (near-dup pair generation, the canonical join, packing, every
+    # later barrier count) re-references it, and the upstream lineage
+    # is the map-only scrub/quality UDF chain — without persistence
+    # each reference re-runs that chain over the full corpus
+    # (measured at 1M: the near-dup stage carried 2-3 extra ~12 s
+    # lineage walks).  MEMORY_AND_DISK + LRU-evictable, spill-safe at
+    # scale; the barrier count doubles as the materializing action.
+    exact = filtered.join(canonical_ids, c.id_col, "left_semi").persist()
     _barrier("exact_deduped", exact.count())
 
     if c.minhash_index_path is not None:

@@ -2121,26 +2121,30 @@ def measure_corpus_prep_indexed(spark, replicas: int = 200) -> dict:
     """VERDICT r11 #4 closer: the same 1M corpus-prep replay with the
     near-dup stage fed from a PERSISTENT MinHash index
     (``CorpusPrepConfig.minhash_index_path``) instead of the inline
-    shingle→64-hash-signature→set passes.  The index is built here
-    over the post-scrub corpus and its build cost reported SEPARATELY
-    (``index_build_sec``): in production the daily pipeline pays that
-    cost incrementally as shards arrive (``append_shard_to_minhash_
+    shingle→64-hash-signature→set passes.  The index is built by the
+    SEPARATE ``corpusprep1mindexbuild`` tier (own JVM — building it
+    in-session contaminated the first measurement: every prep stage,
+    including pre-neardup stages the index never touches, inflated
+    25-150% from the build's heap/shuffle residue even after
+    ``_quiesce``): in production the daily pipeline pays the build
+    incrementally as shards arrive (``append_shard_to_minhash_
     index``), so prep-time reuse is the amortization this measures —
-    the honest comparison for the prep run itself is
-    ``stage_sec.neardup_deduped`` here vs the inline replay's
-    (r11 baseline: 69.7 s of 192.8 s total at 1M).  Survivor parity
-    with the inline path is asserted, not assumed."""
-    import tempfile
-
-    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
-        write_minhash_index,
-    )
-    from data_engineering_user_session_analysis_spark.operators.scrubbing import scrub_pii
+    the honest comparison is ``stage_sec.neardup_deduped`` here vs
+    the same-day inline replay's.  The corpus is deterministic, so
+    the builder JVM and this one derive identical docs."""
     from data_engineering_user_session_analysis_spark.pipelines.corpus_prep import (
         CorpusPrepConfig,
         prepare_corpus,
     )
 
+    idx = os.environ.get(
+        "SPARK_GRAFT_MH_INDEX_DIR", "/tmp/stress_mh_idx_shared/idx"
+    )
+    if not os.path.isdir(idx):
+        raise SystemExit(
+            f"no prebuilt index at {idx}: run --tier corpusprep1mindexbuild "
+            "first (separate JVM by design)"
+        )
     _quiesce(spark)
     docs = _distinct_doc_corpus(spark, replicas)
     n_docs = docs.count()
@@ -2148,10 +2152,7 @@ def measure_corpus_prep_indexed(spark, replicas: int = 200) -> dict:
         "label": f"corpus prep 1M, index-fed neardup ({replicas} clone shards)"
     }
     res["n_docs"] = n_docs
-    idx = tempfile.mkdtemp(prefix="stress_mh_idx_") + "/idx"
-    t0 = time.monotonic()
-    write_minhash_index(scrub_pii(docs, "text"), idx)
-    res["index_build_sec"] = round(time.monotonic() - t0, 2)
+    res["index_dir"] = idx
     stage_timings: dict[str, float] = {}
     t0 = time.monotonic()
     result, report = prepare_corpus(
@@ -2168,10 +2169,36 @@ def measure_corpus_prep_indexed(spark, replicas: int = 200) -> dict:
     res["total_sec"] = round(total, 2)
     res["docs_per_sec"] = round(n_docs / total, 1)
     res["docs_per_sec_per_core"] = round(n_docs / total / cores, 2)
+    return res
+
+
+def measure_corpus_prep_index_build(spark, replicas: int = 200) -> dict:
+    """Builder half of the r11 #4 measurement: one batch
+    ``write_minhash_index`` over the post-scrub 1M corpus at the
+    shared env path — its cost is the figure the daily pipeline
+    amortizes across ``append_shard_to_minhash_index`` increments."""
     import shutil
 
+    from data_engineering_user_session_analysis_spark.operators.dedup_index import (
+        write_minhash_index,
+    )
+    from data_engineering_user_session_analysis_spark.operators.scrubbing import scrub_pii
+
+    idx = os.environ.get(
+        "SPARK_GRAFT_MH_INDEX_DIR", "/tmp/stress_mh_idx_shared/idx"
+    )
     shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
-    return res
+    _quiesce(spark)
+    docs = _distinct_doc_corpus(spark, replicas)
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    write_minhash_index(scrub_pii(docs, "text"), idx)
+    return {
+        "label": f"minhash index batch build over post-scrub 1M ({replicas} shards)",
+        "n_docs": n_docs,
+        "index_dir": idx,
+        "index_build_sec": round(time.monotonic() - t0, 2),
+    }
 
 
 def run_tier(tier: str) -> list[dict]:
@@ -2370,10 +2397,14 @@ def _run_tier_inner(tier: str) -> list[dict]:
         # round-11: the composed LLM-pipeline throughput budget at 1M
         # docs (VERDICT r10 item 4) — per-stage seconds, probe-paired
         return [measure_corpus_prep(spark)]
+    if tier == "corpusprep1mindexbuild":
+        # round-12 (VERDICT r11 #4): batch-build the shared MinHash
+        # index in ITS OWN JVM so the build's heap/shuffle residue
+        # cannot contaminate the indexed prep measurement
+        return [measure_corpus_prep_index_build(spark)]
     if tier == "corpusprep1mindexed":
-        # round-12: the same replay with the near-dup stage fed from a
-        # persistent MinHash index (VERDICT r11 #4) — index build cost
-        # reported separately (amortized daily in production)
+        # round-12: the same replay with the near-dup stage fed from
+        # the prebuilt persistent MinHash index (VERDICT r11 #4)
         return [measure_corpus_prep_indexed(spark)]
     if tier == "docs1m":
         # round-9: one more doubling for the docs star tier (500k →

@@ -1715,3 +1715,32 @@ def test_seeding_diagnostic_flags_starved_index_and_d2_clears_it(spark, tmp_path
     assert fixed["tail_recall"] > starved["tail_recall"], (starved, fixed)
     assert fixed["tail_recall"] >= 0.9, fixed
     assert "width" in fixed["remedy"]
+
+
+def test_oracle_geometry_law():
+    """The SQL-replayable demo law (vector_lsh.oracle_geometry) pinned
+    at the four verification decades plus the clamps: planes from the
+    EXACT integer bit-length (no float log anywhere an engine could
+    round differently), tables from the recall lookup; candidate mass
+    N·tables/2^planes stays O(N) — the r11 sweep measured the pinned
+    8x4 predecessor quadratic (82.8x wall at 10x rows)."""
+    from data_engineering_user_session_analysis_spark.operators.vector_lsh import (
+        NEARDUP_COS,
+        oracle_geometry,
+    )
+    import math
+
+    assert oracle_geometry(2) == (8, 4)  # min-planes clamp
+    assert oracle_geometry(500) == (8, 7)  # sf0.001 / sf0.01
+    assert oracle_geometry(2000) == (8, 9)  # sf0.1
+    assert oracle_geometry(20000) == (8, 13)  # sf1
+    assert oracle_geometry(10**6) == (15, 18)
+    assert oracle_geometry(10**9) == (45, 28)
+    p_dup = 1.0 - math.acos(NEARDUP_COS) / math.pi
+    for n in (500, 2000, 20000, 10**6, 10**9):
+        tables, planes = oracle_geometry(n)
+        # linear candidate mass: bounded random candidates per vector
+        # (rises toward the planes clamp at 10^9 but stays O(1))
+        assert n * tables / 2**planes <= 200, n
+        # near-dup recall holds at every decade
+        assert 1 - (1 - p_dup**planes) ** tables >= 0.9, n
