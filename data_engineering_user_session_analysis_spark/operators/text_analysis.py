@@ -133,3 +133,48 @@ def bpe_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_word_tokens": F.size(_tokens(text_col)).cast("long"),
         }
     )
+
+
+def ngram_repetition_features(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Token-level duplicate-n-gram fractions — the n-gram half of the
+    Gopher repetition-filter family (``scrubbing.repetition_signals``
+    carries the line half, which is vacuous on single-line documents).
+
+    For each ``n``: ``n_{n}grams`` = token n-gram occurrences and
+    ``dup_{n}gram_frac`` = fraction of those occurrences that repeat
+    an earlier-seen n-gram (occurrences minus distinct, over
+    occurrences).  Entirely map-side array expressions inside
+    whole-stage codegen — no shuffle, no Python — O(tokens) per
+    document per n (``array_distinct`` is one hash pass), so the
+    operator costs one corpus scan at any scale.  The fraction is a
+    single IEEE division of two exact integers, so a SQL oracle
+    replays it bit-for-bit.
+    """
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    cols: dict[str, Column] = {}
+
+    def _gram_at(n: int):
+        # single-arg lambda via factory: a `n=n` default would make
+        # F.transform pass the element INDEX as the second parameter
+        return lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + j) for j in range(n)]
+        )
+
+    for n in ns:
+        n_grams = F.greatest(n_tokens - (n - 1), F.lit(0))
+        # guard: sequence(0, -k) would generate a DESCENDING range,
+        # not an empty one, so short documents get an explicit empty
+        # gram array
+        grams = F.when(
+            n_tokens >= n,
+            F.transform(F.sequence(F.lit(0), n_tokens - n), _gram_at(n)),
+        ).otherwise(F.array().cast("array<string>"))
+        dup = n_grams - F.size(F.array_distinct(grams))
+        cols[f"n_{n}grams"] = n_grams.cast("long")
+        cols[f"dup_{n}gram_frac"] = dup / F.greatest(n_grams, F.lit(1)).cast(
+            "double"
+        )
+    return df.withColumns(cols)

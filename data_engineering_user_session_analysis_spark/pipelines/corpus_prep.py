@@ -75,6 +75,12 @@ class CorpusPrepConfig:
     #: Composes with min_quality (both must pass).
     min_quality_percentile: float | None = None
     max_dup_line_frac: float = 0.5
+    #: optional Gopher n-gram repetition gate: drop docs whose
+    #: duplicate-bigram fraction (ngram_repetition_features) exceeds
+    #: this.  None (default) skips the gate — the bigram pass costs a
+    #: second array walk per doc, and short fixture docs rarely need
+    #: it; a 100 TB crawl does.
+    max_dup_2gram_frac: float | None = None
     neardup_threshold: float = 0.6
     decontaminate_ngram: int = 13
     sample_k: int | None = None
@@ -217,6 +223,13 @@ def prepare_corpus(
         & (F.col("quality_score") >= c.min_quality)
         & (F.col("dup_line_frac") <= c.max_dup_line_frac)
     )
+    if c.max_dup_2gram_frac is not None:
+        from data_engineering_user_session_analysis_spark.operators.text_analysis import (
+            ngram_repetition_features,
+        )
+
+        quality = ngram_repetition_features(quality, c.text_col, ns=(2,))
+        keep = keep & (F.col("dup_2gram_frac") <= c.max_dup_2gram_frac)
     if c.min_quality_percentile is not None:
         from data_engineering_user_session_analysis_spark.operators.stats import quantized_quantile
 

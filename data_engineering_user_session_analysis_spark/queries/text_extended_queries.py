@@ -12,6 +12,7 @@ from data_engineering_user_session_analysis_spark.operators.decontamination impo
 )
 from data_engineering_user_session_analysis_spark.operators.text_analysis import (
     LANG_PROFILES,
+    ngram_repetition_features,
     predict_lang,
     quality_features,
 )
@@ -76,26 +77,51 @@ WITH feat AS (
     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
     CAST(len(list_filter(string_split(text, ' '),
          t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS stop_hits,
-    CAST(length(text) AS BIGINT) AS n_chars
+    CAST(length(text) AS BIGINT) AS n_chars,
+    string_split(text, ' ') AS w
   FROM documents
+), grams AS (
+  SELECT doc_id,
+    GREATEST(len(w) - 1, 0) AS n_2grams,
+    GREATEST(len(w) - 1, 0) - len(list_distinct(
+      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+    )) AS dup_2,
+    GREATEST(len(w) - 2, 0) AS n_3grams,
+    GREATEST(len(w) - 2, 0) - len(list_distinct(
+      list_transform(range(1, len(w) - 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    )) AS dup_3
+  FROM feat
 )
-SELECT doc_id, n_chars, n_tokens, n_types,
+SELECT feat.doc_id, n_chars, n_tokens, n_types,
   n_types / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
   stop_hits / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
   (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
   n_types / CAST(n_tokens AS DOUBLE) * 0.5
     + stop_hits / CAST(n_tokens AS DOUBLE) * 0.3
-    + (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) * 0.04 AS quality_score
-FROM feat
+    + (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) * 0.04 AS quality_score,
+  CAST(n_2grams AS BIGINT) AS n_2grams,
+  dup_2 / CAST(GREATEST(n_2grams, 1) AS DOUBLE) AS dup_2gram_frac,
+  CAST(n_3grams AS BIGINT) AS n_3grams,
+  dup_3 / CAST(GREATEST(n_3grams, 1) AS DOUBLE) AS dup_3gram_frac
+FROM feat JOIN grams ON feat.doc_id = grams.doc_id
 """,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + composite score (fixed linear
     blend, bit-deterministic).  The single quality projection over
     documents — round 1's overlapping ``doc_quality`` entry folded in
-    here (``n_chars`` column; see COVERAGE.md)."""
+    here (``n_chars`` column; see COVERAGE.md), plus the token-level
+    duplicate-n-gram fractions (``ngram_repetition_features``) round
+    12 added to give the Gopher repetition family a NON-vacuous
+    driver row: fixture docs are single-line (``dup_line_frac`` is
+    pytest-pinned on synthetic multi-line docs) but their small
+    vocabulary repeats bigrams heavily, so this row's dup fractions
+    exercise the real counting path.  The oracle replays the same
+    occurrences-minus-distinct construction; fractions are one IEEE
+    division of exact integers on both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    return quality_features(docs).select(
+    return ngram_repetition_features(quality_features(docs)).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         "n_tokens",
@@ -104,6 +130,10 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stopword_ratio",
         "mean_token_len",
         "quality_score",
+        "n_2grams",
+        "dup_2gram_frac",
+        "n_3grams",
+        "dup_3gram_frac",
     )
 
 

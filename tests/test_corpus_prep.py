@@ -266,3 +266,28 @@ def test_prepare_corpus_index_content_mismatch_raises(spark, sf_small, tmp_path)
     )
     with pytest.raises(ValueError, match="content parity"):
         prepare_corpus(corpus, config=cfg)
+
+
+def test_prepare_corpus_dup_ngram_gate(spark, sf_small):
+    """The optional Gopher bigram-repetition gate kills boilerplate
+    ('spam spam ...' has dup_2gram_frac ~ 1.0) that the word-grain
+    dup_line gate would also catch — but ONLY when enabled, and
+    without disturbing the other stages."""
+    corpus, _ = _corpus_with_junk(spark, sf_small)
+    cfg_off = CorpusPrepConfig(
+        min_tokens=5, max_dup_line_frac=1.0, max_dup_2gram_frac=None
+    )
+    # the planted boilerplate is 8 tokens -> 7 bigrams, 1 distinct:
+    # dup_2gram_frac = 6/7 ~ 0.857, so gate below that
+    cfg_on = CorpusPrepConfig(
+        min_tokens=5, max_dup_line_frac=1.0, max_dup_2gram_frac=0.8
+    )
+    surv_off, rep_off = prepare_corpus(corpus, config=cfg_off)
+    surv_on, rep_on = prepare_corpus(corpus, config=cfg_on)
+    ids_off = {r.doc_id for r in surv_off.select("doc_id").collect()}
+    ids_on = {r.doc_id for r in surv_on.select("doc_id").collect()}
+    assert 990004 in ids_off  # line gate at 1.0 lets boilerplate through
+    assert 990004 not in ids_on  # bigram gate kills it
+    # the gate is surgical: nothing else changes
+    assert ids_off - ids_on == {990004}
+    assert rep_on["quality_filtered"] == rep_off["quality_filtered"] - 1
