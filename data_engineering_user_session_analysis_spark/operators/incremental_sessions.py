@@ -141,6 +141,7 @@ def advance_sessions(
     tiebreak_col: str = "event_id",
     purchase_value: str = "purchase",
     materialize_partials: bool = True,
+    materialize_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One incremental step: fold one day of events into the carry.
 
@@ -163,6 +164,17 @@ def advance_sessions(
     chaining the carried STATE through it across many days, which
     pins blocks for the whole replay; a per-day block dropped at step
     end does not.
+
+    ``materialize_dir`` materializes the SAME fold to parquet at that
+    path instead (overwriting it), and both outputs become filters
+    over the parquet read.  This folds the caller's own state write
+    into the step — a daily-replay loop that would otherwise run the
+    checkpoint job AND a state-write job per day (the state must
+    round-trip through storage anyway, per the module docstring) pays
+    exactly ONE job per day, and the returned ``new_state`` is
+    already restart-safe on disk.  Use a per-day path: ``closed``
+    keeps a live reference to the files, so overwriting a ping-pong
+    pair would corrupt accumulated frames.
     """
     loc = _local_partials(
         day,
@@ -296,7 +308,10 @@ def advance_sessions(
     combined = combined.withColumn(
         "_is_open", F.col("session_seq") == F.max("session_seq").over(w)
     )
-    if materialize_partials:
+    if materialize_dir is not None:
+        combined.write.mode("overwrite").parquet(materialize_dir)
+        combined = combined.sparkSession.read.parquet(materialize_dir)
+    elif materialize_partials:
         # Both outputs consume `combined` (closed = ~_is_open rows,
         # new_state = _is_open rows), so a caller that writes both
         # would otherwise run the whole window chain twice — and

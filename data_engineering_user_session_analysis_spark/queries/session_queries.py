@@ -367,19 +367,19 @@ def session_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         closed_frames = []
         for i, d in enumerate(days):
+            # materialize_dir folds the state round-trip INTO the
+            # step: one parquet write of the combined fold per day is
+            # the only job (the old shape paid a localCheckpoint job
+            # + a state-write job per day), `closed` and
+            # `state` are both filters over that day's parquet, so
+            # the closed frames accumulate with no pinned blocks and
+            # the state is restart-safe like the production verb's.
             closed, state = advance_sessions(
-                evp.filter(F.col("_d") == d).drop("_d"), state
+                evp.filter(F.col("_d") == d).drop("_d"),
+                state,
+                materialize_dir=os.path.join(tmp, f"step_{i}"),
             )
-            # `closed` is a filter over the step's eagerly-checkpointed
-            # fold (no parquet/state reference survives in its plan),
-            # so the per-day frames can accumulate and be emitted as
-            # one union — 30 write jobs saved.  Blocks stay pinned
-            # until the caller's action; bounded by the replay span
-            # (the production verb writes each day instead).
             closed_frames.append(closed)
-            sdir = os.path.join(tmp, f"state_{i % 2}")  # ping-pong
-            state.write.mode("overwrite").parquet(sdir)
-            state = spark.read.parquet(sdir)
     finally:
         spark.conf.set(width_key, sess_width)
         spark.conf.set(aqe_key, sess_aqe)

@@ -285,3 +285,36 @@ def test_null_user_rows_match_batch(spark, tmp_path):
     a = {tuple(r) for r in batch.collect()}
     b = {tuple(r) for r in inc.collect()}
     assert a == b and len(a) == 3  # null crossing session, null later session, u7
+
+
+def test_materialize_dir_equals_checkpoint_replay(spark, sf_small, tmp_path):
+    """The one-job-per-day materialize_dir path (the bench replay's
+    shape: combined fold written once, closed AND state derived as
+    filters over the parquet) must produce the exact same stitched
+    result as the checkpoint + explicit-state-write replay."""
+    import os
+
+    ev = load_events(spark, sf_small)
+    batch = session_rollup(sessionize(ev, order_cols=("event_id",)))
+    days = [
+        r["d"]
+        for r in ev.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()
+    ]
+    state, closed_frames = None, []
+    for i, d in enumerate(days):
+        closed, state = advance_sessions(
+            ev.filter(F.to_date("ts") == F.lit(d)),
+            state,
+            materialize_dir=os.path.join(str(tmp_path), f"step_{i}"),
+        )
+        closed_frames.append(closed)
+    # state must already be parquet-backed: no window/exchange in its
+    # plan, just a scan + filter (that is the point of the fold-in)
+    plan = state._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+    from functools import reduce
+
+    inc = reduce(lambda a, b: a.unionByName(b), closed_frames).unionByName(
+        finalize_sessions(state)
+    )
+    _assert_equal(inc, batch)
