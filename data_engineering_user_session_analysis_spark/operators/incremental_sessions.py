@@ -220,35 +220,45 @@ def advance_sessions(
 
     w = Window.partitionBy(user_col)
 
-    def _carried(c: str):
-        # the single seq-0 row's value, broadcast to the user's rows
-        # (first over an unordered window is deterministic here: at
-        # most one non-null input exists per partition)
-        return F.first(
-            F.when(F.col("_local_seq") == 0, F.col(c)), ignorenulls=True
-        ).over(w)
-
+    # ALL carried values ride ONE window expression: the single seq-0
+    # pseudo-row's fields packed in a struct, broadcast to the user's
+    # rows (first over an unordered window is deterministic here: at
+    # most one non-null input exists per partition; _carry_seq is
+    # non-null only on that same row, so its old max-over-window is
+    # the same field).  One window function instead of eight halves
+    # the per-day driver-side plan construction — which a 30-day
+    # replay pays 30 times — and evaluates the partition pass once.
     u1 = u.select(
         "*",
-        F.max("_carry_seq").over(w).alias("_cseq"),
-        _carried("last_ts").alias("_c_last_ts"),
-        _carried("session_start_time").alias("_c_start"),
-        _carried("number_of_events").alias("_c_nev"),
-        _carried("session_value").alias("_c_val"),
-        _carried("is_purchase").alias("_c_purch"),
-        _carried("event_types").alias("_c_types"),
-        _carried("first_event_type").alias("_c_first"),
+        F.first(
+            F.when(
+                F.col("_local_seq") == 0,
+                F.struct(
+                    F.col("_carry_seq").alias("seq"),
+                    F.col("last_ts").alias("last_ts"),
+                    F.col("session_start_time").alias("start"),
+                    F.col("number_of_events").alias("nev"),
+                    F.col("session_value").alias("val"),
+                    F.col("is_purchase").alias("purch"),
+                    F.col("event_types").alias("types"),
+                    F.col("first_event_type").alias("first"),
+                ),
+            ),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("_c"),
     )
 
     # Per-user merge flag: does the first local session continue the
     # carried open session?  Strict-> gap rule matches `sessionize`:
     # delta <= gap extends, delta > gap opens a new session.  With no
-    # carry, _c_last_ts is null -> condition null -> 0 (no merge).
+    # carry, _c.last_ts is null -> condition null -> 0 (no merge).
     m_row = F.when(
         (F.col("_local_seq") == 1)
         & (
             epoch_micros(F.col("session_start_time"))
-            - epoch_micros(F.col("_c_last_ts"))
+            - epoch_micros(F.col("_c.last_ts"))
             <= F.lit(gap_seconds) * 1_000_000
         ),
         1,
@@ -268,33 +278,33 @@ def advance_sessions(
     is_stitch = F.col("_merged") & (F.col("_local_seq") == 1)
     combined = u2.select(
         F.col(user_col),
-        F.when(F.col("_local_seq") == 0, F.col("_cseq"))
+        F.when(F.col("_local_seq") == 0, F.col("_c.seq"))
         .otherwise(
-            F.coalesce(F.col("_cseq"), F.lit(0))
+            F.coalesce(F.col("_c.seq"), F.lit(0))
             + F.col("_local_seq")
             - F.when(F.col("_merged"), 1).otherwise(0)
         )
         .alias("session_seq"),
-        F.when(is_stitch, F.col("_c_start"))
+        F.when(is_stitch, F.col("_c.start"))
         .otherwise(F.col("session_start_time"))
         .alias("session_start_time"),
         F.col("last_ts"),
-        F.when(is_stitch, F.col("_c_nev") + F.col("number_of_events"))
+        F.when(is_stitch, F.col("_c.nev") + F.col("number_of_events"))
         .otherwise(F.col("number_of_events"))
         .alias("number_of_events"),
         F.when(
             is_stitch,
-            (F.col("_c_val") + F.col("session_value")).cast("decimal(28,2)"),
+            (F.col("_c.val") + F.col("session_value")).cast("decimal(28,2)"),
         )
         .otherwise(F.col("session_value").cast("decimal(28,2)"))
         .alias("session_value"),
-        F.when(is_stitch, F.greatest(F.col("_c_purch"), F.col("is_purchase")))
+        F.when(is_stitch, F.greatest(F.col("_c.purch"), F.col("is_purchase")))
         .otherwise(F.col("is_purchase"))
         .alias("is_purchase"),
-        F.when(is_stitch, F.array_union(F.col("_c_types"), F.col("event_types")))
+        F.when(is_stitch, F.array_union(F.col("_c.types"), F.col("event_types")))
         .otherwise(F.col("event_types"))
         .alias("event_types"),
-        F.when(is_stitch, F.col("_c_first"))
+        F.when(is_stitch, F.col("_c.first"))
         .otherwise(F.col("first_event_type"))
         .alias("first_event_type"),
         F.col("last_event_type"),
