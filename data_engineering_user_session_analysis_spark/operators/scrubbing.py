@@ -62,9 +62,15 @@ def repetition_signals(
     O(L log L) per document: the duplicated-char mass is total chars
     minus the chars of single-occurrence lines, and a line occurs
     once iff, in the SORTED line array, it differs from both
-    neighbors — one sort + one linear pass, instead of the naive
+    neighbors — one sort + linear zip passes, instead of the naive
     count-each-distinct-line-against-all-lines O(L_distinct · L)
-    which melts on pathological many-line documents.
+    which melts on pathological many-line documents.  The adjacency
+    is built with ``zip_with`` over the sorted array and its shifted
+    slice — NOT ``aggregate(sequence(0,n-1), i -> get(s, i±1)...)``:
+    Catalyst interprets higher-order functions, and an outer-array
+    ``get`` inside the lambda re-evaluates the sort (and the split
+    feeding it) per ELEMENT, turning the linear pass quadratic.
+    ``zip_with`` binds both arrays once.
     """
     lines = F.split(F.col(text_col), F.lit(line_sep))
     n = F.size(lines)
@@ -72,19 +78,29 @@ def repetition_signals(
     total_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
-    # single-occurrence chars via sorted adjacency; F.get returns
-    # NULL out of bounds, and NULL != x is NULL — coalesce(…, True)
-    # makes the array edges count as "differs"
     s = F.sort_array(lines)
+    # next_differs[i] = s[i] != s[i+1]; zip_with null-pads the shorter
+    # (shifted) side, and NULL != x is NULL — coalesce(…, True) makes
+    # the last element count as "differs"
+    shifted = F.slice(s, 2, F.greatest(n - 1, F.lit(0)))
+    next_differs = F.zip_with(
+        s, shifted, lambda a, b: F.coalesce(a != b, F.lit(True))
+    )
+    # prev_differs[i] = next_differs[i-1]; the first element's left
+    # neighbor is the array edge -> True
+    prev_differs = F.concat(
+        F.array(F.lit(True)),
+        F.slice(next_differs, 1, F.greatest(n - 1, F.lit(0))),
+    )
+    is_uniq = F.zip_with(next_differs, prev_differs, lambda a, b: a & b)
     uniq_chars = F.aggregate(
-        F.sequence(F.lit(0), n - 1),
+        F.zip_with(
+            s,
+            is_uniq,
+            lambda x, u: F.when(u, F.length(x)).otherwise(F.lit(0)),
+        ),
         F.lit(0).cast("long"),
-        lambda a, i: a
-        + F.when(
-            F.coalesce(F.get(s, i - 1) != F.get(s, i), F.lit(True))
-            & F.coalesce(F.get(s, i + 1) != F.get(s, i), F.lit(True)),
-            F.length(F.get(s, i)),
-        ).otherwise(F.lit(0)),
+        lambda a, c: a + c,
     )
     return df.withColumns(
         {

@@ -9,6 +9,7 @@ DuckDB oracle can replay them exactly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -105,14 +106,22 @@ def doc_fingerprints(
     for copy detection): hash every word `gram`-gram with md5, keep
     hashes ≡ 0 (mod `mod`) — a content-defined ~1/mod sample that is
     stable under document edits elsewhere.  One row per selected
-    fingerprint."""
-    toks = _tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - gram),
-        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(gram)]),
+    fingerprint.
+
+    Distinct grams come from the ``dedup`` shingle kernel (one Arrow
+    pass) rather than a ``transform(sequence, i -> get(toks,i)...)``
+    build: Catalyst interprets higher-order functions and re-evaluates
+    the outer ``split()`` per element, which made the gram build
+    dominate the scan (same lesson as ``shingle_docs``; equality of
+    the two constructions is pinned in tests).  md5/conv/filter stay
+    Catalyst-side."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import (
+        _shingle_array_column,
     )
+
+    toks = _tokens(text_col)
     hashed = F.transform(
-        F.array_distinct(grams),
+        _shingle_array_column(text_col, gram),
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
     )
     selected = F.array_sort(
@@ -145,36 +154,45 @@ def ngram_repetition_features(
     For each ``n``: ``n_{n}grams`` = token n-gram occurrences and
     ``dup_{n}gram_frac`` = fraction of those occurrences that repeat
     an earlier-seen n-gram (occurrences minus distinct, over
-    occurrences).  Entirely map-side array expressions inside
-    whole-stage codegen — no shuffle, no Python — O(tokens) per
-    document per n (``array_distinct`` is one hash pass), so the
-    operator costs one corpus scan at any scale.  The fraction is a
-    single IEEE division of two exact integers, so a SQL oracle
-    replays it bit-for-bit.
+    occurrences).  The counts come from ONE Arrow-batched kernel pass
+    (map-only, no shuffle) for the same reason ``dedup.shingle_docs``
+    uses one: Catalyst interprets higher-order functions, and a
+    ``transform(sequence(...), i -> concat(get(toks,i),...))`` gram
+    build re-evaluates the outer ``split()`` per ELEMENT — measured
+    ~15x slower than array-bound alternatives at 1M docs (a zip_with
+    chain binds arrays once and is the pure-Catalyst fallback shape).
+    The fraction is a single IEEE division of two exact integers
+    (counting is engine-agnostic), so a SQL oracle replays it
+    bit-for-bit.
     """
-    toks = _tokens(text_col)
-    n_tokens = F.size(toks)
+    fields = ", ".join(f"n_{n}grams long, dup_{n} long" for n in ns)
+    names = [x for n in ns for x in (f"n_{n}grams", f"dup_{n}")]
+    sizes = tuple(ns)
+
+    @F.pandas_udf(fields)
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            toks = t.split(" ")
+            rec = []
+            for n in sizes:
+                g = max(len(toks) - (n - 1), 0)
+                d = (
+                    g - len(set(zip(*(toks[j:] for j in range(n)))))
+                    if g
+                    else 0
+                )
+                rec.append(g)
+                rec.append(d)
+            rows.append(rec)
+        return pd.DataFrame(rows, columns=names)
+
+    out = df.withColumn("_ngr", _stats(F.col(text_col)))
     cols: dict[str, Column] = {}
-
-    def _gram_at(n: int):
-        # single-arg lambda via factory: a `n=n` default would make
-        # F.transform pass the element INDEX as the second parameter
-        return lambda i: F.concat_ws(
-            " ", *[F.get(toks, i + j) for j in range(n)]
-        )
-
     for n in ns:
-        n_grams = F.greatest(n_tokens - (n - 1), F.lit(0))
-        # guard: sequence(0, -k) would generate a DESCENDING range,
-        # not an empty one, so short documents get an explicit empty
-        # gram array
-        grams = F.when(
-            n_tokens >= n,
-            F.transform(F.sequence(F.lit(0), n_tokens - n), _gram_at(n)),
-        ).otherwise(F.array().cast("array<string>"))
-        dup = n_grams - F.size(F.array_distinct(grams))
-        cols[f"n_{n}grams"] = n_grams.cast("long")
-        cols[f"dup_{n}gram_frac"] = dup / F.greatest(n_grams, F.lit(1)).cast(
-            "double"
-        )
-    return df.withColumns(cols)
+        ng = F.col("_ngr")[f"n_{n}grams"]
+        cols[f"n_{n}grams"] = ng
+        cols[f"dup_{n}gram_frac"] = F.col("_ngr")[f"dup_{n}"] / F.greatest(
+            ng, F.lit(1)
+        ).cast("double")
+    return out.withColumns(cols).drop("_ngr")

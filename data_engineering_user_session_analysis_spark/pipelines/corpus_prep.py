@@ -240,7 +240,15 @@ def prepare_corpus(
         )
         quality = quality.crossJoin(F.broadcast(thr))
         keep = keep & (F.col("quality_score") >= F.col("threshold"))
-    filtered = quality.filter(keep).drop("threshold")
+    # persist the quality survivors at THIS barrier too: the exact
+    # stage walks this frame three more times (the star-edge groupBy,
+    # the semi-join probe side, and the exact persist's own
+    # materialization), and the lineage above is the scrub/quality
+    # UDF chain over the FULL corpus — one extra Python hop per
+    # enabled Arrow kernel (the dup-ngram gate), so each avoided walk
+    # is worth 12-18 s at 1M.  MEMORY_AND_DISK + LRU-evictable;
+    # released as soon as the exact survivor set is materialized.
+    filtered = quality.filter(keep).drop("threshold").persist()
     _barrier("quality_filtered", filtered.count())
 
     # exact dedup: keep the min-id doc per identical text (the reps
@@ -248,14 +256,14 @@ def prepare_corpus(
     _, canonical_ids = exact_dup_star_edges(filtered, c.text_col, c.id_col)
     # persist the survivor set at this barrier: everything downstream
     # (near-dup pair generation, the canonical join, packing, every
-    # later barrier count) re-references it, and the upstream lineage
-    # is the map-only scrub/quality UDF chain — without persistence
-    # each reference re-runs that chain over the full corpus
+    # later barrier count) re-references it — without persistence
+    # each reference re-runs the upstream chain over the full corpus
     # (measured at 1M: the near-dup stage carried 2-3 extra ~12 s
     # lineage walks).  MEMORY_AND_DISK + LRU-evictable, spill-safe at
     # scale; the barrier count doubles as the materializing action.
     exact = filtered.join(canonical_ids, c.id_col, "left_semi").persist()
     _barrier("exact_deduped", exact.count())
+    filtered.unpersist()
 
     if c.minhash_index_path is not None:
         pairs = _indexed_neardup_pairs(exact, c)

@@ -2117,6 +2117,47 @@ def measure_corpus_prep(spark, replicas: int = 200) -> dict:
     return res
 
 
+def measure_corpus_prep_ngram_gate(spark, replicas: int = 200) -> dict:
+    """Marginal cost of the opt-in Gopher bigram-repetition gate
+    (``CorpusPrepConfig.max_dup_2gram_frac``) at 1M docs: the same
+    replay as the ``corpusprep1m`` tier with the gate enabled at 0.5.
+    The gate adds one map-side array walk (bigram build + distinct)
+    inside the already-scanned quality projection, so the honest
+    claim to check is ``stage_sec.quality_filtered`` here vs the
+    gate-off replay's — every later stage should only get cheaper or
+    equal (fewer survivors).  Compare against the same-file
+    ``corpus prep 1M`` row measured in the same round."""
+    from data_engineering_user_session_analysis_spark.pipelines.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    _quiesce(spark)
+    docs = _distinct_doc_corpus(spark, replicas)
+    n_docs = docs.count()
+    res: dict = {
+        "label": f"corpus prep 1M, dup-2gram gate 0.5 ({replicas} clone shards)"
+    }
+    res["n_docs"] = n_docs
+    stage_timings: dict[str, float] = {}
+    t0 = time.monotonic()
+    result, report = prepare_corpus(
+        docs,
+        config=CorpusPrepConfig(pack_budget=2048, max_dup_2gram_frac=0.5),
+        stage_timings=stage_timings,
+    )
+    result.write.format("noop").mode("overwrite").save()
+    total = time.monotonic() - t0
+    cores = spark.sparkContext.defaultParallelism
+    res["report"] = report
+    res["stage_sec"] = stage_timings
+    res["dominant_stage"] = max(stage_timings, key=stage_timings.get)
+    res["total_sec"] = round(total, 2)
+    res["docs_per_sec"] = round(n_docs / total, 1)
+    res["docs_per_sec_per_core"] = round(n_docs / total / cores, 2)
+    return res
+
+
 def measure_corpus_prep_indexed(spark, replicas: int = 200) -> dict:
     """VERDICT r11 #4 closer: the same 1M corpus-prep replay with the
     near-dup stage fed from a PERSISTENT MinHash index
@@ -2397,6 +2438,10 @@ def _run_tier_inner(tier: str) -> list[dict]:
         # round-11: the composed LLM-pipeline throughput budget at 1M
         # docs (VERDICT r10 item 4) — per-stage seconds, probe-paired
         return [measure_corpus_prep(spark)]
+    if tier == "corpusprep1mngram":
+        # round-12: marginal cost of the opt-in bigram-repetition
+        # gate at 1M (pair with a same-round gate-off corpusprep1m)
+        return [measure_corpus_prep_ngram_gate(spark)]
     if tier == "corpusprep1mindexbuild":
         # round-12 (VERDICT r11 #4): batch-build the shared MinHash
         # index in ITS OWN JVM so the build's heap/shuffle residue
