@@ -223,13 +223,6 @@ def prepare_corpus(
         & (F.col("quality_score") >= c.min_quality)
         & (F.col("dup_line_frac") <= c.max_dup_line_frac)
     )
-    if c.max_dup_2gram_frac is not None:
-        from data_engineering_user_session_analysis_spark.operators.text_analysis import (
-            ngram_repetition_features,
-        )
-
-        quality = ngram_repetition_features(quality, c.text_col, ns=(2,))
-        keep = keep & (F.col("dup_2gram_frac") <= c.max_dup_2gram_frac)
     if c.min_quality_percentile is not None:
         from data_engineering_user_session_analysis_spark.operators.stats import quantized_quantile
 
@@ -240,15 +233,29 @@ def prepare_corpus(
         )
         quality = quality.crossJoin(F.broadcast(thr))
         keep = keep & (F.col("quality_score") >= F.col("threshold"))
+    filtered = quality.filter(keep).drop("threshold")
+    if c.max_dup_2gram_frac is not None:
+        # the expensive repetition signal runs as a CASCADE stage,
+        # after every cheap gate: the Arrow kernel (one Python hop)
+        # evaluates only docs that already survived the map-side
+        # expression gates, not the full corpus — at 1M the cheap
+        # gates drop ~56%, so the kernel input roughly halves
+        from data_engineering_user_session_analysis_spark.operators.text_analysis import (
+            ngram_repetition_features,
+        )
+
+        filtered = ngram_repetition_features(
+            filtered, c.text_col, ns=(2,)
+        ).filter(F.col("dup_2gram_frac") <= c.max_dup_2gram_frac)
     # persist the quality survivors at THIS barrier too: the exact
     # stage walks this frame three more times (the star-edge groupBy,
     # the semi-join probe side, and the exact persist's own
     # materialization), and the lineage above is the scrub/quality
-    # UDF chain over the FULL corpus — one extra Python hop per
-    # enabled Arrow kernel (the dup-ngram gate), so each avoided walk
-    # is worth 12-18 s at 1M.  MEMORY_AND_DISK + LRU-evictable;
-    # released as soon as the exact survivor set is materialized.
-    filtered = quality.filter(keep).drop("threshold").persist()
+    # UDF chain over the FULL corpus — one extra Python hop when the
+    # dup-ngram gate is enabled — so each avoided walk is worth
+    # 12-18 s at 1M.  MEMORY_AND_DISK + LRU-evictable; released as
+    # soon as the exact survivor set is materialized.
+    filtered = filtered.persist()
     _barrier("quality_filtered", filtered.count())
 
     # exact dedup: keep the min-id doc per identical text (the reps
