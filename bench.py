@@ -85,14 +85,21 @@ def main() -> None:
 
     from data_engineering_user_session_analysis_spark import get_spark
     from data_engineering_user_session_analysis_spark.queries import QUERIES
-    from data_engineering_user_session_analysis_spark.queries import tpch_queries
+    from data_engineering_user_session_analysis_spark.queries import (
+        text_extended_queries,
+        tpch_queries,
+    )
 
     # Retired-from-registry queries that stay in the HEADLINE /
     # shared-r02 sets: the cross-round subtotal is a like-for-like
     # yardstick, so a registry consolidation (late_shipment_orders ->
-    # ann_cos_route, round 10) must not silently zero a shared row —
-    # the function is still importable and is timed directly.
-    RETIRED = {"late_shipment_orders": tpch_queries.late_shipment_orders}
+    # ann_cos_route round 10, lang_id -> doc_quality_scores round 12)
+    # must not silently zero a shared row — the function is still
+    # importable and is timed directly.
+    RETIRED = {
+        "late_shipment_orders": tpch_queries.late_shipment_orders,
+        "lang_id": text_extended_queries.lang_id,
+    }
 
     def _q(name):
         return QUERIES.get(name) or RETIRED[name]

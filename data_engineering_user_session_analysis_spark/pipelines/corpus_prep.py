@@ -82,6 +82,17 @@ class CorpusPrepConfig:
     #: it; a 100 TB crawl does.
     max_dup_2gram_frac: float | None = None
     neardup_threshold: float = 0.6
+    #: optional ExactSubstr-family gate (operators/span_dedup.py):
+    #: after near-dup dedup, drop docs whose fraction of tokens
+    #: covered by cross-doc duplicated >=span_window-token spans
+    #: exceeds this.  Catches the paste-heavy doc document-level
+    #: Jaccard can't see (one boilerplate paragraph inside otherwise
+    #: distinct pages).  None (default) skips the stage — it costs
+    #: one O(tokens) hash shuffle; span_sample_mod is the winnowing
+    #: knob that trades recall on short spans for a 1/p shuffle.
+    max_dup_span_frac: float | None = None
+    span_window: int = 50
+    span_sample_mod: int | None = None
     decontaminate_ngram: int = 13
     sample_k: int | None = None
     pack_budget: int | None = None
@@ -282,6 +293,29 @@ def prepare_corpus(
     _barrier("neardup_deduped", neardup.count())
 
     result = neardup
+    if c.max_dup_span_frac is not None:
+        # runs AFTER dedup on purpose: exact clones are already down
+        # to one canonical each, so a span flagged here is a genuine
+        # partial overlap (pre-dedup, every clone would score 1.0 and
+        # the whole group — canonical included — would be dropped)
+        from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+            duplicated_span_stats,
+        )
+
+        pasted = (
+            duplicated_span_stats(
+                result,
+                c.text_col,
+                c.id_col,
+                window=c.span_window,
+                sample_mod=c.span_sample_mod,
+            )
+            .filter(F.col("dup_token_frac") > c.max_dup_span_frac)
+            .select(c.id_col)
+        )
+        result = result.join(pasted, c.id_col, "left_anti")
+        _barrier("span_gated", result.count())
+
     if benchmark is not None:
         result = decontaminate(
             result,

@@ -39,10 +39,18 @@ from data_engineering_user_session_analysis_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+    duplicated_span_stats,
+)
 from data_engineering_user_session_analysis_spark.queries import register
 from data_engineering_user_session_analysis_spark.sources.tables import load_table
 
 _JACCARD_THRESHOLD = 0.5
+
+#: Fixture-scale ExactSubstr window: documents are 10-100 tokens, so
+#: the public protocol's 50 would exclude most of the corpus.  The
+#: operator default stays 50 (span_dedup.EXACTSUBSTR_WINDOW).
+SPAN_WINDOW = 15
 
 
 def _jaccard_pair_ctes(max_shingle_df: int | None) -> str:
@@ -94,6 +102,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1 - 4e-8 for the qualifying pairs, so the outputs coincide."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD)
+
+
+@register(
+    "dedup_exact_substring",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), wh AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w) - {SPAN_WINDOW - 2}),
+    i -> {{'pos': i - 1,
+          'h': md5(array_to_string(list_slice(w, i, i + {SPAN_WINDOW - 1}), ' '))}})) AS u
+  FROM toks WHERE len(w) >= {SPAN_WINDOW}
+), f AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h FROM wh
+), dups AS (
+  SELECT h FROM f GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), dw AS (
+  SELECT f.doc_id, f.pos FROM f JOIN dups USING (h)
+), deltas AS (
+  SELECT doc_id, pos,
+    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS delta
+  FROM dw
+), cov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+    CAST(sum(CASE WHEN delta IS NULL THEN {SPAN_WINDOW}
+                  ELSE LEAST(delta, {SPAN_WINDOW}) END) AS BIGINT) AS dup_tokens
+  FROM deltas GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(len(w) AS BIGINT) AS n_tokens,
+  CAST(len(w) - {SPAN_WINDOW - 1} AS BIGINT) AS n_windows,
+  cov.n_dup_windows,
+  cov.n_dup_windows / CAST(len(w) - {SPAN_WINDOW - 1} AS DOUBLE) AS dup_window_frac,
+  cov.dup_tokens,
+  cov.dup_tokens / CAST(len(w) AS DOUBLE) AS dup_token_frac
+FROM toks t JOIN cov USING (doc_id)
+""",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate-span stats (the ExactSubstr dedup
+    family — Lee et al. 2021 — as a hashed-window re-expression,
+    `operators/span_dedup.py`): every SPAN_WINDOW-token rolling
+    window is md5-keyed; windows occurring in >= 2 distinct docs mark
+    duplicated spans; per doc the row reports dup-window counts and
+    the MERGED-interval token coverage (sorted positions, each window
+    past the first contributes min(window, pos-prev)).  Finer grain
+    than every other dedup row: a paragraph pasted across otherwise-
+    distinct pages is invisible to document-level Jaccard but flagged
+    here.  The oracle replays the identical window/hash/merge
+    construction; all fractions are one IEEE division of exact
+    integers.  Scale: one Arrow window pass (map-only), one
+    fixed-width shuffle per token position, a semi-join back, one
+    per-doc lag() window — plus a winnowing-style `sample_mod` knob
+    for corpora where even O(tokens) shuffle needs sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, window=SPAN_WINDOW)
 
 
 def _simhash_bits_sql() -> str:

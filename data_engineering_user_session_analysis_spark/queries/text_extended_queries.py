@@ -39,23 +39,21 @@ def _predict_sql() -> str:
     return "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
 
 
-@register(
-    "lang_id",
-    f"""
-WITH scored AS (
-  SELECT doc_id, lang,
-    {_score_sql('en')}, {_score_sql('de')}, {_score_sql('es')}, {_score_sql('fr')}
-  FROM documents
-)
-SELECT doc_id, lang AS declared_lang,
-  {_predict_sql()} AS predicted_lang,
-  score_en, score_de, score_es, score_fr
-FROM scored
-""",
-)
+# Round-12 consolidation: the `lang_id` registry row folded into
+# `doc_quality_scores` below (freeing the 50-cap slot for
+# `dedup_exact_substring` in dedup_queries.py): same table, same doc
+# grain, same scan — the merged row runs predict_lang's per-language
+# scores AND the argmax priority chain next to the quality features,
+# so a defect in any scoring expression still fails a driver row.
+# The function stays callable (bench.py's shared-r02 yardstick times
+# it directly, like `late_shipment_orders` since round 10), and the
+# lang-grain aggregate view remains `doc_token_stats`.
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (n-gram-free heuristic baseline):
-    per-language hit scores + argmax with a fixed priority chain."""
+    per-language hit scores + argmax with a fixed priority chain.
+    Registry coverage carried by ``doc_quality_scores``."""
     docs = load_table(spark, sf_dir, "documents")
     return predict_lang(docs).select(
         "doc_id",
@@ -70,8 +68,17 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_quality_scores",
-    """
-WITH feat AS (
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    {_score_sql('en')}, {_score_sql('de')}, {_score_sql('es')}, {_score_sql('fr')}
+  FROM documents
+), langp AS (
+  SELECT doc_id, lang AS declared_lang,
+    {_predict_sql()} AS predicted_lang,
+    score_en, score_de, score_es, score_fr
+  FROM scored
+), feat AS (
   SELECT doc_id,
     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
@@ -103,8 +110,11 @@ SELECT feat.doc_id, n_chars, n_tokens, n_types,
   CAST(n_2grams AS BIGINT) AS n_2grams,
   dup_2 / CAST(GREATEST(n_2grams, 1) AS DOUBLE) AS dup_2gram_frac,
   CAST(n_3grams AS BIGINT) AS n_3grams,
-  dup_3 / CAST(GREATEST(n_3grams, 1) AS DOUBLE) AS dup_3gram_frac
-FROM feat JOIN grams ON feat.doc_id = grams.doc_id
+  dup_3 / CAST(GREATEST(n_3grams, 1) AS DOUBLE) AS dup_3gram_frac,
+  declared_lang, predicted_lang, score_en, score_de, score_es, score_fr
+FROM feat
+JOIN grams ON feat.doc_id = grams.doc_id
+JOIN langp ON feat.doc_id = langp.doc_id
 """,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,9 +129,18 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary repeats bigrams heavily, so this row's dup fractions
     exercise the real counting path.  The oracle replays the same
     occurrences-minus-distinct construction; fractions are one IEEE
-    division of exact integers on both engines."""
+    division of exact integers on both engines.
+
+    Round-12 consolidation: the ``lang_id`` row folded in here (same
+    table, grain, and scan — the one corpus-quality pass a pipeline
+    actually runs), freeing the 50-cap slot for
+    ``dedup_exact_substring``: per-language stopword scores plus the
+    fixed-priority argmax (`text_analysis.predict_lang`), each
+    hash-checked against the SQL replay."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_repetition_features(quality_features(docs)).select(
+    return ngram_repetition_features(
+        quality_features(predict_lang(docs))
+    ).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         "n_tokens",
@@ -134,6 +153,12 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_2gram_frac",
         "n_3grams",
         "dup_3gram_frac",
+        F.col("lang").alias("declared_lang"),
+        "predicted_lang",
+        "score_en",
+        "score_de",
+        "score_es",
+        "score_fr",
     )
 
 

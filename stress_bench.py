@@ -2084,6 +2084,60 @@ def _distinct_doc_corpus(spark, replicas: int):
     )
 
 
+def measure_span_dedup(spark, window: int = 15) -> dict:
+    """Exact-substring span dedup (operators/span_dedup.py) at 100k
+    and 1M docs: detection (`duplicated_span_stats`) at both scales
+    for a 10x linearity ratio, plus the full ExactSubstr rewrite
+    (`remove_duplicated_spans`) at 1M.  The clone-shard corpus keeps
+    replicas window-disjoint (every token is replica-suffixed), so
+    the corpus replays sf0.1's own dup-span structure 200x — work
+    scales linearly by construction and the measurement isolates the
+    O(tokens) hash shuffle + semi-join + per-doc window machinery at
+    ~54M window rows."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+        duplicated_span_stats,
+        remove_duplicated_spans,
+    )
+
+    _quiesce(spark)
+    res: dict = {"label": f"exact-substring span dedup (window={window})"}
+    for tag, replicas in (("100k", 20), ("1m", 200)):
+        docs = _distinct_doc_corpus(spark, replicas)
+        n = docs.count()
+        t0 = time.monotonic()
+        stats = duplicated_span_stats(docs, window=window)
+        agg = stats.agg(
+            F.count("*").alias("flagged"), F.sum("dup_tokens").alias("dup_toks")
+        ).collect()[0]
+        sec = time.monotonic() - t0
+        res[f"detect_{tag}"] = {
+            "n_docs": n,
+            "flagged_docs": agg["flagged"],
+            "dup_tokens": int(agg["dup_toks"] or 0),
+            "sec": round(sec, 2),
+            "docs_per_sec": round(n / sec, 1),
+        }
+        if tag == "1m":
+            t0 = time.monotonic()
+            rw = remove_duplicated_spans(docs, window=window)
+            ragg = rw.agg(
+                F.count("*").alias("n"),
+                F.sum("n_removed_tokens").alias("removed"),
+            ).collect()[0]
+            rsec = time.monotonic() - t0
+            res["rewrite_1m"] = {
+                "n_docs": ragg["n"],
+                "removed_tokens": int(ragg["removed"] or 0),
+                "sec": round(rsec, 2),
+                "docs_per_sec": round(ragg["n"] / rsec, 1),
+            }
+    d100k, d1m = res["detect_100k"], res["detect_1m"]
+    res["detect_scaling_10x"] = round(d1m["sec"] / d100k["sec"], 2)
+    return res
+
+
 def measure_corpus_prep(spark, replicas: int = 200) -> dict:
     """End-to-end corpus-prep throughput one decade up (VERDICT r10
     item 4): ``prepare_corpus`` over 1M DISTINCT docs
@@ -2434,6 +2488,11 @@ def _run_tier_inner(tier: str) -> list[dict]:
         # round-11: the content-keyed truth cache demonstrated at 1M
         # (two sensor calls on one unchanged index)
         return [measure_truth_cache_1m(spark)]
+    if tier == "spandedup1m":
+        # round-12 (third session): the new ExactSubstr span-dedup
+        # family measured at its target decade — detection linearity
+        # 100k -> 1M plus the full rewrite at 1M
+        return [measure_span_dedup(spark)]
     if tier == "corpusprep1m":
         # round-11: the composed LLM-pipeline throughput budget at 1M
         # docs (VERDICT r10 item 4) — per-stage seconds, probe-paired

@@ -291,3 +291,39 @@ def test_prepare_corpus_dup_ngram_gate(spark, sf_small):
     # the gate is surgical: nothing else changes
     assert ids_off - ids_on == {990004}
     assert rep_on["quality_filtered"] == rep_off["quality_filtered"] - 1
+
+
+def test_prepare_corpus_span_gate(spark, sf_small):
+    """The optional ExactSubstr span gate kills a paste-heavy doc
+    (most of its tokens covered by a >=15-token span copied from a
+    longer real doc) that document-level near-dup dedup lets through
+    (Jaccard ~0.28 at the planted shape), while the SOURCE doc -- same
+    span, small fraction of a longer doc -- survives."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    src = (
+        docs.withColumn("_n", F.size(F.split("text", " ")))
+        .filter(F.col("_n") >= 80)
+        .orderBy("doc_id")
+        .first()
+    )
+    pasted = " ".join(
+        src.text.split(" ")[:25] + ["zq1", "zq2", "zq3", "zq4", "zq5"]
+    )
+    corpus = docs.unionByName(
+        spark.createDataFrame([(990010, pasted)], "doc_id long, text string")
+    )
+    base = dict(min_tokens=5, max_dup_line_frac=1.0, span_window=15)
+    surv_off, rep_off = prepare_corpus(
+        corpus, config=CorpusPrepConfig(**base, max_dup_span_frac=None)
+    )
+    surv_on, rep_on = prepare_corpus(
+        corpus, config=CorpusPrepConfig(**base, max_dup_span_frac=0.6)
+    )
+    ids_off = {r.doc_id for r in surv_off.select("doc_id").collect()}
+    ids_on = {r.doc_id for r in surv_on.select("doc_id").collect()}
+    # coverage: 25/30 = 0.833 for the paste, 25/|src| <= 0.31 for the
+    # source
+    assert 990010 in ids_off and 990010 not in ids_on
+    assert src.doc_id in ids_off and src.doc_id in ids_on
+    assert "span_gated" not in rep_off
+    assert rep_on["span_gated"] == len(ids_on)
