@@ -30,8 +30,12 @@ Scale notes (100 TB):
   spans whose sampled anchor windows collide (recall is a function of
   span length: a duplicated span of L tokens carries ~(L-window+1)/p
   sampled anchors), and coverage becomes a lower bound.
-* The dup-hash set comes back as a LEFT SEMI join (no row widening),
-  and the per-doc interval merge is a single lag() window over
+* At the standard ``min_docs=2`` the cross-doc flag is evaluated IN
+  the hash shuffle itself (``min(doc_id) != max(doc_id)`` per hash —
+  a window aggregate, so the kernel lineage runs once); ``min_docs >
+  2`` falls back to an exact count-distinct groupBy + broadcast LEFT
+  SEMI join, which re-walks the kernel on the probe side.  The
+  per-doc interval merge is then a single lag() window over
   (doc_id, pos) — one shuffle keyed by doc, O(dup windows) state.
 """
 
@@ -97,6 +101,36 @@ def positional_window_hashes(
     return rows
 
 
+def _flagged_occurrences(
+    wh: DataFrame, id_col: str, min_docs: int
+) -> DataFrame:
+    """The occurrences of cross-doc duplicated windows, from the
+    positional rows.  At the standard ``min_docs=2`` the flag is
+    simply ``min(doc_id) != max(doc_id)`` per hash — ONE window pass
+    over the hash-shuffled rows, so the Arrow window kernel upstream
+    evaluates once (the groupBy + semi-join form re-evaluates the
+    whole kernel lineage on the probe side AND pays the exact
+    count-distinct's two-exchange expand; measured 128 s → see the
+    spandedup1m tier).  ``min_docs > 2`` needs a true distinct count,
+    so it keeps the groupBy + broadcast-semi-join form and pays the
+    second kernel pass."""
+    if min_docs <= 2:
+        w_h = Window.partitionBy("wh")
+        return (
+            wh.withColumn("_mn", F.min(id_col).over(w_h))
+            .withColumn("_mx", F.max(id_col).over(w_h))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .drop("_mn", "_mx")
+        )
+    dup_hashes = (
+        wh.groupBy("wh")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("wh")
+    )
+    return wh.join(dup_hashes, "wh", "left_semi")
+
+
 def duplicated_span_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -128,13 +162,7 @@ def duplicated_span_stats(
     wh = positional_window_hashes(
         docs, text_col, id_col, window=window, sample_mod=sample_mod
     )
-    dup_hashes = (
-        wh.groupBy("wh")
-        .agg(F.count_distinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("wh")
-    )
-    dup = wh.join(dup_hashes, "wh", "left_semi")
+    dup = _flagged_occurrences(wh, id_col, min_docs)
 
     w = Window.partitionBy(id_col).orderBy("pos")
     delta = F.col("pos") - F.lag("pos").over(w)
@@ -204,17 +232,13 @@ def remove_duplicated_spans(
     wh = positional_window_hashes(
         docs, text_col, id_col, window=window, sample_mod=sample_mod
     )
-    dup_hashes = (
-        wh.groupBy("wh")
-        .agg(F.count_distinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("wh")
-    )
-    occ = wh.join(dup_hashes, "wh", "left_semi")
-    canon = occ.groupBy("wh").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_c")
-    )
-    flagged = occ.join(canon, "wh").select(
+    occ = _flagged_occurrences(wh, id_col, min_docs)
+    # the canonical pick rides the same hash-partitioned window the
+    # min_docs=2 flag used (same key -> no extra exchange or sort)
+    w_h = Window.partitionBy("wh")
+    flagged = occ.withColumn(
+        "_c", F.min(F.struct(F.col(id_col), F.col("pos"))).over(w_h)
+    ).select(
         id_col,
         "pos",
         (

@@ -258,3 +258,21 @@ def test_remove_preserves_other_columns(spark):
     )
     rows = remove_duplicated_spans(df, window=W).collect()
     assert {r.doc_id: r.lang for r in rows} == {1: "en", 2: "de"}
+
+
+def test_min_docs_three_uses_distinct_count(spark):
+    # min_docs > 2 takes the exact count-distinct path: a span shared
+    # by exactly 2 docs no longer qualifies.
+    got = _stats(
+        spark,
+        {
+            1: "a b c d e x1 x2",
+            2: "a b c d e y1 y2",
+            3: "a b c d e z1 z2",
+            4: "p q r s t w1",
+            5: "p q r s t w2",
+        },
+        min_docs=3,
+    )
+    assert set(got) == {1, 2, 3}
+    assert all(r["n_dup_windows"] == 1 and r["dup_tokens"] == 5 for r in got.values())
