@@ -287,6 +287,70 @@ def main() -> None:
         print(f"WARN: corpus-prep throughput metric failed: {exc!r}", file=sys.stderr)
     spark.catalog.clearCache()
 
+    # ---- harness/operator split for the incremental-replay row
+    # (VERDICT r12 #3): session_rollup_incremental is a 30-day replay
+    # whose cost is dominated by ~0.8 s/day of fixed per-day Spark
+    # overhead (job launch, state parquet round-trip, plan time), not
+    # operator work — at r12 it was 40% of the registry total and
+    # drowned the other 49 rows' signal.  Measure the constant
+    # directly: replay the SAME day count with ONE real event per day
+    # (schema-identical sample of the actual table, so enrichment/
+    # typing costs are included) — that run is ~pure harness, and
+    # operator_sec = measured_total - harness_sec.  The registry row
+    # keeps the raw total (cross-round comparability); the family
+    # subtotal quotes operator_sec.
+    incremental_replay_split = None
+    try:
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as F
+
+        from data_engineering_user_session_analysis_spark.sources.events import load_events
+
+        incr_total = registry_timings.get("session_rollup_incremental")
+        if incr_total is not None:
+            ev = load_events(spark, sf_dir)
+            one_per_day = (
+                ev.withColumn("_d", F.to_date("ts"))
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        _W.partitionBy("_d").orderBy("event_id")
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .drop("_d", "_rn")
+            )
+            tmp2 = tempfile.mkdtemp(prefix="bench_incr_split_")
+            try:
+                one_per_day.coalesce(1).write.parquet(
+                    os.path.join(tmp2, "events.parquet")
+                )
+                n_days = spark.read.parquet(
+                    os.path.join(tmp2, "events.parquet")
+                ).count()
+                _clear_caches()
+                t0 = time.perf_counter()
+                QUERIES["session_rollup_incremental"](spark, tmp2).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                harness_sec = round(time.perf_counter() - t0, 4)
+                incremental_replay_split = {
+                    "total_sec": incr_total,
+                    "harness_sec": harness_sec,
+                    "operator_sec": round(max(incr_total - harness_sec, 0.0), 4),
+                    "n_days": n_days,
+                    "protocol": (
+                        "harness = same-day-count replay over 1 real "
+                        "event/day (schema-identical sample); operator "
+                        "= total - harness"
+                    ),
+                }
+            finally:
+                shutil.rmtree(tmp2, ignore_errors=True)
+    except Exception as exc:
+        print(f"WARN: incremental replay split failed: {exc!r}", file=sys.stderr)
+    spark.catalog.clearCache()
+
     probe_end = _cpu_probe()
 
     # ---- probe-normalized cross-round regression gate (VERDICT r10
@@ -406,6 +470,14 @@ def main() -> None:
     all_timings = {**timings, **registry_timings}
     family_subtotals: dict[str, float] = {}
     for name, secs in all_timings.items():
+        # the incremental-replay row contributes its OPERATOR seconds
+        # (split above): the 30-day fixed harness constant is not a
+        # property of the session family's plans
+        if (
+            name == "session_rollup_incremental"
+            and incremental_replay_split is not None
+        ):
+            secs = incremental_replay_split["operator_sec"]
         fam = _q(name).__module__.rsplit(".", 1)[-1].removesuffix("_queries")
         family_subtotals[fam] = round(family_subtotals.get(fam, 0.0) + secs, 4)
     payload = {
@@ -422,6 +494,7 @@ def main() -> None:
         "family_subtotals": dict(sorted(family_subtotals.items())),
         "ingest_events_per_sec": ingest_events_per_sec,
         "corpus_prep_docs_per_sec": corpus_prep_docs_per_sec,
+        "incremental_replay_split": incremental_replay_split,
         "cpu_probe_sec_start": probe_start,
         "cpu_probe_sec_end": probe_end,
         # per-segment box-speed series over the query rows (at_row =

@@ -721,6 +721,7 @@ def main(argv: list[str]) -> None:
     ``job validate-vector-recall <vector_index_path> [threshold] [sample_q]`` /
     ``job validate-minhash-recall <minhash_index_path> [threshold] [sample_q]`` /
     ``job tune-recall-minhash <minhash_index_path> [threshold] [recall_target] [sample_q]``,
+    ``job span-index <ds> <index_path> [docs_path]``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
     operational pipeline ``job daily <ds> [--auto-rebuild-vectors]
@@ -963,6 +964,61 @@ def main(argv: list[str]) -> None:
                 recall_target=target, sample_q=sample_q,
                 stratify_by_cell=stratified,
             )
+        )
+        return
+    if argv[1] == "span-index":
+        # daily ExactSubstr maintenance (operators/span_index.py):
+        # append today's doc shard to the persistent span-hash index
+        # (idempotent per-day partition), then probe it against the
+        # stored corpus — the O(day) alternative to re-running batch
+        # span detection over the whole corpus each day.  Usage:
+        # ``job span-index <ds> <index_path> [docs_path]``; docs_path
+        # falls back to DOCS_SHARD_PATH.  The first day freezes the
+        # geometry (window/sample_mod from SPAN_WINDOW /
+        # SPAN_SAMPLE_MOD env, defaulting to the public protocol's
+        # 50-token window); later days read params/ back.
+        from data_engineering_user_session_analysis_spark.operators.index_lifecycle import (
+            marker_complete_days,
+        )
+        from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+            EXACTSUBSTR_WINDOW,
+        )
+        from data_engineering_user_session_analysis_spark.operators.span_index import (
+            append_shard_to_span_index,
+            incremental_span_stats,
+        )
+
+        ds = argv[2]
+        idx = argv[3]
+        docs_path = argv[4] if len(argv) > 4 else os.environ.get("DOCS_SHARD_PATH")
+        if not docs_path:
+            raise SystemExit("span-index: docs_path arg or DOCS_SHARD_PATH required")
+        smod = os.environ.get("SPAN_SAMPLE_MOD")
+        spark = get_spark("span_index_job")
+        docs = spark.read.parquet(docs_path)
+        append_shard_to_span_index(
+            docs,
+            idx,
+            ds,
+            window=int(os.environ.get("SPAN_WINDOW", EXACTSUBSTR_WINDOW)),
+            sample_mod=int(smod) if smod else None,
+        )
+        stats = incremental_span_stats(
+            docs, idx, before_ds=ds, only_ds=marker_complete_days(idx)
+        )
+        agg = stats.agg(
+            F.count("*").alias("flagged_docs"),
+            F.sum("dup_tokens").alias("dup_tokens"),
+        ).first()
+        print(
+            {
+                "ds": ds,
+                "index": idx,
+                "shard_docs": docs.count(),
+                "flagged_docs": agg["flagged_docs"],
+                "dup_tokens": int(agg["dup_tokens"] or 0),
+                "complete_days": len(marker_complete_days(idx)),
+            }
         )
         return
     if argv[1] == "compact-index":

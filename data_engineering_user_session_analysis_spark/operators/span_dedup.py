@@ -37,6 +37,20 @@ Scale notes (100 TB):
   SEMI join, which re-walks the kernel on the probe side.  The
   per-doc interval merge is then a single lag() window over
   (doc_id, pos) — one shuffle keyed by doc, O(dup windows) state.
+* Skew: the min_docs=2 window flag has NO map-side partial
+  aggregation — every occurrence of one window hash lands in a
+  single task's window partition, so a hash carried by millions of
+  documents (viral boilerplate pasted corpus-wide) concentrates in
+  one task.  Deliberate trade: the groupBy+semi-join form DOES
+  combine map-side but re-evaluates the Arrow kernel lineage on the
+  probe side (measured 2.7x slower at 1M docs — detection 128.1 →
+  81.8 s), and AQE's skew-join split does not apply to window
+  exchanges.  For corpora where single-hash occurrence counts are
+  extreme, route around it: the ``min_docs > 2`` groupBy fallback is
+  the skew-safe (map-side-combined) detection form, and the
+  persistent-index probe (``operators/span_index.py``) bounds the
+  window input to O(day + matching stored occurrences) rather than
+  O(corpus).
 """
 
 from __future__ import annotations
@@ -113,7 +127,12 @@ def _flagged_occurrences(
     count-distinct's two-exchange expand; measured 128 s → see the
     spandedup1m tier).  ``min_docs > 2`` needs a true distinct count,
     so it keeps the groupBy + broadcast-semi-join form and pays the
-    second kernel pass."""
+    second kernel pass.
+
+    Skew exposure (module docstring, "Skew"): the window form has no
+    map-side partial aggregation — a hash occurring in millions of
+    docs funnels into one task; the ``min_docs > 2`` groupBy form is
+    the map-side-combined alternative when that profile is known."""
     if min_docs <= 2:
         w_h = Window.partitionBy("wh")
         return (
@@ -163,7 +182,25 @@ def duplicated_span_stats(
         docs, text_col, id_col, window=window, sample_mod=sample_mod
     )
     dup = _flagged_occurrences(wh, id_col, min_docs)
+    return _coverage_stats(dup, docs, text_col, id_col, window)
 
+
+def _coverage_stats(
+    dup: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+) -> DataFrame:
+    """Per-doc coverage math over a flagged-occurrence frame
+    ``(id_col, pos, ...)``: the sorted-interval merge (lag window
+    over (doc, pos), each window past the first contributing
+    ``min(window, pos - prev_pos)`` tokens) aggregated per doc, then
+    joined with doc token counts for the fractional columns.  Shared
+    by the batch operator (`duplicated_span_stats`) and the
+    persistent-index probe (`span_index.incremental_span_stats`), so
+    both grains compute bit-identical statistics from their
+    respective occurrence sets."""
     w = Window.partitionBy(id_col).orderBy("pos")
     delta = F.col("pos") - F.lag("pos").over(w)
     contrib = F.when(delta.isNull(), F.lit(window)).otherwise(
@@ -216,6 +253,18 @@ def remove_duplicated_spans(
     duplicated window of its doc, or inside a canonical one
     (canonical coverage overrides removal, so the kept occurrence is
     never chewed up by its own overlapping non-canonical windows).
+
+    ``sample_mod`` caveat: with sampling active the rewrite removes
+    only spans whose ANCHOR windows were sampled — removal becomes a
+    PARTIAL (lower-bound) removal, and the remove-then-redetect-clean
+    property holds only at the same ``sample_mod`` (a full redetect
+    can still find duplicated spans whose anchors the sample missed).
+    Measured at 1M docs (STRESS spanrecall1m tier): detection recall
+    for planted spans under sampling follows the predicted
+    ``1-(1-1/p)^(L-window+1)`` anchor curve — long spans survive
+    sampling, short ones are the casualties — so reserve
+    ``sample_mod`` for the stats/gating path, or accept the bounded
+    residual in the rewrite.
 
     Returns ``docs`` with ``text_col`` rewritten plus
     ``n_removed_tokens``; docs without duplicated windows pass

@@ -90,9 +90,28 @@ class CorpusPrepConfig:
     #: distinct pages).  None (default) skips the stage — it costs
     #: one O(tokens) hash shuffle; span_sample_mod is the winnowing
     #: knob that trades recall on short spans for a 1/p shuffle.
+    #:
+    #: Gate semantics are set by span_action:
+    #: * "drop" (default) removes EVERY doc above the threshold,
+    #:   symmetrically — if two surviving docs mutually share a large
+    #:   span and both exceed the threshold, BOTH are dropped and no
+    #:   canonical copy of that content survives.  That differs from
+    #:   the ExactSubstr protocol (and this repo's own
+    #:   remove_duplicated_spans), which always keeps one canonical
+    #:   occurrence; it is the right gate when paste-heavy docs are
+    #:   unwanted wholesale (boilerplate mills), and the wrong one
+    #:   when the content itself must survive somewhere.
+    #: * "rewrite" applies the canonical-preserving protocol instead:
+    #:   remove_duplicated_spans rewrites each doc, excising
+    #:   duplicated spans while one lexicographically-canonical
+    #:   occurrence corpus-wide keeps its copy — no content is lost,
+    #:   no doc is dropped (docs may shrink; a later length gate is
+    #:   the caller's choice).  max_dup_span_frac is ignored for
+    #:   selection in this mode (every duplicated span is rewritten).
     max_dup_span_frac: float | None = None
     span_window: int = 50
     span_sample_mod: int | None = None
+    span_action: str = "drop"
     decontaminate_ngram: int = 13
     sample_k: int | None = None
     pack_budget: int | None = None
@@ -297,24 +316,46 @@ def prepare_corpus(
         # runs AFTER dedup on purpose: exact clones are already down
         # to one canonical each, so a span flagged here is a genuine
         # partial overlap (pre-dedup, every clone would score 1.0 and
-        # the whole group — canonical included — would be dropped)
-        from data_engineering_user_session_analysis_spark.operators.span_dedup import (
-            duplicated_span_stats,
-        )
+        # the whole group — canonical included — would be dropped).
+        # Action semantics (config docstring): "drop" removes every
+        # doc over the threshold SYMMETRICALLY — mutually-pasted docs
+        # can all die with no canonical survivor; "rewrite" is the
+        # canonical-preserving ExactSubstr protocol instead.
+        if c.span_action == "rewrite":
+            from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+                remove_duplicated_spans,
+            )
 
-        pasted = (
-            duplicated_span_stats(
+            result = remove_duplicated_spans(
                 result,
                 c.text_col,
                 c.id_col,
                 window=c.span_window,
                 sample_mod=c.span_sample_mod,
+            ).drop("n_removed_tokens")
+            _barrier("span_rewritten", result.count())
+        elif c.span_action == "drop":
+            from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+                duplicated_span_stats,
             )
-            .filter(F.col("dup_token_frac") > c.max_dup_span_frac)
-            .select(c.id_col)
-        )
-        result = result.join(pasted, c.id_col, "left_anti")
-        _barrier("span_gated", result.count())
+
+            pasted = (
+                duplicated_span_stats(
+                    result,
+                    c.text_col,
+                    c.id_col,
+                    window=c.span_window,
+                    sample_mod=c.span_sample_mod,
+                )
+                .filter(F.col("dup_token_frac") > c.max_dup_span_frac)
+                .select(c.id_col)
+            )
+            result = result.join(pasted, c.id_col, "left_anti")
+            _barrier("span_gated", result.count())
+        else:
+            raise ValueError(
+                f"span_action must be 'drop' or 'rewrite', got {c.span_action!r}"
+            )
 
     if benchmark is not None:
         result = decontaminate(

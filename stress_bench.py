@@ -2138,6 +2138,219 @@ def measure_span_dedup(spark, window: int = 15) -> dict:
     return res
 
 
+def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
+    """Persistent span-hash index (operators/span_index.py) economics
+    at 1M docs, VERDICT r12 #1: replay the 1M clone-shard corpus as
+    ``n_days`` daily shards of 100k docs through append → probe, and
+    measure per-day probe cost against the full-rescan baseline (the
+    one-shot batch operator re-run over the CUMULATIVE corpus — what
+    a daily pipeline without the index pays).  The claim under test:
+    probe cost stays ~flat as stored days accumulate (the day's Arrow
+    kernel + O(day) shuffle dominate; the stored side is a bucketed
+    columnar scan with no exchange), while the rescan baseline grows
+    linearly with the corpus."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.index_lifecycle import (
+        marker_complete_days,
+    )
+    from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+        duplicated_span_stats,
+    )
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        append_shard_to_span_index,
+        incremental_span_occurrences,
+    )
+
+    _quiesce(spark)
+    docs = _distinct_doc_corpus(spark, 20 * n_days)
+    shift = SHIFTS["documents"]["doc_id"]
+    day_col = F.pmod(F.floor(F.col("doc_id") / shift), n_days).cast("int")
+    docs = docs.withColumn("_day", day_col)
+    idx = os.path.join(OUT, "span_index")
+    _sh.rmtree(idx, ignore_errors=True)
+    res: dict = {
+        "label": f"span index daily replay ({n_days}x100k docs, window={window})",
+        "days": [],
+    }
+    rescan_days = {0, n_days // 2, n_days - 1}
+    for d in range(n_days):
+        ds = f"d{d:02d}"
+        day_docs = docs.filter(F.col("_day") == d).drop("_day")
+        n = day_docs.count()
+        t0 = time.monotonic()
+        append_shard_to_span_index(day_docs, idx, ds, window=window)
+        append_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        occ = incremental_span_occurrences(
+            day_docs,
+            idx,
+            before_ds=ds,
+            only_ds=marker_complete_days(idx),
+        )
+        flagged = occ.count()
+        probe_sec = time.monotonic() - t0
+        row = {
+            "ds": ds,
+            "n_docs": n,
+            "append_sec": round(append_sec, 2),
+            "probe_sec": round(probe_sec, 2),
+            "flagged_occurrences": flagged,
+        }
+        if d in rescan_days:
+            cum = docs.filter(F.col("_day") <= d).drop("_day")
+            t0 = time.monotonic()
+            stats = duplicated_span_stats(cum, window=window)
+            row["rescan_flagged_docs"] = stats.count()
+            row["rescan_sec"] = round(time.monotonic() - t0, 2)
+            row["rescan_n_docs"] = cum.count()
+        res["days"].append(row)
+        _quiesce(spark)
+    first, last = res["days"][0], res["days"][-1]
+    res["probe_flatness_day1_to_dayN"] = round(
+        last["probe_sec"] / first["probe_sec"], 2
+    )
+    res["rescan_growth_day1_to_dayN"] = round(
+        last["rescan_sec"] / first["rescan_sec"], 2
+    )
+    res["probe_vs_rescan_at_dayN"] = round(
+        last["rescan_sec"] / last["probe_sec"], 2
+    )
+    return res
+
+
+def measure_span_recall(spark, window: int = 15, replicas: int = 200) -> dict:
+    """The ``sample_mod`` winnowing knob's recall curve, MEASURED at
+    1M docs (VERDICT r12 #4): plant known-length shared spans into
+    partner docs, run detection at sample_mod ∈ {None, 2, 4, 8}, and
+    record per span-length: achieved span recall (fraction of planted
+    spans with >=1 flagged anchor window in the planted region) vs
+    the docstring's predicted ``1-(1-1/p)^(L-window+1)``, plus the
+    token-coverage underestimate (sampled covered tokens / full
+    covered tokens in the planted region).  The engine's standard
+    elsewhere (LSH, IVF) is measured recall, not predicted — this
+    tier brings the span family up to it."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+        _flagged_occurrences,
+        positional_window_hashes,
+    )
+
+    _quiesce(spark)
+    docs = _distinct_doc_corpus(spark, replicas)
+    lengths = [16, 20, 24, 32, 48, 64]
+    toks = F.split("text", " ")
+    # sources: every doc_id % 100 == 0 with enough tokens; span =
+    # first L tokens (L cycles with the source's position); partner =
+    # doc_id + 1 within the same replica shard, span appended to its
+    # own (token-suffixed, corpus-unique) text
+    src = (
+        docs.filter((F.col("doc_id") % 100 == 0) & (F.size(toks) >= 70))
+        .select(
+            (F.col("doc_id") + 1).alias("doc_id"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in lengths]),
+                (F.floor(F.col("doc_id") / 100) % len(lengths) + 1).cast("int"),
+            ).alias("L"),
+            toks.alias("_stoks"),
+        )
+        .select(
+            "doc_id",
+            "L",
+            F.array_join(F.slice("_stoks", 1, F.col("L")), " ").alias("_span"),
+        )
+    )
+    planted = (
+        docs.join(src, "doc_id", "left")
+        .withColumn("_nbase", F.size(toks))
+        .withColumn(
+            "text",
+            F.when(
+                F.col("_span").isNotNull(),
+                F.concat_ws(" ", F.col("text"), F.col("_span")),
+            ).otherwise(F.col("text")),
+        )
+        .drop("_span")
+        .localCheckpoint(eager=True)
+    )
+    partner_meta = planted.filter(F.col("L").isNotNull()).select(
+        "doc_id", "L", "_nbase"
+    )
+    n_by_L = {
+        r["L"]: r["n"]
+        for r in partner_meta.groupBy("L").agg(F.count("*").alias("n")).collect()
+    }
+    corpus = planted.drop("L", "_nbase")
+    res: dict = {
+        "label": "span sample_mod recall curve (1M docs, planted spans)",
+        "window": window,
+        "n_planted_by_L": {str(k): v for k, v in sorted(n_by_L.items())},
+        "curves": {},
+    }
+
+    def _planted_region_cov(sample_mod):
+        occ = _flagged_occurrences(
+            positional_window_hashes(
+                corpus, "text", "doc_id", window=window, sample_mod=sample_mod
+            ),
+            "doc_id",
+            2,
+        )
+        region = occ.join(partner_meta, "doc_id").filter(
+            F.col("pos") >= F.col("_nbase")
+        )
+        w = W.partitionBy("doc_id").orderBy("pos")
+        delta = F.col("pos") - F.lag("pos").over(w)
+        contrib = F.when(delta.isNull(), F.lit(window)).otherwise(
+            F.least(delta, F.lit(window))
+        )
+        per_doc = (
+            region.withColumn("_c", contrib)
+            .groupBy("doc_id", "L")
+            .agg(F.sum("_c").alias("cov"))
+        )
+        return {
+            r["L"]: (r["n_detected"], r["cov_tokens"])
+            for r in per_doc.groupBy("L")
+            .agg(
+                F.count("*").alias("n_detected"),
+                F.sum("cov").alias("cov_tokens"),
+            )
+            .collect()
+        }
+
+    t0 = time.monotonic()
+    full = _planted_region_cov(None)
+    res["full_detect_sec"] = round(time.monotonic() - t0, 2)
+    res["full_recall_check"] = {
+        str(L): round(full.get(L, (0, 0))[0] / n_by_L[L], 4) for L in lengths
+    }
+    for p in (2, 4, 8):
+        t0 = time.monotonic()
+        s = _planted_region_cov(p)
+        curve = {}
+        for L in lengths:
+            det, cov = s.get(L, (0, 0))
+            fdet, fcov = full.get(L, (0, 0))
+            curve[str(L)] = {
+                "measured_recall": round(det / n_by_L[L], 4),
+                "predicted_recall": round(
+                    1 - (1 - 1 / p) ** (L - window + 1), 4
+                ),
+                "coverage_ratio": round(cov / fcov, 4) if fcov else None,
+            }
+        res["curves"][f"p{p}"] = {
+            "detect_sec": round(time.monotonic() - t0, 2),
+            "by_span_length": curve,
+        }
+        _quiesce(spark)
+    return res
+
+
 def measure_corpus_prep(spark, replicas: int = 200) -> dict:
     """End-to-end corpus-prep throughput one decade up (VERDICT r10
     item 4): ``prepare_corpus`` over 1M DISTINCT docs
@@ -2488,6 +2701,10 @@ def _run_tier_inner(tier: str) -> list[dict]:
         # round-11: the content-keyed truth cache demonstrated at 1M
         # (two sensor calls on one unchanged index)
         return [measure_truth_cache_1m(spark)]
+    if tier == "spanindex1m":
+        return [measure_span_index(spark)]
+    if tier == "spanrecall1m":
+        return [measure_span_recall(spark)]
     if tier == "spandedup1m":
         # round-12 (third session): the new ExactSubstr span-dedup
         # family measured at its target decade — detection linearity

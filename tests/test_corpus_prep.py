@@ -327,3 +327,64 @@ def test_prepare_corpus_span_gate(spark, sf_small):
     assert src.doc_id in ids_off and src.doc_id in ids_on
     assert "span_gated" not in rep_off
     assert rep_on["span_gated"] == len(ids_on)
+
+
+def test_prepare_corpus_span_rewrite_keeps_canonical(spark, sf_small):
+    """span_action='rewrite': the canonical-preserving alternative to
+    the symmetric drop gate (ADVICE r12) — two mutually-pasted docs
+    both SURVIVE, exactly one keeps the shared span's tokens, and the
+    non-canonical copy is excised instead of the whole doc dying."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    # 20-token shared span + 10-token distinct tails: span coverage
+    # 20/30 = 0.667 > 0.6 trips the gate for BOTH docs, while doc-level
+    # 3-gram Jaccard ~= 18/38 = 0.47 < 0.6 ducks the near-dup dedup
+    # stage that runs before the gate (the gate must see both docs to
+    # exhibit its symmetric-removal semantics)
+    span = " ".join(f"zsp{i}" for i in range(20))
+    a = span + " " + " ".join(f"ta{i}" for i in range(10))
+    b = span + " " + " ".join(f"tb{i}" for i in range(10))
+    corpus = docs.unionByName(
+        spark.createDataFrame(
+            [(990020, a), (990021, b)], "doc_id long, text string"
+        )
+    )
+    base = dict(min_tokens=5, max_dup_line_frac=1.0, span_window=15)
+    # drop mode: both mutually-pasted docs exceed 0.6 coverage and
+    # both die — the over-removal the config docstring documents
+    surv_drop, _ = prepare_corpus(
+        corpus, config=CorpusPrepConfig(**base, max_dup_span_frac=0.6)
+    )
+    ids_drop = {r.doc_id for r in surv_drop.select("doc_id").collect()}
+    assert 990020 not in ids_drop and 990021 not in ids_drop
+    # rewrite mode: both survive; the canonical (lowest (doc_id,pos))
+    # keeps the span, the other is excised down to its tail
+    surv_rw, rep_rw = prepare_corpus(
+        corpus,
+        config=CorpusPrepConfig(
+            **base, max_dup_span_frac=0.6, span_action="rewrite"
+        ),
+    )
+    rows = {
+        r.doc_id: r.text
+        for r in surv_rw.filter(
+            F.col("doc_id").isin([990020, 990021])
+        ).collect()
+    }
+    assert set(rows) == {990020, 990021}
+    assert rows[990020].startswith("zsp0 zsp1")  # canonical kept intact
+    assert "zsp0" not in rows[990021]  # non-canonical excised
+    assert rows[990021] == " ".join(f"tb{i}" for i in range(10))
+    assert "span_rewritten" in rep_rw and "span_gated" not in rep_rw
+
+
+def test_prepare_corpus_span_action_validated(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    import pytest
+
+    with pytest.raises(ValueError, match="span_action"):
+        prepare_corpus(
+            docs,
+            config=CorpusPrepConfig(
+                min_tokens=5, max_dup_span_frac=0.5, span_action="nope"
+            ),
+        )

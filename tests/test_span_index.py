@@ -1,0 +1,325 @@
+"""Persistent span-hash index pins (operators/span_index.py): the
+day-by-day replay-parity contract against the batch operator,
+idempotent day re-runs, frozen geometry, crashed-day exclusion via
+the marker protocol, the incremental stats twin, and the bucketed
+no-stored-side-shuffle plan shape."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_user_session_analysis_spark.operators.index_lifecycle import (
+    marker_complete_days,
+    retract_day_marker,
+    shard_indexed,
+)
+from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+    _flagged_occurrences,
+    duplicated_span_stats,
+    positional_window_hashes,
+)
+from data_engineering_user_session_analysis_spark.operators.span_index import (
+    append_shard_to_span_index,
+    ensure_span_index_table,
+    incremental_span_occurrences,
+    incremental_span_stats,
+)
+
+W = 5
+
+# Three "days" with: a span shared across day1/day3 (cross-day dup), a
+# within-day dup pair in day2, a three-way hash spanning all days, a
+# day2<->day3-only shared span (the crashed-day test's sentinel), pure
+# singletons, and a too-short doc.
+SHARED13 = "p q r s t u v"
+SHARED123 = "k l m n o"
+SHARED23 = "f g h i j zz"
+DAYS = [
+    (
+        "2026-01-01",
+        {
+            1: "a1 b1 c1 d1 e1 " + SHARED13 + " w1 x1",
+            2: "a2 b2 c2 d2 e2 g2 h2 " + SHARED123,
+            3: "solo3 only3 here3 nothing3 shared3 at3 all3",
+        },
+    ),
+    (
+        "2026-01-02",
+        {
+            4: "dup4 dup4b dup4c dup4d dup4e tail4",
+            5: "dup4 dup4b dup4c dup4d dup4e tail5",
+            6: SHARED23 + " m6 n6 o6 " + SHARED123,
+            7: "short doc",
+        },
+    ),
+    (
+        "2026-01-03",
+        {
+            8: "z8 y8 " + SHARED13 + " x8 " + SHARED123,
+            9: "m9 n9 " + SHARED23 + " q9 r9",
+            10: "alone10 forever10 nothing10 doubled10 here10 ten10",
+        },
+    ),
+]
+ALL_TEXTS = {d: t for _, day in DAYS for d, t in day.items()}
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+
+def _occ_set(df):
+    return {(r.doc_id, r.pos, r.wh) for r in df.collect()}
+
+
+def _batch_set(spark, texts, sample_mod=None, min_docs=2):
+    wh = positional_window_hashes(
+        _docs(spark, texts), window=W, sample_mod=sample_mod
+    )
+    return _occ_set(_flagged_occurrences(wh, "doc_id", min_docs))
+
+
+def _replay(spark, idx_path, sample_mod=None, min_docs=2):
+    """Append day k, probe day k with before_ds=k + complete days —
+    the module's documented operational loop.  Returns (per-day flag
+    sets, their union)."""
+    per_day = []
+    for ds, texts in DAYS:
+        docs = _docs(spark, texts)
+        append_shard_to_span_index(
+            docs, idx_path, ds, window=W, sample_mod=sample_mod
+        )
+        occ = incremental_span_occurrences(
+            docs,
+            idx_path,
+            before_ds=ds,
+            only_ds=marker_complete_days(idx_path),
+            min_docs=min_docs,
+        )
+        per_day.append(_occ_set(occ))
+    return per_day, set().union(*per_day)
+
+
+def test_replay_union_matches_batch(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    per_day, union = _replay(spark, idx)
+    assert union == _batch_set(spark, ALL_TEXTS)
+    # non-vacuous: cross-day flags exist, and day-3's probe flags the
+    # STORED day-1 occurrences of the newly-colliding span
+    assert union, "fixture produced no duplicated spans"
+    assert any(d == 1 for d, _p, _w in per_day[2]), (
+        "day-3 probe must emit stored day-1 occurrences of the "
+        "day1/day3 shared span"
+    )
+
+
+def test_replay_union_matches_batch_sampled(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    _, union = _replay(spark, idx, sample_mod=2)
+    batch = _batch_set(spark, ALL_TEXTS, sample_mod=2)
+    assert union == batch
+    # the sample is a strict subset of the full surface here
+    assert batch < _batch_set(spark, ALL_TEXTS)
+
+
+def test_replay_union_matches_batch_min_docs_3(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    _, union = _replay(spark, idx, min_docs=3)
+    batch = _batch_set(spark, ALL_TEXTS, min_docs=3)
+    assert union == batch
+    # only the three-way span survives min_docs=3
+    assert union and union < _batch_set(spark, ALL_TEXTS)
+
+
+def test_day_rerun_is_idempotent(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    _replay(spark, idx)
+    name = ensure_span_index_table(spark, idx)
+    before = spark.table(name).count()
+    ds2, texts2 = DAYS[1]
+    append_shard_to_span_index(_docs(spark, texts2), idx, ds2, window=W)
+    assert spark.table(name).count() == before
+    # and a re-probe of the last day is unchanged
+    ds3, texts3 = DAYS[2]
+    occ = incremental_span_occurrences(
+        _docs(spark, texts3),
+        idx,
+        before_ds=ds3,
+        only_ds=marker_complete_days(idx),
+    )
+    assert _occ_set(occ) == {
+        x for x in _batch_set(spark, ALL_TEXTS) if _day3_visible(x)
+    }
+
+
+def _day3_visible(occ):
+    """Batch-flagged occurrences the day-3 probe is contracted to
+    emit: occurrences of hashes that day 3 itself carries (hashes
+    absent from day 3 were flagged by earlier probes)."""
+    day3_ids = set(DAYS[2][1])
+    hashes_day3 = {
+        w
+        for d, _p, w in _BATCH_CACHE["set"]
+        if d in day3_ids
+    }
+    return occ[2] in hashes_day3
+
+
+_BATCH_CACHE: dict = {}
+
+
+@pytest.fixture(autouse=True)
+def _fill_batch_cache(spark):
+    if "set" not in _BATCH_CACHE:
+        _BATCH_CACHE["set"] = _batch_set(spark, ALL_TEXTS)
+    yield
+
+
+def test_frozen_geometry_wins_over_caller_args(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    ds1, texts1 = DAYS[0]
+    append_shard_to_span_index(_docs(spark, texts1), idx, ds1, window=W)
+    name = ensure_span_index_table(spark, idx)
+    rows_w5 = spark.table(name).filter(F.col("ds") == ds1).count()
+    # re-run the day with a DIFFERENT window argument: stored params
+    # must win, so the row count (one per window start) is unchanged
+    append_shard_to_span_index(_docs(spark, texts1), idx, ds1, window=3)
+    assert spark.table(name).filter(F.col("ds") == ds1).count() == rows_w5
+    # and a wrong id column fails loudly on both paths
+    with pytest.raises(ValueError, match="id column"):
+        append_shard_to_span_index(
+            _docs(spark, texts1).withColumnRenamed("doc_id", "id2"),
+            idx,
+            ds1,
+            id_col="id2",
+        )
+    with pytest.raises(ValueError, match="id column"):
+        incremental_span_occurrences(
+            _docs(spark, texts1).withColumnRenamed("doc_id", "id2"),
+            idx,
+            id_col="id2",
+        )
+
+
+def test_crashed_day_is_excluded_by_markers(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    _replay(spark, idx)
+    ds2 = DAYS[1][0]
+    assert shard_indexed(idx, ds2)
+    retract_day_marker(idx, ds2)
+    assert not shard_indexed(idx, ds2)
+    assert ds2 not in marker_complete_days(idx)
+    # day-3 re-probe scoped to complete days no longer sees day 2:
+    # the day2<->day3-only shared span (docs 6 and 9) must drop out,
+    # while the day1/day3 span stays flagged
+    ds3, texts3 = DAYS[2]
+    occ = _occ_set(
+        incremental_span_occurrences(
+            _docs(spark, texts3),
+            idx,
+            before_ds=ds3,
+            only_ds=marker_complete_days(idx),
+        )
+    )
+    assert not any(d == 6 for d, _p, _w in occ)
+    assert not any(d == 9 for d, _p, _w in occ)
+    assert any(d == 1 for d, _p, _w in occ)
+
+
+def test_incremental_stats_match_batch_on_final_day(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    _replay(spark, idx)
+    ds3, texts3 = DAYS[2]
+    inc = {
+        r.doc_id: r.asDict()
+        for r in incremental_span_stats(
+            _docs(spark, texts3),
+            idx,
+            before_ds=ds3,
+            only_ds=marker_complete_days(idx),
+        ).collect()
+    }
+    batch = {
+        r.doc_id: r.asDict()
+        for r in duplicated_span_stats(_docs(spark, ALL_TEXTS), window=W)
+        .filter(F.col("doc_id").isin(list(texts3)))
+        .collect()
+    }
+    assert inc == batch
+    assert inc, "final-day stats fixture is vacuous"
+
+
+def test_probe_plan_keeps_stored_side_bucketed(spark, tmp_path):
+    """The scale claim, pinned: the stored side of the probe's
+    semi-join is a bucketed scan with NO exchange above it — only the
+    day's hash set is shuffled.  Forced to SMJ (broadcast disabled)
+    so the pin exercises the large-probe path; the planner's
+    DisableUnnecessaryBucketedScan cost rule is bypassed explicitly
+    because at fixture sizes it reverts to a plain scan even where
+    the layout wins at scale."""
+    idx = str(tmp_path / "idx")
+    _replay(spark, idx)
+    ds3, texts3 = DAYS[2]
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        occ = incremental_span_occurrences(
+            _docs(spark, texts3),
+            idx,
+            before_ds=ds3,
+            only_ds=marker_complete_days(idx),
+        )
+        plan = occ._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "Bucketed: true" in plan, plan
+    # the index scan must not sit under an Exchange: every stored-side
+    # line between the SortMergeJoin and the FileScan is exchange-free
+    scan_lines = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln and "span_idx_" in ln
+    ]
+    assert scan_lines, plan
+    join_side = plan[: plan.index(scan_lines[0])]
+    stored_branch = join_side[join_side.rindex("Join") :]
+    assert "Exchange" not in stored_branch, plan
+
+
+def test_cli_span_index_verb(spark, sf_small, tmp_path, monkeypatch, capsys):
+    """``job span-index <ds> <index_path> [docs_path]`` — the daily
+    maintenance verb: appends the shard, probes against stored days,
+    prints a report, and stamps the day's completeness marker."""
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import main
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    shards = []
+    for k in range(2):
+        p = str(tmp_path / f"shard{k}")
+        docs.filter(F.col("doc_id") % 2 == k).write.parquet(p)
+        shards.append(p)
+    monkeypatch.setenv("SPAN_WINDOW", "15")
+    main(["job", "span-index", "2026-01-01", idx, shards[0]])
+    main(["job", "span-index", "2026-01-02", idx, shards[1]])
+    out = capsys.readouterr().out
+    assert "'flagged_docs'" in out and "'complete_days': 2" in out
+    assert marker_complete_days(idx) == ["2026-01-01", "2026-01-02"]
+
+
+def test_marker_written_last_and_success_present(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    ds1, texts1 = DAYS[0]
+    append_shard_to_span_index(_docs(spark, texts1), idx, ds1, window=W)
+    assert os.path.exists(os.path.join(idx, "buckets", f"ds={ds1}", "_SUCCESS"))
+    assert marker_complete_days(idx) == [ds1]
