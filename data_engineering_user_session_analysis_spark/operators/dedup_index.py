@@ -34,6 +34,11 @@ deterministic (md5-derived, `operators/vector_lsh.py`), a probe
 shard's signatures land in the same buckets the corpus run produced
 — no weights file travels with the index.  Same equality pin vs the
 batch path.
+
+The SUBSTRING grain has its own sibling (`operators/span_index.py`):
+a bucketed positional window-hash surface under the same
+params/marker lifecycle, probed per day with a replay-union-equals-
+batch parity pin — closing the last one-shot family.
 """
 
 from __future__ import annotations

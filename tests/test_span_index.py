@@ -317,6 +317,22 @@ def test_cli_span_index_verb(spark, sf_small, tmp_path, monkeypatch, capsys):
     assert marker_complete_days(idx) == ["2026-01-01", "2026-01-02"]
 
 
+def test_probe_evaluates_window_kernel_once(spark, tmp_path):
+    """The probe consumes the day's Arrow window kernel TWICE (the
+    semi-join's hash set and the occurrence union).  The kernel
+    output is lazily localCheckpointed, so the probe's executed plan
+    carries ZERO ArrowEvalPython nodes — both consumers read the one
+    materialized RDD (the registry-wide double-kernel audit's fix,
+    applied here by construction)."""
+    idx = str(tmp_path / "idx")
+    ds1, texts1 = DAYS[0]
+    append_shard_to_span_index(_docs(spark, texts1), idx, ds1, window=W)
+    occ = incremental_span_occurrences(_docs(spark, texts1), idx, before_ds=ds1)
+    plan = occ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan, plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+
+
 def test_marker_written_last_and_success_present(spark, tmp_path):
     idx = str(tmp_path / "idx")
     ds1, texts1 = DAYS[0]
