@@ -2166,8 +2166,14 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
 
     _quiesce(spark)
     docs = _distinct_doc_corpus(spark, 20 * n_days)
-    shift = SHIFTS["documents"]["doc_id"]
-    day_col = F.pmod(F.floor(F.col("doc_id") / shift), n_days).cast("int")
+    # day = base doc id mod n_days (NOT replica mod n_days): replicas
+    # are token-suffixed and pairwise window-disjoint, so replica-keyed
+    # days would share zero hashes and the probe's new-vs-STORED match
+    # path would never fire at scale; base-id-keyed days spread each
+    # replica's organic dup pairs across days — ~90% of duplicated
+    # hashes are cross-day, exercising the stored-occurrence join the
+    # index exists for
+    day_col = F.pmod(F.col("doc_id"), n_days).cast("int")
     docs = docs.withColumn("_day", day_col)
     idx = os.path.join(OUT, "span_index")
     _sh.rmtree(idx, ignore_errors=True)

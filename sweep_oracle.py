@@ -209,6 +209,15 @@ def main() -> None:
                     "probe_normalized_ratio": round(
                         nominal / unit if unit > 0 else nominal, 2
                     ),
+                    # both sides of the ratio, in the row: a sub-2s
+                    # single-trial denominator on this microVM carries
+                    # +-2-3x dispersion, so a large ratio over a small
+                    # base must be readable as such without opening
+                    # the compare artifact (round-13 sweep pair:
+                    # top_customers 37.7x nominal was a 0.58s base vs
+                    # an absolute sf1 time MATCHING the prior round)
+                    "base_sec": b["spark_sec"],
+                    "now_sec": entry["spark_sec"],
                 }
             scaling_meta = {
                 "compare_to": compare_to,
