@@ -721,7 +721,8 @@ def main(argv: list[str]) -> None:
     ``job validate-vector-recall <vector_index_path> [threshold] [sample_q]`` /
     ``job validate-minhash-recall <minhash_index_path> [threshold] [sample_q]`` /
     ``job tune-recall-minhash <minhash_index_path> [threshold] [recall_target] [sample_q]``,
-    ``job span-index <ds> <index_path> [docs_path]``,
+    ``job span-index <ds> <index_path> [docs_path]`` /
+    ``job compact-span-index <index_path>``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
     operational pipeline ``job daily <ds> [--auto-rebuild-vectors]
@@ -1020,6 +1021,16 @@ def main(argv: list[str]) -> None:
                 "complete_days": len(marker_complete_days(idx)),
             }
         )
+        return
+    if argv[1] == "compact-span-index":
+        # fold the span index's complete days into one partition
+        # (small-files maintenance; folded days become CLOSED — see
+        # operators/span_index.compact_span_index)
+        from data_engineering_user_session_analysis_spark.operators.span_index import (
+            compact_span_index,
+        )
+
+        print(compact_span_index(get_spark("span_index_compaction"), argv[2]))
         return
     if argv[1] == "compact-index":
         # fold accumulated daily increments into the base members

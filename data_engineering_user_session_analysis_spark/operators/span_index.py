@@ -22,6 +22,11 @@ vector families in ``operators/dedup_index.py``):
                          append) is the day's completeness signal —
                          the same ``marker_complete_days`` /
                          ``shard_indexed`` protocol as the siblings.
+* ``compacted_through``  max ds folded by `compact_span_index` (the
+                         small-files maintenance verb: all complete
+                         days → one partition via the two-rename
+                         rebuild swap); appends at or below it are
+                         refused — folded days are CLOSED.
 
 Bucketing is the scale mechanism: the probe's stored-side is an
 external ``CLUSTERED BY (wh)`` table (re-registered per session — the
@@ -62,6 +67,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_user_session_analysis_spark.operators.index_lifecycle import (
+    begin_rebuild,
+    commit_rebuild,
+    marker_complete_days,
     read_params,
     retract_day_marker,
     scope_index_days,
@@ -222,6 +230,14 @@ def append_shard_to_span_index(
             f"index at {path} stores id column {params['id_col']!r}, "
             f"append was given {id_col!r}"
         )
+    wm = _compaction_watermark(path)
+    if wm is not None and ds <= wm:
+        raise ValueError(
+            f"day {ds} was folded into the compacted partition "
+            f"(compacted_through={wm}) — its rows live there and a "
+            "re-append would double-count; compaction is for CLOSED "
+            "days only"
+        )
     wh = positional_window_hashes(
         docs,
         text_col,
@@ -247,6 +263,115 @@ def append_shard_to_span_index(
     # per-day completeness signal is this partition-dir marker,
     # stamped strictly last
     open(os.path.join(path, "buckets", f"ds={ds}", "_SUCCESS"), "w").close()
+
+
+def _compaction_watermark(path: str) -> "str | None":
+    """Max ds folded by a past compaction (None if never compacted):
+    a folded day's rows live inside the compacted partition, so
+    re-appending that day would double-count it — the append path
+    refuses ds at or below this watermark."""
+    p = os.path.join(path, "compacted_through")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read().strip() or None
+
+
+def compact_span_index(spark: SparkSession, path: str) -> dict:
+    """Small-files maintenance for the daily-append layout: fold every
+    marker-COMPLETE day into ONE partition (named for the max folded
+    ds, so the probes' lexicographic ``before_ds`` scoping is
+    untouched for all later days), staged in a ``<path>.rebuild``
+    directory and promoted by the lifecycle's two-rename swap — a
+    crash anywhere leaves the live index untouched.  Each day's
+    partition holds up to ``n_buckets`` bucket files, so a year of
+    shards is ~365×n_buckets small files scanned per probe; after
+    compaction the stored side is n_buckets files total, same rows,
+    same bucketing (the staged write goes through the same
+    ``CLUSTERED BY`` table DDL).
+
+    CLOSED DAYS ONLY: folded days can no longer be re-run
+    individually — their rows are inside the compacted partition and
+    a re-append would double-count, so ``append_shard_to_span_index``
+    refuses ds <= the recorded ``compacted_through`` watermark
+    (stamped inside the staged directory BEFORE the swap, so the
+    guard and the fold become visible atomically).  Same
+    single-writer / no-concurrent-probe caveat as the sibling
+    rebuilds.  Returns a report with file and partition counts."""
+    params = _read_span_params(spark, path)
+    if params is None:
+        raise ValueError(f"no span index at {path} (params/ missing)")
+    days = marker_complete_days(path)
+    if len(days) <= 1:
+        return {"status": "noop", "complete_days": days}
+    target = max(days)
+    name = ensure_span_index_table(spark, path)
+
+    def _count_files(root: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(root):
+            total += sum(
+                1 for f in files if f.endswith(".parquet") and not f.startswith(".")
+            )
+        return total
+
+    files_before = _count_files(os.path.join(path, "buckets"))
+    # checkpoint the fold's input BEFORE the re-bucketing repartition:
+    # the bucketed table scan ADVERTISES HashPartitioning(wh, n) so
+    # Catalyst elides a same-key repartition, but the planner may run
+    # the actual scan un-bucketed (split by file size) — the eliding
+    # then leaves writer tasks spanning many buckets and the fold
+    # emits ~tasks×buckets files instead of ~buckets (measured:
+    # 309 files for a 10-day 1M-row fold vs 32 with the checkpoint).
+    # The materialization is O(corpus) but so is the fold itself.
+    rows = (
+        spark.table(name)
+        .filter(F.col("ds").isin(days))
+        .drop("ds")
+        .localCheckpoint(eager=True)
+    )
+    n_rows = rows.count()
+
+    tmp = begin_rebuild(path)
+    os.makedirs(tmp, exist_ok=True)
+    _write_span_params(
+        spark,
+        tmp,
+        int(params["window"]),
+        params["sample_mod"],
+        int(params["n_buckets"]),
+        params["id_col"],
+        params["id_type"],
+    )
+    tmp_name = ensure_span_index_table(spark, tmp)
+    view = f"{tmp_name}_fold_rows"
+    rows.repartition(int(params["n_buckets"]), F.col("wh")).createOrReplaceTempView(
+        view
+    )
+    spark.sql(
+        f"INSERT OVERWRITE TABLE {tmp_name} PARTITION (ds='{target}') "
+        f"SELECT {params['id_col']}, pos, wh FROM {view}"
+    )
+    spark.catalog.dropTempView(view)
+    open(os.path.join(tmp, "buckets", f"ds={target}", "_SUCCESS"), "w").close()
+    # top-level marker: commit_rebuild's promotion gate
+    open(os.path.join(tmp, "buckets", "_SUCCESS"), "w").close()
+    with open(os.path.join(tmp, "compacted_through"), "w") as f:
+        f.write(target)
+    commit_rebuild(path, tmp)
+    # the swapped directory has different partitions than the session
+    # catalog remembers — sync now rather than at the next probe
+    ensure_span_index_table(spark, path)
+    return {
+        "status": "compacted",
+        "folded_days": days,
+        "into_ds": target,
+        "rows": n_rows,
+        "files_before": files_before,
+        "files_after": _count_files(os.path.join(path, "buckets")),
+        "partitions_before": len(days),
+        "partitions_after": 1,
+    }
 
 
 def _combined_day_occurrences(

@@ -2224,6 +2224,52 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
     res["probe_vs_rescan_at_dayN"] = round(
         last["rescan_sec"] / last["probe_sec"], 2
     )
+
+    # compaction coda: fold the n_days partitions into one and
+    # re-probe the last day's docs as a hypothetical next day — the
+    # flagged count must be identical (parity across the fold) and
+    # the file count drops from ~n_days×buckets to ~buckets
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        compact_span_index,
+    )
+
+    # probe as a hypothetical NEXT day (before_ds past every stored
+    # partition): compaction folds everything into ds=d{N-1}, so a
+    # before_ds at the fold target would scope the whole index out —
+    # the operational loop always probes ds strictly beyond it
+    next_ds = f"d{n_days:02d}"
+    last_docs = docs.filter(F.col("_day") == n_days - 1).drop("_day")
+    _quiesce(spark)
+    t0 = time.monotonic()
+    pre = incremental_span_occurrences(
+        last_docs, idx, before_ds=next_ds,
+        only_ds=marker_complete_days(idx),
+    ).count()
+    pre_sec = time.monotonic() - t0
+    t0 = time.monotonic()
+    creport = compact_span_index(spark, idx)
+    compact_sec = time.monotonic() - t0
+    # the fold's O(corpus) localCheckpoint blocks release on GC —
+    # quiesce so the post probe measures the layout, not the fold's
+    # residue
+    _quiesce(spark)
+    t0 = time.monotonic()
+    post = incremental_span_occurrences(
+        last_docs, idx, before_ds=next_ds,
+        only_ds=marker_complete_days(idx),
+    ).count()
+    post_sec = time.monotonic() - t0
+    res["compaction"] = {
+        "files_before": creport["files_before"],
+        "files_after": creport["files_after"],
+        "partitions_folded": creport["partitions_before"],
+        "compact_sec": round(compact_sec, 2),
+        "probe_flagged_pre": pre,
+        "probe_flagged_post": post,
+        "probe_parity": pre == post,
+        "probe_sec_pre": round(pre_sec, 2),
+        "probe_sec_post": round(post_sec, 2),
+    }
     return res
 
 

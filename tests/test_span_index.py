@@ -333,6 +333,81 @@ def test_probe_evaluates_window_kernel_once(spark, tmp_path):
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
 
 
+def test_compaction_preserves_probe_results(spark, tmp_path):
+    """compact_span_index folds every complete day into one partition
+    (named for the max folded ds) behind the two-rename swap: a new
+    day's probe returns the IDENTICAL flagged set before and after,
+    file and partition counts drop, and the watermark closes folded
+    days against re-appends (a re-append would double-count rows now
+    living in the compacted partition)."""
+    import pytest
+
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        compact_span_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    # append days 1 and 2 only; day 3 is the post-compaction probe.
+    # n_buckets=4 so each fixture day fills all its bucket files and
+    # the fold's file-count reduction (2 days x 4 -> 4) is strict
+    for ds, texts in DAYS[:2]:
+        append_shard_to_span_index(
+            _docs(spark, texts), idx, ds, window=W, n_buckets=4
+        )
+    ds3, texts3 = DAYS[2]
+    probe = lambda: _occ_set(  # noqa: E731
+        incremental_span_occurrences(
+            _docs(spark, texts3),
+            idx,
+            before_ds=ds3,
+            only_ds=marker_complete_days(idx),
+        )
+    )
+    before = probe()
+    report = compact_span_index(spark, idx)
+    assert report["status"] == "compacted"
+    assert report["partitions_before"] == 2 and report["partitions_after"] == 1
+    # file counts at fixture sizes depend on the writer's task layout;
+    # the unit pin is structural (one partition dir, <= files) — the
+    # strict n_days x buckets -> buckets reduction is measured at
+    # density in the spanindex1m stress coda
+    assert report["files_after"] <= report["files_before"]
+    assert [
+        p
+        for p in sorted(os.listdir(os.path.join(idx, "buckets")))
+        if p.startswith("ds=")
+    ] == [f"ds={DAYS[1][0]}"]
+    assert report["into_ds"] == DAYS[1][0]
+    assert marker_complete_days(idx) == [DAYS[1][0]]
+    assert probe() == before
+    # the watermark closes folded days, re-running either raises
+    for ds, texts in DAYS[:2]:
+        with pytest.raises(ValueError, match="folded"):
+            append_shard_to_span_index(_docs(spark, texts), idx, ds, window=W)
+    # but a NEW day appends + probes normally, and the replay union
+    # still matches the batch set over all three days
+    append_shard_to_span_index(_docs(spark, texts3), idx, ds3, window=W)
+    assert marker_complete_days(idx) == [DAYS[1][0], ds3]
+    # direct parity vs the batch operator across the compaction: the
+    # probe corpus is (stored days 1-2 ∪ new day 3) = the full
+    # fixture, so the probe — before AND after folding — must equal
+    # the full-corpus batch set restricted to hashes day 3 carries
+    assert before == {
+        x for x in _batch_set(spark, ALL_TEXTS) if _day3_visible(x)
+    }
+
+
+def test_compaction_noop_on_single_day(spark, tmp_path):
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        compact_span_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    ds1, texts1 = DAYS[0]
+    append_shard_to_span_index(_docs(spark, texts1), idx, ds1, window=W)
+    assert compact_span_index(spark, idx)["status"] == "noop"
+
+
 def test_marker_written_last_and_success_present(spark, tmp_path):
     idx = str(tmp_path / "idx")
     ds1, texts1 = DAYS[0]
