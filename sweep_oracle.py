@@ -127,6 +127,31 @@ def main() -> None:
             entry["spark_sec"] = round(time.perf_counter() - t0, 3)
             entry["spark_rows"] = len(spdf)
             entry["columns"] = sorted(spdf.columns)
+            # Extra timed trials (results discarded — the COMPARED
+            # frame stays the first collection): one for every row,
+            # two more for sub-2s rows.  Two separate biases make the
+            # single-trial number unusable for cross-decade ratios:
+            # sub-2s rows on this microVM carry +-2-3x host-steal
+            # dispersion, and EVERY row's first trial includes the
+            # cold page-cache read of its tables — at sf1 that is
+            # ~20 s of I/O on a 10x parquet scan (top_customers
+            # measured 21.7 s cold / 1.5 s warm across three
+            # independent sweeps), which reads as fake superlinearity.
+            # Trials must be symmetric across the compared runs or the
+            # bias just flips sign (a warm min-3 base under a cold
+            # single-trial numerator re-inflated event_enrichment to
+            # 16.6x), hence at least one warm trial for ALL rows.
+            # spark_sec keeps the single-trial protocol for cross-
+            # round comparability; the scaling table prefers the min.
+            best = entry["spark_sec"]
+            n_extra = 2 if entry["spark_sec"] < 2.0 else 1
+            for _ in range(n_extra):
+                t1 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t1)
+            entry["spark_sec_min"] = round(best, 3)
         except Exception as exc:
             entry["status"] = "spark_error"
             entry["error"] = repr(exc)[:500]
@@ -200,7 +225,20 @@ def main() -> None:
                 b = base_rows.get(name)
                 if not b or not b.get("spark_sec") or not entry.get("spark_sec"):
                     continue
-                nominal = entry["spark_sec"] / b["spark_sec"]
+                # prefer the warm min-of-trials timing on each side
+                # (see the trial comment above); fall back through the
+                # older artifacts' field names to single-trial
+                base_eff = (
+                    b.get("spark_sec_min")
+                    or b.get("spark_sec_min3")
+                    or b["spark_sec"]
+                )
+                now_eff = (
+                    entry.get("spark_sec_min")
+                    or entry.get("spark_sec_min3")
+                    or entry["spark_sec"]
+                )
+                nominal = now_eff / base_eff
                 unit_now = probe_series_unit(probe_series, order_now.index(name))
                 unit_base = probe_series_unit(base_series, base_order.index(name))
                 unit = unit_now / unit_base if unit_base > 0 else 1.0
@@ -209,15 +247,11 @@ def main() -> None:
                     "probe_normalized_ratio": round(
                         nominal / unit if unit > 0 else nominal, 2
                     ),
-                    # both sides of the ratio, in the row: a sub-2s
-                    # single-trial denominator on this microVM carries
-                    # +-2-3x dispersion, so a large ratio over a small
-                    # base must be readable as such without opening
-                    # the compare artifact (round-13 sweep pair:
-                    # top_customers 37.7x nominal was a 0.58s base vs
-                    # an absolute sf1 time MATCHING the prior round)
-                    "base_sec": b["spark_sec"],
-                    "now_sec": entry["spark_sec"],
+                    # both sides of the ratio, in the row, so a large
+                    # ratio over a small base is readable as such
+                    # without opening the compare artifact
+                    "base_sec": base_eff,
+                    "now_sec": now_eff,
                 }
             scaling_meta = {
                 "compare_to": compare_to,

@@ -199,7 +199,11 @@ def main() -> None:
     summary["total_sec"] = round(
         sum(s.get("sec", 0.0) for s in summary["stages"].values()), 1
     )
-    out = os.path.join(REPO, f"CLOSING_r{rnd}.json")
+    summary["skipped_stages"] = sorted(skip)
+    # a partial re-run (any --skip) must not clobber the round's full
+    # battery record — it gets its own summary file
+    suffix = "_partial" if skip else ""
+    out = os.path.join(REPO, f"CLOSING_r{rnd}{suffix}.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
         f.write("\n")
