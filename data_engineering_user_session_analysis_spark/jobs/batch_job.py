@@ -562,6 +562,77 @@ def run_vectors_index_step(
     return report
 
 
+def run_span_index_step(
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    ds: str,
+    window: int = 50,
+    sample_mod: "int | None" = None,
+    max_dup_span_frac: "float | None" = None,
+) -> dict:
+    """Daily exact-substring (span-grain) step — the third index
+    family in the daily loop (optional part of ``run_daily_pipeline``,
+    sibling of the MinHash and vector steps): append today's document
+    shard to the persistent span-hash index
+    (``operators/span_index.py`` — idempotent per-day bucketed
+    partition), probe it against all prior COMPLETE days in
+    O(day + collisions), and report the shard's duplicated-span
+    statistics.
+
+    Unlike the doc-level steps this FLAGS instead of drops: at the
+    span grain the right remedial action (drop the paste-heavy doc vs
+    rewrite it keeping the canonical copy) is the corpus consumer's
+    policy (``CorpusPrepConfig.span_action``), so with
+    ``max_dup_span_frac`` set the over-threshold doc ids + coverage
+    land in ``out_dir/span_flags/ds=<ds>`` (per-day overwrite — the
+    idempotent record a later prep run joins against), and the step
+    reports the count either way.  The index geometry (window,
+    sample_mod) freezes on day one; stored params win afterwards."""
+    import time as _time
+
+    from data_engineering_user_session_analysis_spark.operators.index_lifecycle import (
+        marker_complete_days,
+    )
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        append_shard_to_span_index,
+        incremental_span_stats,
+    )
+
+    idx = os.path.join(out_dir, "span_index")
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+    t0 = _time.monotonic()
+    append_shard_to_span_index(
+        docs, idx, ds, window=window, sample_mod=sample_mod
+    )
+    append_sec = round(_time.monotonic() - t0, 2)
+    t0 = _time.monotonic()
+    stats = incremental_span_stats(
+        docs, idx, before_ds=ds, only_ds=marker_complete_days(idx)
+    )
+    report: dict = {"ds": ds, "shard_docs": n_docs, "append_sec": append_sec}
+    if max_dup_span_frac is not None:
+        flagged = stats.filter(F.col("dup_token_frac") > max_dup_span_frac)
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "span_flags", f"ds={ds}")
+        )
+        flags = spark.read.parquet(os.path.join(out_dir, "span_flags", f"ds={ds}"))
+        report["flagged_over_threshold"] = flags.count()
+        report["max_dup_span_frac"] = max_dup_span_frac
+        agg = flags.agg(F.sum("dup_tokens").alias("d")).first()
+    else:
+        agg_row = stats.agg(
+            F.count("*").alias("n"), F.sum("dup_tokens").alias("d")
+        ).first()
+        report["docs_with_dup_spans"] = agg_row["n"]
+        agg = agg_row
+    report["dup_tokens"] = int(agg["d"] or 0)
+    report["probe_sec"] = round(_time.monotonic() - t0, 2)
+    report["complete_days"] = len(marker_complete_days(idx))
+    return report
+
+
 def run_daily_pipeline(
     spark: SparkSession,
     lake_path: str,
@@ -577,6 +648,9 @@ def run_daily_pipeline(
     auto_tune_vector_recall: bool = False,
     doc_recall_floor: "float | None" = None,
     auto_tune_doc_recall: bool = False,
+    span_window: "int | None" = None,
+    span_sample_mod: "int | None" = None,
+    max_dup_span_frac: "float | None" = None,
 ) -> dict:
     """The composed daily operational verb (``job daily <ds>``) — the
     sequence a real deployment runs once per day, chaining the
@@ -603,6 +677,13 @@ def run_daily_pipeline(
        ``auto_rebuild_vector_index=True`` an outgrown geometry is
        rebuilt in-line (sized from the observed daily rate) instead
        of only alarming in the report.
+    7. **span-index probe** (``run_span_index_step``, only when
+       ``span_window`` is set alongside ``docs_path``): the
+       substring-grain third index family — append the shard's
+       window hashes, score it against the stored corpus, and (with
+       ``max_dup_span_frac``) record over-threshold doc ids in
+       ``span_flags/ds=<ds>`` for the corpus consumer's drop/rewrite
+       policy.
 
     Every step is an idempotent per-day overwrite, so re-running any
     day replaces exactly that day's outputs (pinned by
@@ -672,6 +753,15 @@ def run_daily_pipeline(
             recall_sample_q=recall_sample_q,
             recall_floor=vector_recall_floor,
             auto_tune_recall=auto_tune_vector_recall,
+        )
+    # span-grain third index family: opt-in via span_window (the
+    # shard is the same docs_path the MinHash step consumes)
+    if docs_path is not None and span_window is not None:
+        report["span_index"] = run_span_index_step(
+            spark, docs_path, out_dir, ds,
+            window=span_window,
+            sample_mod=span_sample_mod,
+            max_dup_span_frac=max_dup_span_frac,
         )
     return report
 
@@ -749,11 +839,17 @@ def main(argv: list[str]) -> None:
             if ("--recall-check" in argv or tune_recall or tune_doc_recall)
             else None
         )
+        # --span-index: enable the substring-grain index step over the
+        # same DOCS_SHARD_PATH shard (window from SPAN_WINDOW, default
+        # the public protocol's 50; flags threshold from
+        # SPAN_MAX_DUP_FRAC when set)
+        span_on = "--span-index" in argv
         argv = [
             a for a in argv
             if a not in (
                 "--auto-rebuild-vectors", "--recall-check",
                 "--tune-vector-recall", "--tune-doc-recall",
+                "--span-index",
             )
         ]
         ds = argv[2]
@@ -771,6 +867,19 @@ def main(argv: list[str]) -> None:
             auto_tune_vector_recall=tune_recall,
             doc_recall_floor=0.8 if tune_doc_recall else None,
             auto_tune_doc_recall=tune_doc_recall,
+            span_window=(
+                int(os.environ.get("SPAN_WINDOW", "50")) if span_on else None
+            ),
+            span_sample_mod=(
+                int(os.environ["SPAN_SAMPLE_MOD"])
+                if span_on and os.environ.get("SPAN_SAMPLE_MOD")
+                else None
+            ),
+            max_dup_span_frac=(
+                float(os.environ["SPAN_MAX_DUP_FRAC"])
+                if span_on and os.environ.get("SPAN_MAX_DUP_FRAC")
+                else None
+            ),
         )
         print(report)
         return

@@ -408,6 +408,56 @@ def test_compaction_noop_on_single_day(spark, tmp_path):
     assert compact_span_index(spark, idx)["status"] == "noop"
 
 
+def test_daily_span_index_step(spark, tmp_path):
+    """run_span_index_step (the daily pipeline's third index family):
+    day 1 builds the index; day 2's shard carrying a span pasted from
+    a day-1 doc gets flagged against the STORED corpus; with
+    max_dup_span_frac set the over-threshold ids land in an
+    idempotent span_flags/ds=<ds> partition; a day-2 re-run replaces
+    (not duplicates) its rows."""
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import run_span_index_step
+
+    out = str(tmp_path / "serving")
+    d1 = {1: "w1 w2 " + SHARED13 + " w3 w4 w5 w6 w7 w8",
+          2: "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"}
+    # doc 11: mostly the day-1 span (coverage 7/10 > 0.6); doc 12 clean
+    d2 = {11: SHARED13 + " t1 t2 t3",
+          12: "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12"}
+    paths = []
+    for k, texts in ((1, d1), (2, d2)):
+        p = str(tmp_path / f"shard{k}")
+        _docs(spark, texts).write.parquet(p)
+        paths.append(p)
+    r1 = run_span_index_step(
+        spark, paths[0], out, "2024-01-01", window=W, max_dup_span_frac=0.6
+    )
+    assert r1["shard_docs"] == 2 and r1["flagged_over_threshold"] == 0
+    r2 = run_span_index_step(
+        spark, paths[1], out, "2024-01-02", window=W, max_dup_span_frac=0.6
+    )
+    assert r2["flagged_over_threshold"] == 1
+    assert r2["complete_days"] == 2
+    flags = spark.read.parquet(os.path.join(out, "span_flags", "ds=2024-01-02"))
+    rows = {r.doc_id: r.asDict() for r in flags.collect()}
+    assert set(rows) == {11}
+    assert rows[11]["dup_tokens"] == 7  # the full pasted span
+    # idempotent re-run: same flags, no duplicate index rows
+    r2b = run_span_index_step(
+        spark, paths[1], out, "2024-01-02", window=W, max_dup_span_frac=0.6
+    )
+    assert r2b["flagged_over_threshold"] == 1
+    name = ensure_span_index_table(spark, os.path.join(out, "span_index"))
+    per_day = {
+        r["ds"]: r["n"]
+        for r in spark.table(name).groupBy("ds").count().withColumnRenamed("count", "n").collect()
+    }
+    assert set(per_day) == {"2024-01-01", "2024-01-02"}
+    # stored geometry wins on re-runs: day-2 row count unchanged
+    assert per_day["2024-01-02"] == sum(
+        max(len(t.split()) - W + 1, 0) for t in d2.values()
+    )
+
+
 def test_marker_written_last_and_success_present(spark, tmp_path):
     idx = str(tmp_path / "idx")
     ds1, texts1 = DAYS[0]
