@@ -608,10 +608,23 @@ def run_span_index_step(
     )
     append_sec = round(_time.monotonic() - t0, 2)
     t0 = _time.monotonic()
+    # lazy checkpoint: the all-docs aggregate AND the flag write both
+    # consume the stats frame — the probe's kernel+shuffle must run
+    # once, not once per consumer
     stats = incremental_span_stats(
         docs, idx, before_ds=ds, only_ds=marker_complete_days(idx)
-    )
+    ).localCheckpoint(eager=False)
     report: dict = {"ds": ds, "shard_docs": n_docs, "append_sec": append_sec}
+    # ADVICE r13: (docs_with_dup_spans, dup_tokens) are the ALL-docs
+    # aggregate in every config — previously dup_tokens silently
+    # switched to a flagged-only sum whenever max_dup_span_frac was
+    # set, making the same key incomparable across configs.  The
+    # flagged-only sum now has its own key.
+    agg_row = stats.agg(
+        F.count("*").alias("n"), F.sum("dup_tokens").alias("d")
+    ).first()
+    report["docs_with_dup_spans"] = agg_row["n"]
+    report["dup_tokens"] = int(agg_row["d"] or 0)
     if max_dup_span_frac is not None:
         flagged = stats.filter(F.col("dup_token_frac") > max_dup_span_frac)
         flagged.write.mode("overwrite").parquet(
@@ -620,14 +633,8 @@ def run_span_index_step(
         flags = spark.read.parquet(os.path.join(out_dir, "span_flags", f"ds={ds}"))
         report["flagged_over_threshold"] = flags.count()
         report["max_dup_span_frac"] = max_dup_span_frac
-        agg = flags.agg(F.sum("dup_tokens").alias("d")).first()
-    else:
-        agg_row = stats.agg(
-            F.count("*").alias("n"), F.sum("dup_tokens").alias("d")
-        ).first()
-        report["docs_with_dup_spans"] = agg_row["n"]
-        agg = agg_row
-    report["dup_tokens"] = int(agg["d"] or 0)
+        fagg = flags.agg(F.sum("dup_tokens").alias("d")).first()
+        report["flagged_dup_tokens"] = int(fagg["d"] or 0)
     report["probe_sec"] = round(_time.monotonic() - t0, 2)
     report["complete_days"] = len(marker_complete_days(idx))
     return report

@@ -90,6 +90,8 @@ from data_engineering_user_session_analysis_spark.operators.span_dedup import (
 SPAN_INDEX_BUCKETS = 32
 
 _DS_RE = re.compile(r"^[0-9A-Za-z_\-]{1,64}$")
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]{0,127}$")
+_ID_TYPES = {"int", "bigint", "long", "smallint", "tinyint", "string"}
 
 
 def _check_ds(ds: str) -> str:
@@ -99,6 +101,26 @@ def _check_ds(ds: str) -> str:
     if not _DS_RE.match(str(ds)):
         raise ValueError(f"invalid ds partition value: {ds!r}")
     return str(ds)
+
+
+def _check_ddl_parts(params: dict, loc: str) -> None:
+    """The CREATE TABLE text splices the stored id column name/type
+    and the index location (ADVICE r13): constrain all three the same
+    way ``_check_ds`` constrains partition values — a quoted path or
+    an exotic identifier fails loudly HERE instead of breaking (or
+    injecting into) the SQL.  The allowlists cover every type the
+    append path can observe for a parquet id column this family
+    supports; widening them is a one-line review, silently splicing
+    is not."""
+    if not _IDENT_RE.match(str(params["id_col"])):
+        raise ValueError(f"unsupported id column name for DDL: {params['id_col']!r}")
+    if str(params["id_type"]).lower() not in _ID_TYPES:
+        raise ValueError(
+            f"unsupported id column type for DDL: {params['id_type']!r} "
+            f"(expected one of {sorted(_ID_TYPES)})"
+        )
+    if "'" in loc or "\n" in loc:
+        raise ValueError(f"index location not expressible in DDL: {loc!r}")
 
 
 def _write_span_params(
@@ -169,6 +191,7 @@ def ensure_span_index_table(spark: SparkSession, path: str) -> str:
         )
     name = _table_name(path, params)
     loc = os.path.join(os.path.abspath(path), "buckets")
+    _check_ddl_parts(params, loc)
     os.makedirs(loc, exist_ok=True)
     spark.sql(
         f"""
@@ -305,6 +328,30 @@ def compact_span_index(spark: SparkSession, path: str) -> dict:
     if len(days) <= 1:
         return {"status": "noop", "complete_days": days}
     target = max(days)
+    # ADVICE r13 (medium): the fold reads marker-COMPLETE days only
+    # and the rebuild swap replaces the whole directory — a crashed
+    # (marker-less) partial day at or below the fold target would be
+    # silently DROPPED by the swap, and the compacted_through
+    # watermark would then refuse its re-append: permanent, silent
+    # loss of that day.  Refuse to fold past it instead — the
+    # operator must re-run the day (append stamps its marker) or
+    # retract it (retract_day_marker) first.
+    root = os.path.join(path, "buckets")
+    blocked = sorted(
+        p.split("=", 1)[1]
+        for p in os.listdir(root)
+        if p.startswith("ds=")
+        and not os.path.exists(os.path.join(root, p, "_SUCCESS"))
+        and p.split("=", 1)[1] <= target
+    )
+    if blocked:
+        raise RuntimeError(
+            f"span index at {path} has incomplete (marker-less) day "
+            f"partition(s) {blocked} at or below the fold target "
+            f"{target!r} — compacting would drop them permanently "
+            "(the watermark then refuses their re-append).  Re-run "
+            "each day's append or retract it, then compact."
+        )
     name = ensure_span_index_table(spark, path)
 
     def _count_files(root: str) -> int:

@@ -232,6 +232,14 @@ def prepare_corpus(
     import time as _time
 
     c = config
+    # validate UNCONDITIONALLY (ADVICE r13): a typo'd span_action used
+    # to raise only when the stage was gated on, and 'rewrite' with no
+    # max_dup_span_frac was silently inert even though rewrite ignores
+    # the threshold
+    if c.span_action not in ("drop", "rewrite"):
+        raise ValueError(
+            f"span_action must be 'drop' or 'rewrite', got {c.span_action!r}"
+        )
     report: dict[str, int] = {}
     _t = [_time.perf_counter()]
 
@@ -312,7 +320,11 @@ def prepare_corpus(
     _barrier("neardup_deduped", neardup.count())
 
     result = neardup
-    if c.max_dup_span_frac is not None:
+    # enter on EITHER signal: rewrite mode ignores the threshold (it
+    # rewrites every duplicated span), so span_action='rewrite' alone
+    # must enable the stage (ADVICE r13); drop mode needs the
+    # threshold to select which docs die.
+    if c.max_dup_span_frac is not None or c.span_action == "rewrite":
         # runs AFTER dedup on purpose: exact clones are already down
         # to one canonical each, so a span flagged here is a genuine
         # partial overlap (pre-dedup, every clone would score 1.0 and
@@ -352,10 +364,6 @@ def prepare_corpus(
             )
             result = result.join(pasted, c.id_col, "left_anti")
             _barrier("span_gated", result.count())
-        else:
-            raise ValueError(
-                f"span_action must be 'drop' or 'rewrite', got {c.span_action!r}"
-            )
 
     if benchmark is not None:
         result = decontaminate(

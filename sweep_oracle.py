@@ -223,21 +223,30 @@ def main() -> None:
             order_now = list(results)
             for name, entry in results.items():
                 b = base_rows.get(name)
-                if not b or not b.get("spark_sec") or not entry.get("spark_sec"):
+                if (
+                    not b
+                    or b.get("spark_sec") is None
+                    or entry.get("spark_sec") is None
+                ):
                     continue
-                # prefer the warm min-of-trials timing on each side
-                # (see the trial comment above); fall back through the
-                # older artifacts' field names to single-trial
-                base_eff = (
-                    b.get("spark_sec_min")
-                    or b.get("spark_sec_min3")
-                    or b["spark_sec"]
-                )
-                now_eff = (
-                    entry.get("spark_sec_min")
-                    or entry.get("spark_sec_min3")
-                    or entry["spark_sec"]
-                )
+                # prefer the warm min-of-trials timing — but only when
+                # BOTH sides have one (ADVICE r13): a warm-min
+                # numerator over an old single-trial (cold) base
+                # artifact reintroduces the asymmetric cold/warm bias
+                # the trial protocol exists to kill, so an old base
+                # without spark_sec_min drops the row to single-trial
+                # on BOTH sides.  Explicit None checks: a legitimate
+                # 0.0 min is a measurement, not a missing field.
+                base_min = b.get("spark_sec_min")
+                if base_min is None:
+                    base_min = b.get("spark_sec_min3")
+                now_min = entry.get("spark_sec_min")
+                if base_min is not None and now_min is not None:
+                    base_eff, now_eff = base_min, now_min
+                else:
+                    base_eff, now_eff = b["spark_sec"], entry["spark_sec"]
+                if base_eff <= 0:
+                    continue
                 nominal = now_eff / base_eff
                 unit_now = probe_series_unit(probe_series, order_now.index(name))
                 unit_base = probe_series_unit(base_series, base_order.index(name))

@@ -388,3 +388,40 @@ def test_prepare_corpus_span_action_validated(spark, sf_small):
                 min_tokens=5, max_dup_span_frac=0.5, span_action="nope"
             ),
         )
+    # ADVICE r13: validation is unconditional — a typo'd action must
+    # raise even when the threshold gate is off
+    with pytest.raises(ValueError, match="span_action"):
+        prepare_corpus(
+            docs, config=CorpusPrepConfig(min_tokens=5, span_action="nope")
+        )
+
+
+def test_prepare_corpus_rewrite_without_threshold(spark, sf_small):
+    """ADVICE r13: span_action='rewrite' alone enables the stage —
+    rewrite ignores the threshold, so requiring max_dup_span_frac made
+    the config silently inert."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    span = " ".join(f"zsp{i}" for i in range(20))
+    a = span + " " + " ".join(f"ta{i}" for i in range(10))
+    b = span + " " + " ".join(f"tb{i}" for i in range(10))
+    corpus = docs.unionByName(
+        spark.createDataFrame(
+            [(990020, a), (990021, b)], "doc_id long, text string"
+        )
+    )
+    surv, rep = prepare_corpus(
+        corpus,
+        config=CorpusPrepConfig(
+            min_tokens=5,
+            max_dup_line_frac=1.0,
+            span_window=15,
+            span_action="rewrite",  # no max_dup_span_frac
+        ),
+    )
+    assert "span_rewritten" in rep
+    rows = {
+        r.doc_id: r.text
+        for r in surv.filter(F.col("doc_id").isin([990020, 990021])).collect()
+    }
+    assert rows[990020].startswith("zsp0 zsp1")
+    assert "zsp0" not in rows[990021]

@@ -420,9 +420,13 @@ def test_daily_span_index_step(spark, tmp_path):
     out = str(tmp_path / "serving")
     d1 = {1: "w1 w2 " + SHARED13 + " w3 w4 w5 w6 w7 w8",
           2: "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"}
-    # doc 11: mostly the day-1 span (coverage 7/10 > 0.6); doc 12 clean
+    # doc 11: mostly the day-1 span (coverage 7/10 > 0.6); doc 12
+    # clean; doc 13 shares only the span's first 5-token window —
+    # coverage 5/14 < 0.6, UNDER threshold but with dup spans, so the
+    # all-docs vs flagged-only report keys diverge (ADVICE r13)
     d2 = {11: SHARED13 + " t1 t2 t3",
-          12: "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12"}
+          12: "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12",
+          13: "p q r s t x1 x2 x3 x4 x5 x6 x7 x8 x9"}
     paths = []
     for k, texts in ((1, d1), (2, d2)):
         p = str(tmp_path / f"shard{k}")
@@ -437,6 +441,13 @@ def test_daily_span_index_step(spark, tmp_path):
     )
     assert r2["flagged_over_threshold"] == 1
     assert r2["complete_days"] == 2
+    # report-key semantics (ADVICE r13): dup_tokens is ALWAYS the
+    # all-docs aggregate; the flagged-only sum has its own key.  Doc
+    # 11 carries 7 dup tokens (flagged), doc 13 carries 5 (under
+    # threshold) — the two keys must diverge here.
+    assert r2["docs_with_dup_spans"] == 2
+    assert r2["dup_tokens"] == 12
+    assert r2["flagged_dup_tokens"] == 7
     flags = spark.read.parquet(os.path.join(out, "span_flags", "ds=2024-01-02"))
     rows = {r.doc_id: r.asDict() for r in flags.collect()}
     assert set(rows) == {11}
@@ -456,6 +467,53 @@ def test_daily_span_index_step(spark, tmp_path):
     assert per_day["2024-01-02"] == sum(
         max(len(t.split()) - W + 1, 0) for t in d2.values()
     )
+
+
+def test_compaction_refuses_to_fold_past_incomplete_day(spark, tmp_path):
+    """ADVICE r13 (medium): a crashed (marker-less) partial day at or
+    below the fold target would be silently dropped by the rebuild
+    swap AND permanently locked out by the compacted_through
+    watermark.  The fold must refuse instead; re-running the day's
+    append clears the block."""
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        compact_span_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    for ds, texts in DAYS:
+        append_shard_to_span_index(_docs(spark, texts), idx, ds, window=W)
+    # simulate a crash that left day 1 partially written: files
+    # present, completeness marker missing (days 2 and 3 complete, so
+    # the fold itself would proceed — past the hole)
+    os.remove(os.path.join(idx, "buckets", f"ds={DAYS[0][0]}", "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="incomplete"):
+        compact_span_index(spark, idx)
+    # the refusal left the live index untouched
+    assert marker_complete_days(idx) == [DAYS[1][0], DAYS[2][0]]
+    # re-running the day's append (stamps the marker) unblocks the fold
+    append_shard_to_span_index(_docs(spark, DAYS[0][1]), idx, DAYS[0][0], window=W)
+    report = compact_span_index(spark, idx)
+    assert report["status"] == "compacted"
+    assert report["folded_days"] == [d for d, _ in DAYS]
+
+
+def test_ddl_spliced_parts_are_validated(spark, tmp_path):
+    """ADVICE r13: the external-table DDL splices the index location
+    and the stored id column name/type — a quoted path or an exotic
+    column type must fail loudly before reaching the SQL text."""
+    ds1, texts1 = DAYS[0]
+    # location containing a quote: refused before any DDL runs
+    bad_path = str(tmp_path / "i'x")
+    with pytest.raises(ValueError, match="not expressible"):
+        append_shard_to_span_index(_docs(spark, texts1), bad_path, ds1, window=W)
+    # id column of a type outside the DDL allowlist (double)
+    docs_bad = spark.createDataFrame(
+        [(1.5, "a b c d e f g")], "doc_id double, text string"
+    )
+    with pytest.raises(ValueError, match="id column type"):
+        append_shard_to_span_index(
+            docs_bad, str(tmp_path / "idx2"), ds1, window=W
+        )
 
 
 def test_marker_written_last_and_success_present(spark, tmp_path):
