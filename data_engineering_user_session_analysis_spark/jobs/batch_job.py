@@ -586,9 +586,11 @@ def run_span_index_step(
     policy (``CorpusPrepConfig.span_action``), so with
     ``max_dup_span_frac`` set the over-threshold doc ids + coverage
     land in ``out_dir/span_flags/ds=<ds>`` (per-day overwrite — the
-    idempotent record a later prep run joins against), and the step
-    reports the count either way.  The index geometry (window,
-    sample_mod) freezes on day one; stored params win afterwards."""
+    idempotent record ``prepare_corpus`` consumes via
+    ``CorpusPrepConfig.span_flags_path``, anti-joining the flagged
+    ids out of the survivor set), and the step reports the count
+    either way.  The index geometry (window, sample_mod) freezes on
+    day one; stored params win afterwards."""
     import time as _time
 
     from data_engineering_user_session_analysis_spark.operators.index_lifecycle import (

@@ -112,6 +112,23 @@ class CorpusPrepConfig:
     span_window: int = 50
     span_sample_mod: int | None = None
     span_action: str = "drop"
+    #: path of the daily span-index step's flag record
+    #: (``jobs/batch_job.run_span_index_step`` writes over-threshold
+    #: doc ids + coverage to ``<out>/span_flags/ds=<ds>``).  When set,
+    #: the span stage CONSUMES that record instead of re-running
+    #: detection over the prep corpus: the flagged ids are anti-joined
+    #: out (span_action='drop' semantics — the only action the record
+    #: can drive, since it carries ids + coverage, not span
+    #: positions; combining with span_action='rewrite' raises).  The
+    #: flag record was computed by the index probe in
+    #: O(day + collisions) against ALL stored days, so this closes
+    #: the daily loop: cross-day paste-heavy docs are gated without
+    #: the prep run paying a corpus-wide span detection.  If
+    #: ``max_dup_span_frac`` is ALSO set, the stored coverage is
+    #: re-filtered at that threshold — a consumer may gate tighter
+    #: than the step's write threshold, never looser (ids under the
+    #: write threshold were never recorded).
+    span_flags_path: str | None = None
     decontaminate_ngram: int = 13
     sample_k: int | None = None
     pack_budget: int | None = None
@@ -240,6 +257,13 @@ def prepare_corpus(
         raise ValueError(
             f"span_action must be 'drop' or 'rewrite', got {c.span_action!r}"
         )
+    if c.span_flags_path is not None and c.span_action == "rewrite":
+        raise ValueError(
+            "span_flags_path carries flagged doc ids + coverage, not span "
+            "positions — it can only drive span_action='drop'.  The "
+            "canonical-preserving rewrite needs per-occurrence positions: "
+            "run it inline (span_action='rewrite' without span_flags_path)."
+        )
     report: dict[str, int] = {}
     _t = [_time.perf_counter()]
 
@@ -320,11 +344,25 @@ def prepare_corpus(
     _barrier("neardup_deduped", neardup.count())
 
     result = neardup
+    if c.span_flags_path is not None:
+        # consume the daily span-index flag record (VERDICT r13 #1 —
+        # the loop the index step exists for): the over-threshold ids
+        # the probe recorded are anti-joined out, no corpus-wide span
+        # detection in the prep run.  The flag set is over-threshold
+        # docs of daily shards — small by construction — so it
+        # broadcasts; the survivor side never shuffles for this stage.
+        spark = docs.sparkSession
+        flags = spark.read.parquet(c.span_flags_path)
+        if c.max_dup_span_frac is not None:
+            flags = flags.filter(F.col("dup_token_frac") > c.max_dup_span_frac)
+        flagged_ids = flags.select(c.id_col).distinct()
+        result = result.join(F.broadcast(flagged_ids), c.id_col, "left_anti")
+        _barrier("span_gated", result.count())
     # enter on EITHER signal: rewrite mode ignores the threshold (it
     # rewrites every duplicated span), so span_action='rewrite' alone
     # must enable the stage (ADVICE r13); drop mode needs the
     # threshold to select which docs die.
-    if c.max_dup_span_frac is not None or c.span_action == "rewrite":
+    elif c.max_dup_span_frac is not None or c.span_action == "rewrite":
         # runs AFTER dedup on purpose: exact clones are already down
         # to one canonical each, so a span flagged here is a genuine
         # partial overlap (pre-dedup, every clone would score 1.0 and

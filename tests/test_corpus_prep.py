@@ -396,6 +396,86 @@ def test_prepare_corpus_span_action_validated(spark, sf_small):
         )
 
 
+def test_prepare_corpus_consumes_span_flags(spark, sf_small, tmp_path):
+    """The daily loop, closed (VERDICT r13 #1): day 1 and day 2 run
+    through the span-index step (which writes over-threshold ids to
+    span_flags/ds=<ds>); day-2 prep then consumes the flag record via
+    span_flags_path and must produce EXACTLY the survivors of running
+    the batch span gate directly over the full two-day corpus — the
+    flag path is a cheaper route to the same gate, not a different
+    gate."""
+    import os
+
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import (
+        run_span_index_step,
+    )
+    from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+        duplicated_span_stats,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    src = (
+        docs.withColumn("_n", F.size(F.split("text", " ")))
+        .filter(F.col("_n") >= 80)
+        .orderBy("doc_id")
+        .first()
+    )
+    day1 = docs  # includes the source doc
+    # day 2: a paste-heavy doc (25 pasted / 30 tokens = 0.83 > 0.6),
+    # a doc sharing only a sub-threshold slice (15/40 = 0.375), and a
+    # clean doc — the flag record must kill exactly the first
+    day2 = spark.createDataFrame(
+        [
+            (990030, " ".join(src.text.split(" ")[:25] + [f"zq{i}" for i in range(5)])),
+            (990031, " ".join(src.text.split(" ")[:15] + [f"zr{i}" for i in range(25)])),
+            (990032, " ".join(f"zs{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "serving")
+    for ds, shard in (("2026-02-01", day1), ("2026-02-02", day2)):
+        p = str(tmp_path / f"shard_{ds}")
+        shard.write.parquet(p)
+        run_span_index_step(
+            spark, p, out, ds, window=15, max_dup_span_frac=0.6
+        )
+    base = dict(min_tokens=5, max_dup_line_frac=1.0)
+    surv_flags, rep = prepare_corpus(
+        day2,
+        config=CorpusPrepConfig(
+            **base, span_flags_path=os.path.join(out, "span_flags")
+        ),
+    )
+    ids_flags = {r.doc_id for r in surv_flags.select("doc_id").collect()}
+    # the batch gate, directly: over-threshold docs of the FULL
+    # two-day corpus removed from the no-span-stage prep survivors
+    surv_plain, _ = prepare_corpus(day2, config=CorpusPrepConfig(**base))
+    ids_plain = {r.doc_id for r in surv_plain.select("doc_id").collect()}
+    over = {
+        r.doc_id
+        for r in duplicated_span_stats(day1.unionByName(day2), window=15)
+        .filter(F.col("dup_token_frac") > 0.6)
+        .collect()
+    }
+    assert ids_flags == ids_plain - over
+    assert 990030 not in ids_flags  # paste-heavy: flagged and dropped
+    assert 990031 in ids_flags  # sub-threshold slice survives
+    assert 990032 in ids_flags  # clean survives
+    assert rep["span_gated"] == len(ids_flags)
+    # flags + rewrite is a contract violation, loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="span_flags_path"):
+        prepare_corpus(
+            day2,
+            config=CorpusPrepConfig(
+                **base,
+                span_flags_path=os.path.join(out, "span_flags"),
+                span_action="rewrite",
+            ),
+        )
+
+
 def test_prepare_corpus_rewrite_without_threshold(spark, sf_small):
     """ADVICE r13: span_action='rewrite' alone enables the stage —
     rewrite ignores the threshold, so requiring max_dup_span_frac made
