@@ -22,6 +22,15 @@ vector families in ``operators/dedup_index.py``):
                          append) is the day's completeness signal —
                          the same ``marker_complete_days`` /
                          ``shard_indexed`` protocol as the siblings.
+* ``summaries/ds=<ds>``  the per-hash summary sidecar: one row per
+                         (day, hash) — ``(min_id, max_id, n_docs)``
+                         over the day's occurrences — same bucketing.
+                         The daily stats probe reads THIS instead of
+                         occurrences, so a hot boilerplate hash costs
+                         one row per stored day, not its occurrence
+                         history (the 1M replay's flagged-occurrence
+                         growth, 72k→677k over ten days, does not
+                         touch the stats path at all).
 * ``compacted_through``  max ds folded by `compact_span_index` (the
                          small-files maintenance verb: all complete
                          days → one partition via the two-rename
@@ -154,7 +163,7 @@ def _read_span_params(spark: SparkSession, path: str) -> "dict | None":
     return d
 
 
-def _table_name(path: str, params: dict) -> str:
+def _table_name(path: str, params: dict, prefix: str = "span_idx_") -> str:
     """Session-catalog name for the external bucketed table, keyed on
     (absolute path, geometry): the in-memory catalog forgets between
     sessions, so the name must be re-derivable, and keying the
@@ -171,7 +180,7 @@ def _table_name(path: str, params: dict) -> str:
             params["id_type"],
         )
     )
-    return "span_idx_" + hashlib.md5(key.encode()).hexdigest()[:16]
+    return prefix + hashlib.md5(key.encode()).hexdigest()[:16]
 
 
 def ensure_span_index_table(spark: SparkSession, path: str) -> str:
@@ -208,6 +217,84 @@ def ensure_span_index_table(spark: SparkSession, path: str) -> str:
     # an only_ds filter would list a missing dir
     spark.sql(f"MSCK REPAIR TABLE {name} SYNC PARTITIONS")
     return name
+
+
+def ensure_span_summary_table(spark: SparkSession, path: str) -> str:
+    """The per-hash summary sidecar's external bucketed table (VERDICT
+    r13 #2): one row per (ds, wh) — ``(min_id, max_id, n_docs)`` over
+    the day's occurrences of that hash — under ``summaries/``, same
+    ``CLUSTERED BY (wh)`` geometry as ``buckets/``.  This is what caps
+    the daily stats probe: a hot boilerplate hash has ONE summary row
+    per stored day regardless of how many million occurrences its
+    bucket rows hold, and the min_docs=2 cross-doc flag is exactly
+    ``min != max`` over the union of (stored summaries ∪ day), so
+    ``incremental_span_stats`` never has to pull an occurrence
+    history through the join.  Registration is metadata-only and
+    idempotent, like the buckets twin."""
+    params = _read_span_params(spark, path)
+    if params is None:
+        raise ValueError(
+            f"no span index at {path} (params/ missing) — build it with "
+            "append_shard_to_span_index first"
+        )
+    name = _table_name(path, params, prefix="span_sum_")
+    loc = os.path.join(os.path.abspath(path), "summaries")
+    _check_ddl_parts(params, loc)
+    os.makedirs(loc, exist_ok=True)
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {name} (
+            min_id {params['id_type']}, max_id {params['id_type']},
+            n_docs BIGINT, wh STRING, ds STRING)
+        USING PARQUET
+        PARTITIONED BY (ds)
+        CLUSTERED BY (wh) SORTED BY (wh) INTO {int(params['n_buckets'])} BUCKETS
+        LOCATION '{loc}'
+        """
+    )
+    spark.sql(f"MSCK REPAIR TABLE {name} SYNC PARTITIONS")
+    return name
+
+
+def _summary_days(path: str) -> "set[str]":
+    """Days with a written summary partition.  Indexes built before
+    the sidecar existed have bucket days without summary days; the
+    stats probe only takes the summary path when every scoped day has
+    one (else it falls back to the occurrence path)."""
+    root = os.path.join(path, "summaries")
+    if not os.path.isdir(root):
+        return set()
+    return {
+        p.split("=", 1)[1] for p in os.listdir(root) if p.startswith("ds=")
+    }
+
+
+def _insert_day_summaries(
+    spark: SparkSession,
+    path: str,
+    ds: str,
+    day_rows: DataFrame,
+    params: dict,
+) -> None:
+    """Write the day's per-hash summary partition from its positional
+    rows — one groupBy on the already-present frame (map-side
+    combinable: min/max/count-distinct over the hash key)."""
+    id_col = params["id_col"]
+    name = ensure_span_summary_table(spark, path)
+    summary = day_rows.groupBy("wh").agg(
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+        F.count_distinct(id_col).alias("n_docs"),
+    )
+    view = f"{name}_day_rows"
+    summary.repartition(int(params["n_buckets"]), F.col("wh")).createOrReplaceTempView(
+        view
+    )
+    spark.sql(
+        f"INSERT OVERWRITE TABLE {name} PARTITION (ds='{ds}') "
+        f"SELECT min_id, max_id, n_docs, wh FROM {view}"
+    )
+    spark.catalog.dropTempView(view)
 
 
 def append_shard_to_span_index(
@@ -261,15 +348,27 @@ def append_shard_to_span_index(
             "re-append would double-count; compaction is for CLOSED "
             "days only"
         )
+    # lazy checkpoint: the bucket insert AND the summary groupBy both
+    # consume the day's positional rows — the Arrow window kernel must
+    # run once, not once per consumer
     wh = positional_window_hashes(
         docs,
         text_col,
         params["id_col"],
         window=int(params["window"]),
         sample_mod=params["sample_mod"],
-    )
+    ).localCheckpoint(eager=False)
     name = ensure_span_index_table(spark, path)
     retract_day_marker(path, ds)
+    # the summary sidecar's partition goes with the retraction too: a
+    # crashed re-run must not leave a stale summary standing over
+    # replaced bucket rows (the marker — stamped strictly last, after
+    # BOTH writes — is still the only completeness signal)
+    import shutil as _shutil
+
+    _shutil.rmtree(
+        os.path.join(path, "summaries", f"ds={ds}"), ignore_errors=True
+    )
     # pre-cluster so each task writes ~one bucket file instead of up
     # to n_buckets files per task (bucket ASSIGNMENT is per-row and
     # correct either way; this bounds the file count)
@@ -282,6 +381,7 @@ def append_shard_to_span_index(
         f"SELECT {params['id_col']}, pos, wh FROM {view}"
     )
     spark.catalog.dropTempView(view)
+    _insert_day_summaries(spark, path, ds, wh, params)
     # the INSERT's job-level commit lands at the table root; the
     # per-day completeness signal is this partition-dir marker,
     # stamped strictly last
@@ -400,6 +500,10 @@ def compact_span_index(spark: SparkSession, path: str) -> dict:
         f"SELECT {params['id_col']}, pos, wh FROM {view}"
     )
     spark.catalog.dropTempView(view)
+    # fold the summary sidecar by RECOMPUTING it from the folded
+    # occurrence rows (exact even if a doc id crossed days — no
+    # reliance on per-day n_docs additivity), into the staged table
+    _insert_day_summaries(spark, tmp, target, rows, params)
     open(os.path.join(tmp, "buckets", f"ds={target}", "_SUCCESS"), "w").close()
     # top-level marker: commit_rebuild's promotion gate
     open(os.path.join(tmp, "buckets", "_SUCCESS"), "w").close()
@@ -409,6 +513,7 @@ def compact_span_index(spark: SparkSession, path: str) -> dict:
     # the swapped directory has different partitions than the session
     # catalog remembers — sync now rather than at the next probe
     ensure_span_index_table(spark, path)
+    ensure_span_summary_table(spark, path)
     return {
         "status": "compacted",
         "folded_days": days,
@@ -537,19 +642,97 @@ def incremental_span_stats(
     ``_coverage_stats`` interval merge), where a window counts as
     duplicated if its hash is cross-doc duplicated across (stored ∪
     day).  This is the shard-gating form the corpus-prep span gate
-    would use operationally: score the day in O(day + matches)
-    instead of re-scoring the corpus.
+    uses operationally (``span_flags_path``): score the day in
+    O(day) instead of re-scoring the corpus.
+
+    Scale path (VERDICT r13 #2): at the standard ``min_docs=2`` the
+    stored side is the per-hash SUMMARY sidecar, not the occurrence
+    table — the cross-doc flag is exactly ``min(id) != max(id)``
+    over the union of (stored per-day summaries ∪ day), so a hot
+    boilerplate hash contributes one summary row per stored day to
+    the join, never its occurrence history, and the probe's work is
+    O(day) regardless of stored multiplicity.  The coverage math
+    only ever needed the DAY's positions.  ``min_docs > 2`` needs a
+    true cross-corpus distinct count (not derivable from per-day
+    min/max), so it keeps the occurrence path via
+    ``incremental_span_occurrences`` — as does an index whose scoped
+    days predate the sidecar.
 
     Equals the batch operator's output restricted to the day's docs
     whenever the stored days plus ``new_docs`` ARE the full corpus
     (pinned in tests) — i.e. on the final day of a replay, the two
     grains agree exactly."""
-    flagged = incremental_span_occurrences(
-        new_docs, path, text_col, id_col, before_ds, only_ds, min_docs
+    spark = new_docs.sparkSession
+    params = _read_span_params(spark, path)
+    if params is None:
+        raise ValueError(f"no span index at {path} (params/ missing)")
+    if id_col != params["id_col"]:
+        raise ValueError(
+            f"index at {path} stores id column {params['id_col']!r}, "
+            f"probe asked for {id_col!r}"
+        )
+    bucket_root = os.path.join(path, "buckets")
+    all_days = (
+        {
+            p.split("=", 1)[1]
+            for p in os.listdir(bucket_root)
+            if p.startswith("ds=")
+        }
+        if os.path.isdir(bucket_root)
+        else set()
     )
-    params = _read_span_params(new_docs.sparkSession, path)
-    day_ids = new_docs.select(id_col)
-    own = flagged.join(day_ids, id_col, "left_semi")
+    only = {str(d) for d in only_ds} if only_ds is not None else None
+    scoped_days = {
+        d
+        for d in all_days
+        if (before_ds is None or d < before_ds)
+        and (only is None or d in only)
+    }
+    if min_docs > 2 or not scoped_days <= _summary_days(path):
+        # occurrence fallback: exact distinct counts / legacy index
+        flagged = incremental_span_occurrences(
+            new_docs, path, text_col, id_col, before_ds, only_ds, min_docs
+        )
+        own = flagged.join(new_docs.select(id_col), id_col, "left_semi")
+        return _coverage_stats(
+            own, new_docs, text_col, id_col, int(params["window"])
+        )
+    # summary path: day positions (one kernel pass, lazily
+    # checkpointed — the per-hash reduction and the flag semi-join
+    # both consume them) vs stored per-hash summaries, bucket-aligned
+    wh_new = positional_window_hashes(
+        new_docs,
+        text_col,
+        id_col,
+        window=int(params["window"]),
+        sample_mod=params["sample_mod"],
+    ).localCheckpoint(eager=False)
+    stored = spark.table(ensure_span_summary_table(spark, path))
+    [stored] = scope_index_days(
+        [stored],
+        before_ds,
+        sorted(only) if only is not None else None,
+        f"span index at {path} has no ds partitions to scope",
+    )
+    matched = stored.join(wh_new.select("wh").distinct(), "wh", "left_semi")
+    stored_ph = matched.groupBy("wh").agg(
+        F.min("min_id").alias("_smn"), F.max("max_id").alias("_smx")
+    )
+    day_ph = wh_new.groupBy("wh").agg(
+        F.min(id_col).alias("_dmn"), F.max(id_col).alias("_dmx")
+    )
+    # >=2 distinct docs across the union  <=>  union-min != union-max
+    # (ids are totally ordered; equality means every occurrence —
+    # stored and new — is the same single document)
+    dup_hashes = (
+        day_ph.join(stored_ph, "wh", "left")
+        .filter(
+            F.least(F.coalesce(F.col("_smn"), F.col("_dmn")), F.col("_dmn"))
+            != F.greatest(F.coalesce(F.col("_smx"), F.col("_dmx")), F.col("_dmx"))
+        )
+        .select("wh")
+    )
+    own = wh_new.join(dup_hashes, "wh", "left_semi")
     return _coverage_stats(
         own, new_docs, text_col, id_col, int(params["window"])
     )

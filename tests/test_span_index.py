@@ -363,7 +363,17 @@ def test_compaction_preserves_probe_results(spark, tmp_path):
             only_ds=marker_complete_days(idx),
         )
     )
+    stats_probe = lambda: {  # noqa: E731
+        r.doc_id: r.asDict()
+        for r in incremental_span_stats(
+            _docs(spark, texts3),
+            idx,
+            before_ds=ds3,
+            only_ds=marker_complete_days(idx),
+        ).collect()
+    }
     before = probe()
+    stats_before = stats_probe()
     report = compact_span_index(spark, idx)
     assert report["status"] == "compacted"
     assert report["partitions_before"] == 2 and report["partitions_after"] == 1
@@ -380,6 +390,9 @@ def test_compaction_preserves_probe_results(spark, tmp_path):
     assert report["into_ds"] == DAYS[1][0]
     assert marker_complete_days(idx) == [DAYS[1][0]]
     assert probe() == before
+    # the summary sidecar folds with the buckets: the stats probe
+    # (which reads summaries, not occurrences) is bit-identical too
+    assert stats_probe() == stats_before
     # the watermark closes folded days, re-running either raises
     for ds, texts in DAYS[:2]:
         with pytest.raises(ValueError, match="folded"):
@@ -395,6 +408,73 @@ def test_compaction_preserves_probe_results(spark, tmp_path):
     assert before == {
         x for x in _batch_set(spark, ALL_TEXTS) if _day3_visible(x)
     }
+
+
+def test_stats_run_from_summary_sidecar_not_occurrences(spark, tmp_path):
+    """The stats probe's scale cap (VERDICT r13 #2), pinned two ways:
+    (a) the executed plan scans the SUMMARY table and never touches
+    the occurrence buckets; (b) a hot hash stored in many documents
+    contributes exactly ONE summary row per day, so the probe's
+    stored-side input is independent of occurrence multiplicity."""
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        ensure_span_summary_table,
+    )
+
+    idx = str(tmp_path / "idx")
+    # day 1: a boilerplate 5-token window pasted into 40 docs
+    hot = "h1 h2 h3 h4 h5"
+    texts1 = {i: hot + f" u{i}a u{i}b u{i}c" for i in range(100, 140)}
+    append_shard_to_span_index(
+        _docs(spark, texts1), idx, "2026-03-01", window=W
+    )
+    # one summary row for the hot hash, despite 40 stored occurrences
+    sum_name = ensure_span_summary_table(spark, idx)
+    hot_rows = (
+        spark.table(sum_name).filter(F.col("n_docs") >= 40).collect()
+    )
+    assert len(hot_rows) == 1
+    assert hot_rows[0]["min_id"] == 100 and hot_rows[0]["max_id"] == 139
+    # day 2 carries the hash once: stats flag its 5 tokens, and the
+    # plan reads summaries only
+    day2 = _docs(spark, {500: hot + " t1 t2 t3 t4"})
+    stats = incremental_span_stats(day2, idx, before_ds="2026-03-02")
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "span_sum_" in plan, plan
+    assert "span_idx_" not in plan, plan
+    rows = {r.doc_id: r.asDict() for r in stats.collect()}
+    assert set(rows) == {500}
+    assert rows[500]["dup_tokens"] == 5 and rows[500]["n_dup_windows"] == 1
+
+
+def test_stats_summary_and_occurrence_paths_agree(spark, tmp_path):
+    """Bit-parity between the two stats routes: the summary-sidecar
+    path (min_docs=2) must return exactly what the occurrence
+    fallback computes on the same replay state — including within-day
+    dups, cross-day dups, and the single-doc-across-days NON-dup."""
+    idx = str(tmp_path / "idx")
+    for ds, texts in DAYS[:2]:
+        append_shard_to_span_index(_docs(spark, texts), idx, ds, window=W)
+    ds3, texts3 = DAYS[2]
+    day3 = _docs(spark, texts3)
+    kw = dict(before_ds=ds3, only_ds=marker_complete_days(idx))
+    via_summary = {
+        r.doc_id: r.asDict()
+        for r in incremental_span_stats(day3, idx, **kw).collect()
+    }
+    # force the occurrence fallback through the public API: min_docs=3
+    # uses it, but for parity at min_docs=2 recompute from occurrences
+    from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+        _coverage_stats,
+    )
+
+    occ = incremental_span_occurrences(day3, idx, **kw)
+    own = occ.join(day3.select("doc_id"), "doc_id", "left_semi")
+    via_occurrences = {
+        r.doc_id: r.asDict()
+        for r in _coverage_stats(own, day3, "text", "doc_id", W).collect()
+    }
+    assert via_summary == via_occurrences
+    assert via_summary, "parity fixture is vacuous"
 
 
 def test_compaction_noop_on_single_day(spark, tmp_path):
