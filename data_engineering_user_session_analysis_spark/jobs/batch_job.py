@@ -821,7 +821,7 @@ def main(argv: list[str]) -> None:
     ``job validate-minhash-recall <minhash_index_path> [threshold] [sample_q]`` /
     ``job tune-recall-minhash <minhash_index_path> [threshold] [recall_target] [sample_q]``,
     ``job span-index <ds> <index_path> [docs_path]`` /
-    ``job compact-span-index <index_path>``,
+    ``job compact-span-index <index_path> [--before-ds <ds>] [--monthly]``,
     ``job backfill <ds_start> <ds_end>``, the incremental
     sessionization step ``job sessions <ds>``, and the composed
     operational pipeline ``job daily <ds> [--auto-rebuild-vectors]
@@ -1141,14 +1141,31 @@ def main(argv: list[str]) -> None:
         )
         return
     if argv[1] == "compact-span-index":
-        # fold the span index's complete days into one partition
-        # (small-files maintenance; folded days become CLOSED — see
-        # operators/span_index.compact_span_index)
+        # fold the span index's complete days (small-files
+        # maintenance; folded days become CLOSED — see
+        # operators/span_index.compact_span_index).  Optional:
+        #   --before-ds <ds>   keep days >= ds individual (open window)
+        #   --monthly          rolling mode: fold into per-month
+        #                      super-partitions, O(changed months)
         from data_engineering_user_session_analysis_spark.operators.span_index import (
             compact_span_index,
         )
 
-        print(compact_span_index(get_spark("span_index_compaction"), argv[2]))
+        opts = argv[3:]
+        before = (
+            opts[opts.index("--before-ds") + 1]
+            if "--before-ds" in opts
+            else None
+        )
+        gran = "month" if "--monthly" in opts else "all"
+        print(
+            compact_span_index(
+                get_spark("span_index_compaction"),
+                argv[2],
+                before_ds=before,
+                granularity=gran,
+            )
+        )
         return
     if argv[1] == "compact-index":
         # fold accumulated daily increments into the base members

@@ -400,84 +400,158 @@ def _compaction_watermark(path: str) -> "str | None":
         return f.read().strip() or None
 
 
-def compact_span_index(spark: SparkSession, path: str) -> dict:
-    """Small-files maintenance for the daily-append layout: fold every
-    marker-COMPLETE day into ONE partition (named for the max folded
-    ds, so the probes' lexicographic ``before_ds`` scoping is
-    untouched for all later days), staged in a ``<path>.rebuild``
-    directory and promoted by the lifecycle's two-rename swap — a
-    crash anywhere leaves the live index untouched.  Each day's
-    partition holds up to ``n_buckets`` bucket files, so a year of
-    shards is ~365×n_buckets small files scanned per probe; after
-    compaction the stored side is n_buckets files total, same rows,
-    same bucketing (the staged write goes through the same
-    ``CLUSTERED BY`` table DDL).
+def _count_parquet_files(root: str) -> int:
+    total = 0
+    for _dirpath, _dirs, files in os.walk(root):
+        total += sum(
+            1 for f in files if f.endswith(".parquet") and not f.startswith(".")
+        )
+    return total
 
-    CLOSED DAYS ONLY: folded days can no longer be re-run
-    individually — their rows are inside the compacted partition and
-    a re-append would double-count, so ``append_shard_to_span_index``
-    refuses ds <= the recorded ``compacted_through`` watermark
-    (stamped inside the staged directory BEFORE the swap, so the
-    guard and the fold become visible atomically).  Same
+
+def _hardlink_partition(src: str, dst: str) -> None:
+    """Carry an untouched partition into the staged rebuild without
+    rewriting its bytes: per-file hardlinks (same filesystem — the
+    staged dir is a sibling of the live one), falling back to a copy
+    if the filesystem refuses links.  File NAMES are preserved
+    exactly — bucket file names encode the bucket id the table DDL
+    describes."""
+    import shutil as _shutil
+
+    for dirpath, _dirs, files in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        out = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(dirpath, f), os.path.join(out, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                _shutil.copy2(s, d)
+
+
+def compact_span_index(
+    spark: SparkSession,
+    path: str,
+    before_ds: "str | None" = None,
+    granularity: str = "all",
+) -> dict:
+    """Small-files maintenance for the daily-append layout, staged in
+    a ``<path>.rebuild`` directory and promoted by the lifecycle's
+    two-rename swap — a crash anywhere leaves the live index
+    untouched.  Each day's partition holds up to ``n_buckets`` bucket
+    files, so a year of shards is ~365×n_buckets small files scanned
+    per probe; after compaction the folded span is ~n_buckets files
+    per fold group, same rows, same bucketing (the staged write goes
+    through the same ``CLUSTERED BY`` table DDL).
+
+    Two modes (VERDICT r13 #6):
+
+    * ``granularity='all'`` (default, the original behavior): fold
+      EVERY marker-complete day below the cutoff into ONE partition
+      named for the max folded ds — probes' lexicographic
+      ``before_ds`` scoping is untouched for all later days.  One
+      O(folded-rows) job.
+    * ``granularity='month'`` (rolling): group the closing days by
+      their ``YYYY-MM`` prefix and fold each group into a monthly
+      super-partition (named for the group's max ds).  A month that
+      is already a single partition — a previous fold, or a lone
+      day — is carried over UNTOUCHED via per-file hardlinks, so
+      repeated rolling compaction costs O(months that actually
+      changed), not O(corpus): the steady state re-folds only the
+      month(s) the open window just vacated.
+
+    ``before_ds`` bounds the fold: only complete days strictly below
+    it close; later days stay individual and re-runnable (the "open
+    window").  ``None`` closes everything complete.
+
+    CLOSED DAYS ONLY: a folded day's rows live inside a multi-day
+    partition, so re-appending it would double-count —
+    ``append_shard_to_span_index`` refuses ds <= the recorded
+    ``compacted_through`` watermark (the max ds folded into a
+    multi-day partition, stamped inside the staged directory BEFORE
+    the swap, so the guard and the fold become visible atomically;
+    monotone across runs).  A lone-day month carried over below the
+    watermark is conservatively closed too — its partition is intact
+    but the single-value watermark can't distinguish it.  Same
     single-writer / no-concurrent-probe caveat as the sibling
-    rebuilds.  Returns a report with file and partition counts."""
+    rebuilds.  Returns a report with per-fold row counts and file /
+    partition counts."""
+    if granularity not in ("all", "month"):
+        raise ValueError(f"unknown compaction granularity: {granularity!r}")
+    if before_ds is not None:
+        before_ds = _check_ds(before_ds)
     params = _read_span_params(spark, path)
     if params is None:
         raise ValueError(f"no span index at {path} (params/ missing)")
     days = marker_complete_days(path)
-    if len(days) <= 1:
-        return {"status": "noop", "complete_days": days}
-    target = max(days)
+    closing = [d for d in days if before_ds is None or d < before_ds]
+    if granularity == "all":
+        groups = {"": closing} if len(closing) > 1 else {}
+    else:
+        by_month: "dict[str, list[str]]" = {}
+        for d in closing:
+            by_month.setdefault(d[:7], []).append(d)
+        # single-partition months (a previous fold or a lone day) are
+        # physical no-ops: carried over by hardlink, never rewritten
+        groups = {m: g for m, g in by_month.items() if len(g) > 1}
+    if not groups:
+        return {
+            "status": "noop",
+            "complete_days": days,
+            "closing_days": closing,
+        }
+    fold_targets = {m: max(g) for m, g in groups.items()}
+    new_wm = max(fold_targets.values())
+    old_wm = _compaction_watermark(path)
+    if old_wm is not None and old_wm > new_wm:
+        new_wm = old_wm
+    folding = sorted(d for g in groups.values() for d in g)
     # ADVICE r13 (medium): the fold reads marker-COMPLETE days only
     # and the rebuild swap replaces the whole directory — a crashed
-    # (marker-less) partial day at or below the fold target would be
-    # silently DROPPED by the swap, and the compacted_through
-    # watermark would then refuse its re-append: permanent, silent
-    # loss of that day.  Refuse to fold past it instead — the
-    # operator must re-run the day (append stamps its marker) or
-    # retract it (retract_day_marker) first.
+    # (marker-less) partial day at or below the new watermark would
+    # either be dropped by the swap or (if carried) be refused its
+    # re-append: permanent, silent loss of that day.  Refuse to fold
+    # past it instead — the operator must re-run the day (append
+    # stamps its marker) or retract it (retract_day_marker) first.
+    # Marker-less days ABOVE the watermark are carried over verbatim
+    # and stay re-runnable.
     root = os.path.join(path, "buckets")
+    all_parts = sorted(
+        p.split("=", 1)[1] for p in os.listdir(root) if p.startswith("ds=")
+    )
     blocked = sorted(
-        p.split("=", 1)[1]
-        for p in os.listdir(root)
-        if p.startswith("ds=")
-        and not os.path.exists(os.path.join(root, p, "_SUCCESS"))
-        and p.split("=", 1)[1] <= target
+        d
+        for d in all_parts
+        if d not in days and d <= new_wm
     )
     if blocked:
         raise RuntimeError(
             f"span index at {path} has incomplete (marker-less) day "
-            f"partition(s) {blocked} at or below the fold target "
-            f"{target!r} — compacting would drop them permanently "
+            f"partition(s) {blocked} at or below the fold watermark "
+            f"{new_wm!r} — compacting would drop them permanently "
             "(the watermark then refuses their re-append).  Re-run "
             "each day's append or retract it, then compact."
         )
     name = ensure_span_index_table(spark, path)
-
-    def _count_files(root: str) -> int:
-        total = 0
-        for dirpath, _dirs, files in os.walk(root):
-            total += sum(
-                1 for f in files if f.endswith(".parquet") and not f.startswith(".")
-            )
-        return total
-
-    files_before = _count_files(os.path.join(path, "buckets"))
-    # checkpoint the fold's input BEFORE the re-bucketing repartition:
-    # the bucketed table scan ADVERTISES HashPartitioning(wh, n) so
-    # Catalyst elides a same-key repartition, but the planner may run
-    # the actual scan un-bucketed (split by file size) — the eliding
-    # then leaves writer tasks spanning many buckets and the fold
-    # emits ~tasks×buckets files instead of ~buckets (measured:
-    # 309 files for a 10-day 1M-row fold vs 32 with the checkpoint).
-    # The materialization is O(corpus) but so is the fold itself.
-    rows = (
-        spark.table(name)
-        .filter(F.col("ds").isin(days))
+    files_before = _count_parquet_files(root)
+    # checkpoint each group's input BEFORE the re-bucketing
+    # repartition: the bucketed table scan ADVERTISES
+    # HashPartitioning(wh, n) so Catalyst elides a same-key
+    # repartition, but the planner may run the actual scan un-bucketed
+    # (split by file size) — the eliding then leaves writer tasks
+    # spanning many buckets and the fold emits ~tasks×buckets files
+    # instead of ~buckets (measured: 309 files for a 10-day 1M-row
+    # fold vs 32 with the checkpoint).  The materialization is
+    # O(group) — the rolling mode's whole point.
+    group_rows = {
+        m: spark.table(name)
+        .filter(F.col("ds").isin(g))
         .drop("ds")
         .localCheckpoint(eager=True)
-    )
-    n_rows = rows.count()
+        for m, g in groups.items()
+    }
+    fold_counts = {m: r.count() for m, r in group_rows.items()}
 
     tmp = begin_rebuild(path)
     os.makedirs(tmp, exist_ok=True)
@@ -491,39 +565,72 @@ def compact_span_index(spark: SparkSession, path: str) -> dict:
         params["id_type"],
     )
     tmp_name = ensure_span_index_table(spark, tmp)
-    view = f"{tmp_name}_fold_rows"
-    rows.repartition(int(params["n_buckets"]), F.col("wh")).createOrReplaceTempView(
-        view
-    )
-    spark.sql(
-        f"INSERT OVERWRITE TABLE {tmp_name} PARTITION (ds='{target}') "
-        f"SELECT {params['id_col']}, pos, wh FROM {view}"
-    )
-    spark.catalog.dropTempView(view)
-    # fold the summary sidecar by RECOMPUTING it from the folded
-    # occurrence rows (exact even if a doc id crossed days — no
-    # reliance on per-day n_docs additivity), into the staged table
-    _insert_day_summaries(spark, tmp, target, rows, params)
-    open(os.path.join(tmp, "buckets", f"ds={target}", "_SUCCESS"), "w").close()
+    # carry every partition that is NOT being folded — open days,
+    # already-folded months, lone-day months, and marker-less open
+    # days (their incompleteness travels with them: no marker is
+    # linked because none exists)
+    folding_set = set(folding)
+    for d in all_parts:
+        if d in folding_set:
+            continue
+        _hardlink_partition(
+            os.path.join(path, "buckets", f"ds={d}"),
+            os.path.join(tmp, "buckets", f"ds={d}"),
+        )
+        src_sum = os.path.join(path, "summaries", f"ds={d}")
+        if os.path.isdir(src_sum):
+            _hardlink_partition(
+                src_sum, os.path.join(tmp, "summaries", f"ds={d}")
+            )
+    for m, rows in group_rows.items():
+        target = fold_targets[m]
+        view = f"{tmp_name}_fold_rows"
+        rows.repartition(
+            int(params["n_buckets"]), F.col("wh")
+        ).createOrReplaceTempView(view)
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {tmp_name} PARTITION (ds='{target}') "
+            f"SELECT {params['id_col']}, pos, wh FROM {view}"
+        )
+        spark.catalog.dropTempView(view)
+        # fold the summary sidecar by RECOMPUTING it from the folded
+        # occurrence rows (exact even if a doc id crossed days — no
+        # reliance on per-day n_docs additivity), into the staged table
+        _insert_day_summaries(spark, tmp, target, rows, params)
+        open(
+            os.path.join(tmp, "buckets", f"ds={target}", "_SUCCESS"), "w"
+        ).close()
     # top-level marker: commit_rebuild's promotion gate
     open(os.path.join(tmp, "buckets", "_SUCCESS"), "w").close()
     with open(os.path.join(tmp, "compacted_through"), "w") as f:
-        f.write(target)
+        f.write(new_wm)
     commit_rebuild(path, tmp)
     # the swapped directory has different partitions than the session
     # catalog remembers — sync now rather than at the next probe
     ensure_span_index_table(spark, path)
     ensure_span_summary_table(spark, path)
-    return {
+    report = {
         "status": "compacted",
-        "folded_days": days,
-        "into_ds": target,
-        "rows": n_rows,
+        "folded_days": folding,
+        "folds": [
+            {
+                "into_ds": fold_targets[m],
+                "days": sorted(groups[m]),
+                "rows": fold_counts[m],
+            }
+            for m in sorted(groups)
+        ],
+        "compacted_through": new_wm,
         "files_before": files_before,
-        "files_after": _count_files(os.path.join(path, "buckets")),
-        "partitions_before": len(days),
-        "partitions_after": 1,
+        "files_after": _count_parquet_files(os.path.join(path, "buckets")),
+        "partitions_before": len(all_parts),
+        "partitions_after": len(all_parts) - len(folding) + len(groups),
     }
+    if granularity == "all":
+        # the original single-fold report shape
+        report["into_ds"] = fold_targets[""]
+        report["rows"] = fold_counts[""]
+    return report
 
 
 def _combined_day_occurrences(

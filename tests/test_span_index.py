@@ -477,6 +477,145 @@ def test_stats_summary_and_occurrence_paths_agree(spark, tmp_path):
     assert via_summary, "parity fixture is vacuous"
 
 
+def test_rolling_monthly_compaction(spark, tmp_path):
+    """VERDICT r13 #6: granularity='month' folds closing days into
+    per-month super-partitions, keeps days at/after before_ds
+    individual and re-runnable, and a SECOND rolling pass re-folds
+    only the month that changed — already-folded months are carried
+    over by hardlink, bit-untouched (pinned via inode identity).
+    Probe outputs (occurrences AND summary-path stats) are identical
+    across both folds."""
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        compact_span_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    glue = "c1 c2 c3 c4 c5"  # cross-month duplicated span
+    months = {
+        "2026-01-01": {1: glue + " ja1 ja2 ja3", 2: "jb1 jb2 jb3 jb4 jb5 jb6"},
+        "2026-01-02": {3: "jc1 jc2 " + glue, 4: "jd1 jd2 jd3 jd4 jd5"},
+        "2026-02-01": {5: "fa1 fa2 fa3 " + glue, 6: "fb1 fb2 fb3 fb4 fb5"},
+        "2026-02-02": {7: "fc1 fc2 fc3 fc4 fc5", 8: glue + " fd1 fd2 fd3"},
+        "2026-03-01": {9: "ma1 ma2 " + glue + " ma3"},
+    }
+    for ds, texts in months.items():
+        append_shard_to_span_index(_docs(spark, texts), idx, ds, window=W)
+    probe_text = "x1 x2 " + glue + " x3 x4"
+    probe_day = _docs(spark, {100: probe_text})
+
+    def probes(before_ds="2026-03-02"):
+        kw = dict(before_ds=before_ds, only_ds=marker_complete_days(idx))
+        occ = _occ_set(incremental_span_occurrences(probe_day, idx, **kw))
+        stats = {
+            r.doc_id: r.asDict()
+            for r in incremental_span_stats(probe_day, idx, **kw).collect()
+        }
+        return occ, stats
+
+    def batch_expected(stored_texts):
+        """What the probe must return when the scoped stored days ARE
+        ``stored_texts``: the batch operator over (stored ∪ probe
+        doc), occurrences filtered to the probe day's hashes, stats
+        restricted to the probe doc."""
+        union = {**stored_texts, 100: probe_text}
+        ph = {
+            r.wh
+            for r in positional_window_hashes(probe_day, window=W)
+            .select("wh")
+            .collect()
+        }
+        occ = {t for t in _batch_set(spark, union) if t[2] in ph}
+        stats = {
+            r.doc_id: r.asDict()
+            for r in duplicated_span_stats(_docs(spark, union), window=W)
+            .filter(F.col("doc_id") == 100)
+            .collect()
+        }
+        return occ, stats
+
+    before = probes()
+    assert before[0], "rolling fixture is vacuous"
+    report = compact_span_index(
+        spark, idx, before_ds="2026-03-01", granularity="month"
+    )
+    assert report["status"] == "compacted"
+    assert report["folded_days"] == [
+        "2026-01-01", "2026-01-02", "2026-02-01", "2026-02-02",
+    ]
+    assert [(f["into_ds"], f["days"]) for f in report["folds"]] == [
+        ("2026-01-02", ["2026-01-01", "2026-01-02"]),
+        ("2026-02-02", ["2026-02-01", "2026-02-02"]),
+    ]
+    assert report["compacted_through"] == "2026-02-02"
+    assert report["partitions_before"] == 5 and report["partitions_after"] == 3
+    assert marker_complete_days(idx) == [
+        "2026-01-02", "2026-02-02", "2026-03-01",
+    ]
+    assert probes() == before
+    # the open window stays re-runnable; folded days are closed
+    append_shard_to_span_index(
+        _docs(spark, months["2026-03-01"]), idx, "2026-03-01", window=W
+    )
+    with pytest.raises(ValueError, match="folded"):
+        append_shard_to_span_index(
+            _docs(spark, months["2026-01-01"]), idx, "2026-01-01", window=W
+        )
+    # record an inode inside the January fold: the second pass must
+    # carry it by hardlink, not rewrite it
+    jan_dir = os.path.join(idx, "buckets", "ds=2026-01-02")
+    jan_inodes = {
+        f: os.stat(os.path.join(jan_dir, f)).st_ino
+        for f in os.listdir(jan_dir)
+        if f.endswith(".parquet")
+    }
+    assert jan_inodes
+    # month 3 gains a second day; a marker-less (crashed) day sits in
+    # the NEW open window and must survive the swap untouched
+    append_shard_to_span_index(
+        _docs(spark, {11: "na1 na2 na3 na4 na5 na6"}), idx, "2026-03-02", window=W
+    )
+    append_shard_to_span_index(
+        _docs(spark, {12: "ob1 ob2 ob3 ob4 ob5"}), idx, "2026-04-05", window=W
+    )
+    os.remove(os.path.join(idx, "buckets", "ds=2026-04-05", "_SUCCESS"))
+    report2 = compact_span_index(
+        spark, idx, before_ds="2026-04-01", granularity="month"
+    )
+    assert [(f["into_ds"], f["days"]) for f in report2["folds"]] == [
+        ("2026-03-02", ["2026-03-01", "2026-03-02"])
+    ]
+    assert report2["compacted_through"] == "2026-03-02"
+    assert {
+        f: os.stat(os.path.join(jan_dir, f)).st_ino
+        for f in os.listdir(jan_dir)
+        if f.endswith(".parquet")
+    } == jan_inodes, "already-folded month was rewritten, not carried"
+    crashed = os.path.join(idx, "buckets", "ds=2026-04-05")
+    assert os.path.isdir(crashed) and not os.path.exists(
+        os.path.join(crashed, "_SUCCESS")
+    )
+    assert marker_complete_days(idx) == ["2026-01-02", "2026-02-02", "2026-03-02"]
+    # the logical corpus grew (2026-03-02's doc is now stored), so the
+    # post-fold probe is checked against the batch operator over the
+    # complete days' texts — the replay-parity contract itself
+    after = probes(before_ds="2026-05-01")
+    assert after == batch_expected(
+        {**{d: t for _, day in months.items() for d, t in day.items()},
+         11: "na1 na2 na3 na4 na5 na6"}
+    )
+    # a marker-less day BELOW the prospective watermark still blocks:
+    # folding May would advance the watermark past the crashed April
+    # day, silently locking out its re-run — refuse instead
+    for ds in ("2026-05-01", "2026-05-02"):
+        append_shard_to_span_index(
+            _docs(spark, {20: "pa1 pa2 pa3 pa4 pa5 " + ds}), idx, ds, window=W
+        )
+    with pytest.raises(RuntimeError, match="incomplete"):
+        compact_span_index(
+            spark, idx, before_ds="2026-06-01", granularity="month"
+        )
+
+
 def test_compaction_noop_on_single_day(spark, tmp_path):
     from data_engineering_user_session_analysis_spark.operators.span_index import (
         compact_span_index,
