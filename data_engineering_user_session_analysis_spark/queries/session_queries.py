@@ -315,12 +315,10 @@ def session_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from data_engineering_user_session_analysis_spark.operators.incremental_sessions import (
-        advance_sessions,
-        finalize_sessions,
+        replay_sessions_sql,
     )
 
     ev = load_events(spark, sf_dir)
-    state = None
     # State round-trips through parquet exactly like the production
     # verb (batch_job.run_incremental_sessions) — NOT through chained
     # localCheckpoint: the operator docstring documents (and a
@@ -340,54 +338,44 @@ def session_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     aqe_key = "spark.sql.adaptive.enabled"
     sess_width = spark.conf.get(width_key)
     sess_aqe = spark.conf.get(aqe_key)
-    # width 4, not 16: a fixture day is ~1/30 of sf0.1 (~33k events),
-    # and the replay's cost is per-task fixed overhead × 30 days ×
-    # stages — measured 45.7 s at width 16 vs 30.5 s at width 4 for
-    # the same loop.  The PRODUCTION verb keeps the session width: a
-    # real day is millions of rows.
-    spark.conf.set(width_key, str(min(int(sess_width), 4)))
-    # AQE off for the replay only: at fixture-day sizes each AQE
-    # re-plan adds jobs that dominate the day's actual work (measured
-    # 35% of the loop); the PRODUCTION verb (batch_job) keeps AQE on
-    # because a real day is big enough to need skew/coalesce re-plans.
-    spark.conf.set(aqe_key, "false")
+    # width 1: a fixture day is ~1/30 of sf0.1 (~3k events) and the
+    # replay's cost is per-task fixed overhead × 30 days × stages —
+    # width 1 measured fastest (r14 profile: 0.52 s/day vs 0.95 at
+    # width 4) and leaves each step's state at one file.  The
+    # PRODUCTION verb keeps the session width: a real day is millions
+    # of rows.
     try:
         # Replay from a date-PARTITIONED lake, like production: the
         # daily verb reads a partition-pruned `date=<ds>` directory,
         # so the replay must not pay 30 full-table scans the real
         # pipeline never does.  One partitioned write (~3 s), then
-        # every day's read is a single pruned file.
+        # every day's read is a single pruned file.  The lake write
+        # stays at SESSION width (one writer task per day partition);
+        # only the replay loop narrows.
         lake = os.path.join(tmp, "lake")
         ev.withColumn("_d", F.to_date("ts")).repartition("_d").write.partitionBy(
             "_d"
         ).parquet(lake)
-        evp = spark.read.parquet(lake)
-        days = sorted(
-            p.split("=", 1)[1] for p in os.listdir(lake) if p.startswith("_d=")
-        )
-        closed_frames = []
-        for i, d in enumerate(days):
-            # materialize_dir folds the state round-trip INTO the
-            # step: one parquet write of the combined fold per day is
-            # the only job (the old shape paid a localCheckpoint job
-            # + a state-write job per day), `closed` and
-            # `state` are both filters over that day's parquet, so
-            # the closed frames accumulate with no pinned blocks and
-            # the state is restart-safe like the production verb's.
-            closed, state = advance_sessions(
-                evp.filter(F.col("_d") == d).drop("_d"),
-                state,
-                materialize_dir=os.path.join(tmp, f"step_{i}"),
-            )
-            closed_frames.append(closed)
+        spark.conf.set(width_key, "1")
+        # AQE off for the replay only: at fixture-day sizes each AQE
+        # re-plan adds jobs that dominate the day's actual work
+        # (measured 35% of the loop); the PRODUCTION verb (batch_job)
+        # keeps AQE on because a real day is big enough to need
+        # skew/coalesce re-plans.
+        spark.conf.set(aqe_key, "false")
+        # The SQL-template replay (one spark.sql + one write job per
+        # day) — bit-identical to looping advance_sessions with
+        # per-day materialize_dirs (pinned in
+        # tests/test_incremental_sessions.py), but without the
+        # ~2,650 Py4J round-trips/day of Column construction the
+        # DataFrame form pays (VERDICT r13 #5: that fixed overhead
+        # was 96% of this row's bench time).  The production verb
+        # keeps the DataFrame operator: it builds the plan once per
+        # daily run, where construction cost is noise.
+        full = replay_sessions_sql(spark, lake, tmp)
     finally:
         spark.conf.set(width_key, sess_width)
         spark.conf.set(aqe_key, sess_aqe)
-    from functools import reduce
-
-    full = reduce(lambda a, b: a.unionByName(b), closed_frames).unionByName(
-        finalize_sessions(state)
-    )
     return full.withColumns(
         {
             "is_purchase": F.col("is_purchase").cast("int"),

@@ -134,6 +134,65 @@ def test_midnight_boundary_cases(spark, tmp_path):
     assert got["5-2"]["is_purchase"] == 1
 
 
+def _sql_replay(spark, events, tmp, gap_seconds=GAP):
+    """Drive the SQL-template replay the way the registry row does:
+    date-partitioned lake, then replay_sessions_sql."""
+    import os
+
+    from data_engineering_user_session_analysis_spark.operators.incremental_sessions import (
+        replay_sessions_sql,
+    )
+
+    lake = os.path.join(tmp, "lake")
+    events.withColumn("_d", F.to_date("ts")).repartition("_d").write.partitionBy(
+        "_d"
+    ).parquet(lake)
+    return replay_sessions_sql(
+        spark, lake, os.path.join(tmp, "steps"), gap_seconds=gap_seconds
+    )
+
+
+def test_sql_replay_equals_dataframe_replay(spark, tmp_path):
+    """The SQL step template (VERDICT r13 #5) is the SAME logical
+    step as advance_sessions — pinned bit-identical on the corpus
+    built to cross midnight every way that matters, and against the
+    batch rollup (the ground truth both replays must equal)."""
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-03-01 23:50:00", 1, "view", 1.0),
+            (1, "2024-03-02 00:10:00", 2, "purchase", 2.5),
+            (2, "2024-03-01 23:45:00", 3, "view", 1.0),
+            (2, "2024-03-02 00:15:00", 4, "click", 0.0),
+            (3, "2024-03-01 23:45:00", 5, "view", 1.0),
+            (3, "2024-03-02 00:15:01", 6, "view", 1.0),
+            (4, "2024-03-01 12:00:00", 7, "view", 3.0),
+            (4, "2024-03-03 12:00:00", 8, "view", 4.0),
+            (5, "2024-03-01 23:59:00", 9, "view", 1.0),
+            (5, "2024-03-02 00:20:00", 10, "click", 1.0),
+            (5, "2024-03-02 23:55:00", 11, "view", 1.0),
+            (5, "2024-03-03 00:05:00", 12, "purchase", 9.0),
+        ],
+    )
+    sql_replay = _sql_replay(spark, ev, str(tmp_path / "sql"))
+    df_replay = _replay(spark, ev, str(tmp_path / "df"))
+    batch = session_rollup(sessionize(ev, order_cols=("event_id",)))
+    # names + types (nullability differs trivially: _replay's closed
+    # rows round-trip through an append-mode parquet dir, which makes
+    # every field nullable)
+    assert [(f.name, f.dataType) for f in sql_replay.schema.fields] == [
+        (f.name, f.dataType) for f in df_replay.schema.fields
+    ]
+    _assert_equal(sql_replay, df_replay)
+    _assert_equal(sql_replay, batch)
+
+
+def test_sql_replay_equals_batch_on_fixture(spark, sf_small, tmp_path):
+    ev = load_events(spark, sf_small)
+    batch = session_rollup(sessionize(ev, order_cols=("event_id",)))
+    _assert_equal(_sql_replay(spark, ev, str(tmp_path)), batch)
+
+
 def test_closed_sessions_never_reemitted(spark, tmp_path):
     """Each session id is emitted exactly once across the whole replay
     (closed means closed — a downstream sink can append blindly)."""
