@@ -27,10 +27,14 @@ steal without hand arithmetic.
 Cross-decade scaling (VERDICT r11 #3): pass a lower-SF sweep artifact
 via ``SWEEP_COMPARE_TO`` (or it defaults to the committed sf0.1 sweep
 when sweeping sf1) and the artifact gains ``scaling_vs_compare`` — a
-per-row map of nominal and probe-normalized spark_sec ratios.  At 10x
-rows a healthy row lands <=~15x normalized; a quadratic one shows
-~100x (the r11 sweep pair measured embedding_neardup at 82.8x, the
-defect that motivated this table).
+per-row map of nominal warm-min spark_sec ratios with both sides'
+seconds and raw probe units in the row.  At 10x rows a healthy row
+lands <=~15x; a quadratic one shows ~100x (the r11 sweep pair
+measured embedding_neardup at 82.8x, the defect that motivated this
+table).  The derived probe-NORMALIZED ratio column was retired in r14
+(VERDICT r13 #4: probe noise multiplies into the ratio and the column
+over-corrected even under same-box warm pairing); the raw units stay
+so a reader can still attribute box drift.
 
 Usage: python sweep_oracle.py [SF_DIR] [OUT_JSON]
 Env:   SWEEP_ORACLE_TIMEOUT_S (default 600), SWEEP_COMPARE_TO
@@ -250,22 +254,36 @@ def main() -> None:
                 nominal = now_eff / base_eff
                 unit_now = probe_series_unit(probe_series, order_now.index(name))
                 unit_base = probe_series_unit(base_series, base_order.index(name))
-                unit = unit_now / unit_base if unit_base > 0 else 1.0
                 scaling[name] = {
+                    # NOMINAL is the published signal.  The derived
+                    # probe_normalized_ratio column was RETIRED in r14
+                    # (VERDICT r13 #4): even under same-box warm
+                    # pairing it over-corrected (session_rollup_keyed
+                    # read 16.1x normalized vs 5.7x nominal in
+                    # SWEEP_sf1_r13) because the probe itself samples
+                    # a drifting box and its noise multiplies into the
+                    # ratio.  The RAW per-row probe units stay in the
+                    # row as context — a reader can divide, but the
+                    # artifact no longer publishes a number known to
+                    # mislead.
                     "spark_sec_ratio": round(nominal, 2),
-                    "probe_normalized_ratio": round(
-                        nominal / unit if unit > 0 else nominal, 2
-                    ),
                     # both sides of the ratio, in the row, so a large
                     # ratio over a small base is readable as such
                     # without opening the compare artifact
                     "base_sec": base_eff,
                     "now_sec": now_eff,
+                    "probe_unit_now": round(unit_now, 3),
+                    "probe_unit_base": round(unit_base, 3),
                 }
             scaling_meta = {
                 "compare_to": compare_to,
                 "compare_sf": base.get("sf"),
                 "rows_factor": "see per-table counts; documents/embeddings 10x at sf0.1->sf1",
+                "signal": (
+                    "nominal warm-min ratio (spark_sec_ratio); "
+                    "probe-normalized column retired r14 — raw probe "
+                    "units recorded per row instead"
+                ),
             }
         except (OSError, ValueError) as exc:
             scaling_meta = {"compare_to": compare_to, "error": repr(exc)[:200]}

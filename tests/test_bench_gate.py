@@ -29,8 +29,18 @@ def test_compute_bound_flags_on_normalized_alone():
     """ADVICE r11: a query 40% slower on a 40% faster box shows
     nominal ~0.93 — the old global nominal>1.1 floor masked it.
     Compute-bound rows scale with box speed, so normalized alone
-    decides."""
-    assert gate_row(4.2, 4.5, norm=1.55, nominal=0.93) == "flagged"
+    decides — BUT a nominally-improved row self-adjudicates instead
+    of flagging (VERDICT r13 #3: r13's driver tail produced four
+    normalized-only flags, all nominal improvements, that nobody was
+    around to re-litigate; the ratios stay in the artifact, so the
+    masked-regression scenario remains visible without demanding a
+    human)."""
+    assert (
+        gate_row(4.2, 4.5, norm=1.55, nominal=0.93)
+        == "auto_adjudicated_nominal_improved"
+    )
+    # a normalized-only flag with nominal WORSE-or-flat still flags
+    assert gate_row(4.6, 4.5, norm=1.55, nominal=1.02) == "flagged"
     assert gate_row(4.2, 4.5, norm=1.2, nominal=0.93) == "ok"
 
 

@@ -108,7 +108,14 @@ def main() -> None:
         mark("after_pytest")
 
     if "bench" not in skip:
-        r = _run([py, "bench.py"], log_name="bench")
+        # context stamp (VERDICT r13 #3): the battery's bench is the
+        # round's CANONICAL record — a later driver/manual run writes
+        # context="standalone", so two artifacts reconcile themselves
+        r = _run(
+            [py, "bench.py"],
+            env_extra={"SPARK_GRAFT_BENCH_CONTEXT": "closing_battery"},
+            log_name="bench",
+        )
         r.pop("tail")
         try:
             with open(os.path.join(REPO, "BENCH_local.json")) as f:
@@ -117,6 +124,7 @@ def main() -> None:
             r["full_registry_total"] = b.get("full_registry_total")
             r["shared_r02_subtotal"] = b.get("shared_r02_subtotal")
             r["flagged"] = b.get("flagged_normalized_gt_1_25")
+            r["auto_adjudicated"] = b.get("auto_adjudicated_nominal_improved")
             r["incremental_replay_split"] = b.get("incremental_replay_split")
             r["artifact"] = "BENCH_local.json"
         except (OSError, ValueError) as exc:
