@@ -2162,6 +2162,7 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
     from data_engineering_user_session_analysis_spark.operators.span_index import (
         append_shard_to_span_index,
         incremental_span_occurrences,
+        incremental_span_stats,
     )
 
     _quiesce(spark)
@@ -2181,9 +2182,12 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
         "label": f"span index daily replay ({n_days}x100k docs, window={window})",
         "days": [],
     }
+    # date-like day labels spanning two "months" (5+5) so the rolling
+    # compaction coda below has real month groups to fold
+    ds_list = [f"2026-{1 + d // 5:02d}-{(d % 5) + 1:02d}" for d in range(n_days)]
     rescan_days = {0, n_days // 2, n_days - 1}
     for d in range(n_days):
-        ds = f"d{d:02d}"
+        ds = ds_list[d]
         day_docs = docs.filter(F.col("_day") == d).drop("_day")
         n = day_docs.count()
         t0 = time.monotonic()
@@ -2198,12 +2202,27 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
         )
         flagged = occ.count()
         probe_sec = time.monotonic() - t0
+        # the STATS probe (summary-sidecar path, VERDICT r13 #2): its
+        # stored side is one row per (day, hash), so its cost and
+        # output must stay decoupled from flagged_occurrences growth
+        # (72k->677k over this replay) — the per-day stats_sec series
+        # is the evidence
+        t0 = time.monotonic()
+        stats_rows = incremental_span_stats(
+            day_docs,
+            idx,
+            before_ds=ds,
+            only_ds=marker_complete_days(idx),
+        ).count()
+        stats_sec = time.monotonic() - t0
         row = {
             "ds": ds,
             "n_docs": n,
             "append_sec": round(append_sec, 2),
             "probe_sec": round(probe_sec, 2),
             "flagged_occurrences": flagged,
+            "stats_sec": round(stats_sec, 2),
+            "stats_rows": stats_rows,
         }
         if d in rescan_days:
             cum = docs.filter(F.col("_day") <= d).drop("_day")
@@ -2224,20 +2243,30 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
     res["probe_vs_rescan_at_dayN"] = round(
         last["rescan_sec"] / last["probe_sec"], 2
     )
+    res["stats_flatness_day1_to_dayN"] = round(
+        last["stats_sec"] / first["stats_sec"], 2
+    )
+    res["flagged_growth_day1_to_dayN"] = round(
+        last["flagged_occurrences"] / max(first["flagged_occurrences"], 1), 2
+    )
 
-    # compaction coda: fold the n_days partitions into one and
-    # re-probe the last day's docs as a hypothetical next day — the
-    # flagged count must be identical (parity across the fold) and
-    # the file count drops from ~n_days×buckets to ~buckets
+    # compaction coda: fold and re-probe the last day's docs as a
+    # hypothetical next day — the flagged count must be identical
+    # (parity across the fold) and the file count drops from
+    # ~n_days×buckets to ~buckets.  Runs in TWO rolling monthly folds
+    # first (VERDICT r13 #6 economics: each fold reads one month, and
+    # the second fold carries the already-folded first month by
+    # hardlink — rows_folded in each report is the bound), then the
+    # full fold.
     from data_engineering_user_session_analysis_spark.operators.span_index import (
         compact_span_index,
     )
 
     # probe as a hypothetical NEXT day (before_ds past every stored
-    # partition): compaction folds everything into ds=d{N-1}, so a
-    # before_ds at the fold target would scope the whole index out —
-    # the operational loop always probes ds strictly beyond it
-    next_ds = f"d{n_days:02d}"
+    # partition): compaction folds into the max folded ds, so a
+    # before_ds at the fold target would scope the fold out — the
+    # operational loop always probes ds strictly beyond it
+    next_ds = "2027-01-01"
     last_docs = docs.filter(F.col("_day") == n_days - 1).drop("_day")
     _quiesce(spark)
     t0 = time.monotonic()
@@ -2246,6 +2275,41 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
         only_ds=marker_complete_days(idx),
     ).count()
     pre_sec = time.monotonic() - t0
+    # rolling monthly folds: month 1 alone, then month 2 (month 1's
+    # fold is carried by hardlink — its rows are NOT re-read)
+    rolling = []
+    for cutoff in ("2026-02-01", "2026-03-01"):
+        t0 = time.monotonic()
+        rrep = compact_span_index(
+            spark, idx, before_ds=cutoff, granularity="month"
+        )
+        rolling.append(
+            {
+                "before_ds": cutoff,
+                "fold_sec": round(time.monotonic() - t0, 2),
+                "rows_folded": sum(fd["rows"] for fd in rrep.get("folds", [])),
+                "folds": [
+                    {"into_ds": fd["into_ds"], "n_days": len(fd["days"])}
+                    for fd in rrep.get("folds", [])
+                ],
+                "files_after": rrep.get("files_after"),
+            }
+        )
+        _quiesce(spark)
+    res["rolling_compaction"] = rolling
+    # rolling parity: the two monthly folds must not change the probe
+    t0 = time.monotonic()
+    mid = incremental_span_occurrences(
+        last_docs, idx, before_ds=next_ds,
+        only_ds=marker_complete_days(idx),
+    ).count()
+    res["rolling_probe_parity"] = {
+        "flagged_pre": pre,
+        "flagged_post_rolling": mid,
+        "parity": pre == mid,
+        "probe_sec_post_rolling": round(time.monotonic() - t0, 2),
+    }
+    _quiesce(spark)
     t0 = time.monotonic()
     creport = compact_span_index(spark, idx)
     compact_sec = time.monotonic() - t0
@@ -2269,6 +2333,65 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
         "probe_parity": pre == post,
         "probe_sec_pre": round(pre_sec, 2),
         "probe_sec_post": round(post_sec, 2),
+    }
+
+    # hot-hash coda (VERDICT r13 #2 "Done"): a boilerplate window
+    # stored in N documents (the "header in 1% of the corpus" case).
+    # The occurrence probe's output re-materializes all N stored
+    # occurrences every day the hash recurs; the stats probe reads the
+    # summary sidecar — ONE row per stored day — so its cost and
+    # output must be independent of N.  Two decades of N pin the
+    # claim: occ output grows ~10x, stats output and time do not.
+    hot = " ".join(f"h{i}" for i in range(window))
+    res["hot_hash"] = []
+    for mult in (20_000, 200_000):
+        hidx = os.path.join(OUT, f"span_hot_{mult}")
+        _sh.rmtree(hidx, ignore_errors=True)
+        day1 = spark.range(mult).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(hot + " u"), F.col("id").cast("string")).alias(
+                "text"
+            ),
+        )
+        append_shard_to_span_index(day1, hidx, "2026-01-01", window=window)
+        probe_docs = spark.range(100).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit(hot + " z"), F.col("id").cast("string")).alias(
+                "text"
+            ),
+        )
+        _quiesce(spark)
+        t0 = time.monotonic()
+        occ_rows = incremental_span_occurrences(
+            probe_docs, hidx, before_ds="2026-01-02"
+        ).count()
+        occ_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        stats_rows = incremental_span_stats(
+            probe_docs, hidx, before_ds="2026-01-02"
+        ).count()
+        stats_sec = time.monotonic() - t0
+        res["hot_hash"].append(
+            {
+                "stored_multiplicity": mult,
+                "occurrence_probe_rows": occ_rows,
+                "occurrence_probe_sec": round(occ_sec, 2),
+                "stats_probe_rows": stats_rows,
+                "stats_probe_sec": round(stats_sec, 2),
+            }
+        )
+        _sh.rmtree(hidx, ignore_errors=True)
+    a, b = res["hot_hash"]
+    res["hot_hash_decoupling"] = {
+        "occ_rows_growth": round(
+            b["occurrence_probe_rows"] / max(a["occurrence_probe_rows"], 1), 2
+        ),
+        "stats_rows_growth": round(
+            b["stats_probe_rows"] / max(a["stats_probe_rows"], 1), 2
+        ),
+        "stats_sec_growth": round(
+            b["stats_probe_sec"] / max(a["stats_probe_sec"], 0.01), 2
+        ),
     }
     return res
 
