@@ -348,102 +348,93 @@ def _to_state(partials: DataFrame, user_col: str) -> DataFrame:
 # DataFrame form costs ~2,650 Py4J round-trips of Column construction
 # per invocation (~0.5 s/day measured at sf0.1 on local[8]) — fine for
 # the production verb that runs ONCE a day, but a 30-day replay pays
-# it 30 times and the fixed overhead drowns the operator signal.  This
-# template is the SAME logical plan built in one `spark.sql` call; the
-# replay loop chains state through `parquet.`path`` references inside
-# the SQL, so one step is ONE Python→JVM call plus the write.  Parity
-# with `advance_sessions` is pinned in
+# it 30 times and the fixed overhead drowns the operator signal.  One
+# step here is ONE `spark.sql` call plus the write.
+#
+# The formulation is also one SHUFFLE better than the DataFrame
+# operator's: instead of (sessionize the day: exchange #1) →
+# (union partials with the carry: exchange #2), the carry enters the
+# day's rows as a PSEUDO-EVENT before the single user-partitioned
+# window pass — its ts is the carried last_ts, so the "does the first
+# local session continue the carried session?" merge rule IS the
+# ordinary lag-gap rule, evaluated by the same window that sessionizes
+# the day.  The group-by that rolls sessions up and the open/closed
+# window both reuse the one hash(user) exchange (subset rule), so the
+# whole step is scan → ONE exchange → window chain → agg → write.
+# The pseudo-event ordering is sound by the module contract: days are
+# replayed in ascending order over disjoint ranges, so the carried
+# last_ts precedes every day event (and `_carry DESC` breaks any tie).
+#
+# Parity with `advance_sessions` is pinned in
 # tests/test_incremental_sessions.py (bit-identical replay outputs)
 # and by the registry row's batch-sessionization DuckDB oracle.
 _STEP_SQL = """
-WITH loc AS (
-  SELECT {user}, session_seq,
-         min({ts}) AS session_start_time,
-         max({ts}) AS last_ts,
-         count(*) AS number_of_events,
-         sum(CAST({val} AS DECIMAL(18,2))) AS session_value,
-         max(CASE WHEN {etype} = '{purchase}' THEN 1 ELSE 0 END) AS is_purchase,
-         collect_set({etype}) AS event_types,
-         min_by({etype}, struct({ts}, {tie})) AS first_event_type,
-         max_by({etype}, struct({ts}, {tie})) AS last_event_type
-  FROM (
-    SELECT *,
-           sum(CASE WHEN _prev_ts IS NULL
-                      OR unix_micros(CAST({ts} AS TIMESTAMP))
-                         - unix_micros(CAST(_prev_ts AS TIMESTAMP)) > {gap_us}
-                    THEN 1 ELSE 0 END)
-             OVER (PARTITION BY {user} ORDER BY {ts}, {tie}
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS session_seq
-    FROM (
-      SELECT *,
-             lag({ts}) OVER (PARTITION BY {user} ORDER BY {ts}, {tie})
-               AS _prev_ts
-      FROM {day_rel}
-    )
-  )
-  GROUP BY {user}, session_seq
-),
-carry AS (
-  SELECT {user}, 0 AS _local_seq, session_seq AS _carry_seq,
-         session_start_time, last_ts, number_of_events, session_value,
-         is_purchase, event_types, first_event_type, last_event_type
+WITH u AS (
+  SELECT {user}, {ts}, {tie}, {etype},
+         CAST({val} AS DECIMAL(18,2)) AS _val,
+         false AS _carry,
+         NULL AS _cseq, NULL AS _cstart, NULL AS _cnev, NULL AS _cval,
+         NULL AS _cpurch, NULL AS _ctypes, NULL AS _cfirst, NULL AS _clast
+  FROM {day_rel}
+  UNION ALL
+  SELECT {user}, last_ts AS {ts}, NULL AS {tie}, NULL AS {etype},
+         NULL AS _val,
+         true AS _carry,
+         session_seq AS _cseq,
+         session_start_time AS _cstart,
+         number_of_events AS _cnev,
+         session_value AS _cval,
+         is_purchase AS _cpurch,
+         event_types AS _ctypes,
+         first_event_type AS _cfirst,
+         last_event_type AS _clast
   FROM {state_rel} AS _state_src
 ),
-u AS (
-  SELECT * FROM carry
-  UNION ALL
-  SELECT {user}, session_seq AS _local_seq, CAST(NULL AS BIGINT) AS _carry_seq,
-         session_start_time, last_ts, number_of_events, session_value,
-         is_purchase, event_types, first_event_type, last_event_type
-  FROM loc
-),
-u1 AS (
+seqd AS (
   SELECT *,
-         first(CASE WHEN _local_seq = 0 THEN
-                 struct(_carry_seq AS seq, last_ts AS lts,
-                        session_start_time AS st, number_of_events AS nev,
-                        session_value AS val, is_purchase AS purch,
-                        event_types AS types, first_event_type AS fst)
-               END, true)
-           OVER (PARTITION BY {user}) AS _c
-  FROM u
-),
-u2 AS (
-  SELECT * FROM (
+         sum(CASE WHEN _prev_ts IS NULL
+                    OR unix_micros(CAST({ts} AS TIMESTAMP))
+                       - unix_micros(CAST(_prev_ts AS TIMESTAMP)) > {gap_us}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY {user}
+                 ORDER BY _carry DESC, {ts}, {tie}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _seq_local,
+         max(_cseq) OVER (PARTITION BY {user}) AS _ucseq
+  FROM (
     SELECT *,
-           max(CASE WHEN _local_seq = 1
-                     AND unix_micros(CAST(session_start_time AS TIMESTAMP))
-                         - unix_micros(CAST(_c.lts AS TIMESTAMP)) <= {gap_us}
-                    THEN 1 ELSE 0 END)
-             OVER (PARTITION BY {user}) = 1 AS _merged
-    FROM u1
+           lag({ts}) OVER (PARTITION BY {user}
+                           ORDER BY _carry DESC, {ts}, {tie})
+             AS _prev_ts
+    FROM u
   )
-  WHERE NOT (_merged AND _local_seq = 0)
 ),
 combined AS (
   SELECT {user},
-         CASE WHEN _local_seq = 0 THEN _c.seq
-              ELSE coalesce(_c.seq, 0) + _local_seq
-                   - CASE WHEN _merged THEN 1 ELSE 0 END
-         END AS session_seq,
-         CASE WHEN _merged AND _local_seq = 1 THEN _c.st
-              ELSE session_start_time END AS session_start_time,
-         last_ts,
-         CASE WHEN _merged AND _local_seq = 1 THEN _c.nev + number_of_events
-              ELSE number_of_events END AS number_of_events,
-         CAST(CASE WHEN _merged AND _local_seq = 1 THEN _c.val + session_value
-              ELSE session_value END AS DECIMAL(28,2)) AS session_value,
-         CASE WHEN _merged AND _local_seq = 1
-              THEN greatest(_c.purch, is_purchase)
-              ELSE is_purchase END AS is_purchase,
-         CASE WHEN _merged AND _local_seq = 1
-              THEN array_union(_c.types, event_types)
-              ELSE event_types END AS event_types,
-         CASE WHEN _merged AND _local_seq = 1 THEN _c.fst
-              ELSE first_event_type END AS first_event_type,
-         last_event_type
-  FROM u2
+         coalesce(max(_ucseq), 1) + _seq_local - 1 AS session_seq,
+         min(CASE WHEN _carry THEN _cstart ELSE {ts} END)
+           AS session_start_time,
+         max({ts}) AS last_ts,
+         sum(CASE WHEN _carry THEN _cnev ELSE 1 END) AS number_of_events,
+         CAST(sum(CASE WHEN _carry THEN _cval ELSE _val END)
+              AS DECIMAL(28,2)) AS session_value,
+         max(CASE WHEN _carry THEN _cpurch
+                  WHEN {etype} = '{purchase}' THEN 1 ELSE 0 END)
+           AS is_purchase,
+         CASE WHEN max(CASE WHEN _carry THEN 1 ELSE 0 END) = 1
+              THEN array_union(
+                     first(CASE WHEN _carry THEN _ctypes END, true),
+                     collect_set(CASE WHEN NOT _carry THEN {etype} END))
+              ELSE collect_set(CASE WHEN NOT _carry THEN {etype} END)
+         END AS event_types,
+         min_by(CASE WHEN _carry THEN _cfirst ELSE {etype} END,
+                struct(CASE WHEN _carry THEN 0 ELSE 1 END, {ts}, {tie}))
+           AS first_event_type,
+         max_by(CASE WHEN _carry THEN _clast ELSE {etype} END,
+                struct(CASE WHEN _carry THEN 0 ELSE 1 END, {ts}, {tie}))
+           AS last_event_type
+  FROM seqd
+  GROUP BY {user}, _seq_local
 )
 SELECT *,
        session_seq = max(session_seq) OVER (PARTITION BY {user}) AS _is_open
@@ -484,7 +475,21 @@ def incremental_step_sql(
     construction; the production verb processes one day per run and
     keeps the session width)."""
     if state_rel is None:
-        state_rel = "(SELECT * FROM loc WHERE 1 = 0)"
+        # first day: an EMPTY carry with the state schema's exact
+        # column types (timestamps borrow the day's ts column type so
+        # TIMESTAMP vs TIMESTAMP_NTZ fixtures both work; the union
+        # coerces the bare-NULL columns from the concrete side)
+        state_rel = (
+            f"(SELECT {user_col}, CAST(NULL AS BIGINT) AS session_seq, "
+            f"{ts_col} AS session_start_time, {ts_col} AS last_ts, "
+            "CAST(NULL AS BIGINT) AS number_of_events, "
+            "CAST(NULL AS DECIMAL(28,2)) AS session_value, "
+            "CAST(NULL AS INT) AS is_purchase, "
+            "CAST(NULL AS ARRAY<STRING>) AS event_types, "
+            "CAST(NULL AS STRING) AS first_event_type, "
+            "CAST(NULL AS STRING) AS last_event_type "
+            f"FROM {day_rel} WHERE 1 = 0)"
+        )
     return _STEP_SQL.format(
         day_rel=day_rel,
         state_rel=state_rel,

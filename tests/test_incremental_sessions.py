@@ -172,6 +172,9 @@ def test_sql_replay_equals_dataframe_replay(spark, tmp_path):
             (5, "2024-03-02 00:20:00", 10, "click", 1.0),
             (5, "2024-03-02 23:55:00", 11, "view", 1.0),
             (5, "2024-03-03 00:05:00", 12, "purchase", 9.0),
+            # null-user rows: one NULL partition, midnight-stitched
+            (None, "2024-03-01 23:58:00", 13, "view", 1.0),
+            (None, "2024-03-02 00:05:00", 14, "click", 2.0),
         ],
     )
     sql_replay = _sql_replay(spark, ev, str(tmp_path / "sql"))
@@ -183,8 +186,14 @@ def test_sql_replay_equals_dataframe_replay(spark, tmp_path):
     assert [(f.name, f.dataType) for f in sql_replay.schema.fields] == [
         (f.name, f.dataType) for f in df_replay.schema.fields
     ]
-    _assert_equal(sql_replay, df_replay)
-    _assert_equal(sql_replay, batch)
+
+    # None-safe row compare (the fixture's NULL user_id breaks the
+    # shared _assert_equal's (user, session) tuple sort)
+    def rows(df):
+        return sorted((tuple(r) for r in df.collect()), key=str)
+
+    assert rows(sql_replay) == rows(df_replay)
+    assert rows(sql_replay) == rows(batch)
 
 
 def test_sql_replay_equals_batch_on_fixture(spark, sf_small, tmp_path):
