@@ -202,6 +202,46 @@ def test_sql_replay_equals_batch_on_fixture(spark, sf_small, tmp_path):
     _assert_equal(_sql_replay(spark, ev, str(tmp_path)), batch)
 
 
+def test_sql_step_plan_has_one_exchange(spark, tmp_path):
+    """The seeded-carry formulation's scale claim: a mid-replay step
+    is scan -> ONE hash(user) exchange -> window chain -> agg ->
+    project.  The rollup groupBy (user, seq) and the open/closed
+    window both reuse the exchange via the subset rule — a second
+    Exchange in this plan means a formulation regression."""
+    import os
+
+    from data_engineering_user_session_analysis_spark.operators.incremental_sessions import (
+        incremental_step_sql,
+    )
+
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-03-01 23:50:00", 1, "view", 1.0),
+            (1, "2024-03-02 00:10:00", 2, "purchase", 2.5),
+        ],
+    )
+    lake = str(tmp_path / "lake")
+    ev.withColumn("_d", F.to_date("ts")).repartition("_d").write.partitionBy(
+        "_d"
+    ).parquet(lake)
+    days = sorted(
+        p.split("=", 1)[1] for p in os.listdir(lake) if p.startswith("_d=")
+    )
+    s0 = str(tmp_path / "s0")
+    spark.sql(
+        incremental_step_sql(f"parquet.`{lake}/_d={days[0]}`", None)
+    ).write.parquet(s0)
+    step = spark.sql(
+        incremental_step_sql(
+            f"parquet.`{lake}/_d={days[1]}`",
+            f"(SELECT * FROM parquet.`{s0}` WHERE _is_open)",
+        )
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_closed_sessions_never_reemitted(spark, tmp_path):
     """Each session id is emitted exactly once across the whole replay
     (closed means closed — a downstream sink can append blindly)."""
