@@ -34,10 +34,11 @@ Design — mergeable partial aggregates, not event retention:
   ``session_rollup(sessionize(all_events))`` EXACTLY — ids,
   ordinals, aggregates, types.
 
-Scale shape: per day, one user-partitioned window over that day's
-events, one hash aggregation, and two hash joins against a state
-table of O(active users) rows — never O(history).  All joins and
-aggs share the ``user_id`` hash partitioning.  State lives as a
+Scale shape: per day, ONE ``user_id`` hash exchange total (the carry
+enters the day's rows as a pseudo-event ahead of the single window
+pass; the session rollup and the open/closed split reuse the same
+partitioning) over O(day events + active users) rows — never
+O(history), and no joins at all.  State lives as a
 parquet table keyed by user, written at the end of each step and
 read back at the start of the next — do NOT chain daily steps
 through ``localCheckpoint`` instead: eagerly-checkpointed blocks pin
@@ -54,10 +55,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_engineering_user_session_analysis_spark.operators.sessionize import (
-    _event_order,
     epoch_micros,
     epoch_seconds,
-    sessionize,
 )
 
 # carried partial-aggregate columns (state table schema, keyed by user)
@@ -72,39 +71,6 @@ _STATE_COLS = (
     "first_event_type",
     "last_event_type",
 )
-
-
-def _local_partials(
-    day: DataFrame,
-    gap_seconds: int,
-    user_col: str,
-    ts_col: str,
-    event_type_col: str,
-    value_col: str,
-    tiebreak_col: str,
-    purchase_value: str,
-) -> DataFrame:
-    """Per-(user, local session) mergeable partials for one day."""
-    s = sessionize(
-        day,
-        user_col=user_col,
-        ts_col=ts_col,
-        gap_seconds=gap_seconds,
-        order_cols=(tiebreak_col,),
-    )
-    order = _event_order(ts_col, tiebreak_col)
-    return s.groupBy(user_col, "session_seq").agg(
-        F.min(ts_col).alias("session_start_time"),
-        F.max(ts_col).alias("last_ts"),
-        F.count("*").alias("number_of_events"),
-        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("session_value"),
-        F.max(
-            F.when(F.col(event_type_col) == purchase_value, 1).otherwise(0)
-        ).alias("is_purchase"),
-        F.collect_set(event_type_col).alias("event_types"),
-        F.min_by(event_type_col, order).alias("first_event_type"),
-        F.max_by(event_type_col, order).alias("last_event_type"),
-    )
 
 
 def _to_rollup(partials: DataFrame, user_col: str) -> DataFrame:
@@ -176,147 +142,162 @@ def advance_sessions(
     keeps a live reference to the files, so overwriting a ping-pong
     pair would corrupt accumulated frames.
     """
-    loc = _local_partials(
-        day,
-        gap_seconds,
-        user_col,
-        ts_col,
-        event_type_col,
-        value_col,
-        tiebreak_col,
-        purchase_value,
-    )
-
+    # Seeded fold, ONE shuffle (r14; mirrors _STEP_SQL below): the
+    # carried open session enters the day's rows as a PSEUDO-EVENT
+    # whose ts is the carried last_ts — days are processed in
+    # ascending order over disjoint ranges (module contract), so it
+    # sorts before every day event (`_carry DESC` breaks any tie) and
+    # the "does the first local session continue the carry?" merge
+    # rule IS the ordinary lag-gap rule, evaluated by the same window
+    # that sessionizes the day.  The per-(user, local-session) rollup
+    # and the open/closed window then reuse the one hash(user)
+    # exchange (subset rule): the whole step plans as scan → ONE
+    # exchange → window chain → agg (plan-pinned in tests).  The
+    # previous formulation sessionized the day (exchange #1), rolled
+    # it up, and unioned the partials with the carry (exchange #2).
     if state is None:
-        state = loc.sparkSession.createDataFrame(
-            [], _to_state(loc.limit(0), user_col).schema
+        state = day.limit(0).select(
+            F.col(user_col),
+            F.lit(None).cast("bigint").alias("session_seq"),
+            F.col(ts_col).alias("session_start_time"),
+            F.col(ts_col).alias("last_ts"),
+            F.lit(None).cast("bigint").alias("number_of_events"),
+            F.lit(None).cast("decimal(28,2)").alias("session_value"),
+            F.lit(None).cast("int").alias("is_purchase"),
+            F.lit(None).cast("array<string>").alias("event_types"),
+            F.lit(None).cast("string").alias("first_event_type"),
+            F.lit(None).cast("string").alias("last_event_type"),
         )
 
-    # Join-free fold: the carried open session enters the day's rows
-    # as a PSEUDO local session with ordinal 0 (every carried event
-    # strictly precedes every day-N event, so position 0 is exact),
-    # and all cross-row logic — merge detection, global ordinals,
-    # open/closed split — becomes window functions over ONE user_id
-    # partitioning.  The previous join formulation (state left-join +
-    # merge-flag self-join + untouched anti-join) shuffled the same
-    # keys three extra times and forced a second materialization;
-    # here the whole step is union → one window chain, and `loc`
-    # appears exactly once in the plan so it needs no checkpoint of
-    # its own.
-    partial_cols = [c for c in _STATE_COLS if c != "session_seq"]
-    carry = state.select(
+    day_types = dict(day.dtypes)
+    ev_side = day.select(
         F.col(user_col),
-        F.lit(0).alias("_local_seq"),
-        F.col("session_seq").alias("_carry_seq"),
-        *[F.col(c) for c in partial_cols],
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        F.col(event_type_col),
+        F.col(value_col).cast("decimal(18,2)").alias("_val"),
+        F.lit(False).alias("_carry"),
+        F.lit(None).cast("bigint").alias("_cseq"),
+        F.lit(None).cast(day_types[ts_col]).alias("_cstart"),
+        F.lit(None).cast("bigint").alias("_cnev"),
+        F.lit(None).cast("decimal(28,2)").alias("_cval"),
+        F.lit(None).cast("int").alias("_cpurch"),
+        F.lit(None).cast("array<string>").alias("_ctypes"),
+        F.lit(None).cast("string").alias("_cfirst"),
+        F.lit(None).cast("string").alias("_clast"),
     )
-    local_rows = loc.select(
+    carry_side = state.select(
         F.col(user_col),
-        F.col("session_seq").alias("_local_seq"),
-        F.lit(None).cast("long").alias("_carry_seq"),
-        *[F.col(c) for c in partial_cols],
+        F.col("last_ts").alias(ts_col),
+        F.lit(None).cast(day_types[tiebreak_col]).alias(tiebreak_col),
+        F.lit(None).cast(day_types[event_type_col]).alias(event_type_col),
+        F.lit(None).cast("decimal(18,2)").alias("_val"),
+        F.lit(True).alias("_carry"),
+        F.col("session_seq").alias("_cseq"),
+        F.col("session_start_time").alias("_cstart"),
+        F.col("number_of_events").alias("_cnev"),
+        F.col("session_value").alias("_cval"),
+        F.col("is_purchase").alias("_cpurch"),
+        F.col("event_types").alias("_ctypes"),
+        F.col("first_event_type").alias("_cfirst"),
+        F.col("last_event_type").alias("_clast"),
     )
-    u = carry.unionByName(local_rows)
+    u = ev_side.unionByName(carry_side)
 
-    w = Window.partitionBy(user_col)
-
-    # ALL carried values ride ONE window expression: the single seq-0
-    # pseudo-row's fields packed in a struct, broadcast to the user's
-    # rows (first over an unordered window is deterministic here: at
-    # most one non-null input exists per partition; _carry_seq is
-    # non-null only on that same row, so its old max-over-window is
-    # the same field).  One window function instead of eight halves
-    # the per-day driver-side plan construction — which a 30-day
-    # replay pays 30 times — and evaluates the partition pass once.
-    u1 = u.select(
-        "*",
-        F.first(
-            F.when(
-                F.col("_local_seq") == 0,
-                F.struct(
-                    F.col("_carry_seq").alias("seq"),
-                    F.col("last_ts").alias("last_ts"),
-                    F.col("session_start_time").alias("start"),
-                    F.col("number_of_events").alias("nev"),
-                    F.col("session_value").alias("val"),
-                    F.col("is_purchase").alias("purch"),
-                    F.col("event_types").alias("types"),
-                    F.col("first_event_type").alias("first"),
-                ),
-            ),
-            ignorenulls=True,
-        )
-        .over(w)
-        .alias("_c"),
-    )
-
-    # Per-user merge flag: does the first local session continue the
-    # carried open session?  Strict-> gap rule matches `sessionize`:
-    # delta <= gap extends, delta > gap opens a new session.  With no
-    # carry, _c.last_ts is null -> condition null -> 0 (no merge).
-    m_row = F.when(
-        (F.col("_local_seq") == 1)
-        & (
-            epoch_micros(F.col("session_start_time"))
-            - epoch_micros(F.col("_c.last_ts"))
-            <= F.lit(gap_seconds) * 1_000_000
+    order = [F.col("_carry").desc(), F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w_ord = Window.partitionBy(user_col).orderBy(*order)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_u = Window.partitionBy(user_col)
+    prev_ts = F.lag(ts_col).over(w_ord)
+    # strict-> gap rule matches `sessionize`: delta <= gap extends,
+    # delta > gap opens a new session; a null prev (partition head —
+    # the carry row, or the first event of a carry-less user) opens
+    is_new = F.when(
+        prev_ts.isNull()
+        | (
+            epoch_micros(F.col(ts_col)) - epoch_micros(prev_ts)
+            > F.lit(gap_seconds) * 1_000_000
         ),
         1,
     ).otherwise(0)
-    u2 = u1.withColumn("_merged", F.max(m_row).over(w) == 1).filter(
-        # a merged carry's content folds into the first local session;
-        # its pseudo-row disappears
-        ~(F.col("_merged") & (F.col("_local_seq") == 0))
+    seqd = u.select(
+        "*",
+        F.sum(is_new).over(w_run).alias("_seq_local"),
+        # the user's carried global ordinal (at most one carry row per
+        # user; max over the partition is that row's value, null when
+        # the user is new)
+        F.max("_cseq").over(w_u).alias("_ucseq"),
     )
 
-    # Merge the carried partial into the user's FIRST local session
-    # when stitching.  Positional combine: carried events all precede
-    # today's (disjoint ascending day partitions), so start/first
-    # come from the carry and end/last from today.  An UNMERGED
-    # pseudo-row passes through with its own values and its carried
-    # global ordinal — it is the old open session, now closable.
-    is_stitch = F.col("_merged") & (F.col("_local_seq") == 1)
-    combined = u2.select(
-        F.col(user_col),
-        F.when(F.col("_local_seq") == 0, F.col("_c.seq"))
-        .otherwise(
-            F.coalesce(F.col("_c.seq"), F.lit(0))
-            + F.col("_local_seq")
-            - F.when(F.col("_merged"), 1).otherwise(0)
+    # one rollup per (user, local session): carry partials and event
+    # rows combine inside ordinary aggregates.  Positional combine is
+    # exact: the carry sorts first, so min_by/max_by over
+    # (carry-first, ts, tie) give carried-first / latest-event-last.
+    order_key = F.struct(
+        F.when(F.col("_carry"), F.lit(0)).otherwise(F.lit(1)).alias("c"),
+        F.col(ts_col).alias("t"),
+        F.col(tiebreak_col).alias("k"),
+    )
+    carried = lambda c, other: F.when(F.col("_carry"), c).otherwise(other)  # noqa: E731
+    combined = (
+        seqd.groupBy(user_col, "_seq_local")
+        .agg(
+            F.max("_ucseq").alias("_ucseq_g"),
+            F.max(carried(F.lit(1), F.lit(0))).alias("_has_carry"),
+            F.min(carried(F.col("_cstart"), F.col(ts_col))).alias(
+                "session_start_time"
+            ),
+            F.max(ts_col).alias("last_ts"),
+            F.sum(carried(F.col("_cnev"), F.lit(1))).alias("number_of_events"),
+            F.sum(carried(F.col("_cval"), F.col("_val")))
+            .cast("decimal(28,2)")
+            .alias("session_value"),
+            F.max(
+                F.when(F.col("_carry"), F.col("_cpurch"))
+                .when(F.col(event_type_col) == purchase_value, 1)
+                .otherwise(0)
+            ).alias("is_purchase"),
+            F.first(
+                F.when(F.col("_carry"), F.col("_ctypes")), ignorenulls=True
+            ).alias("_ctypes_g"),
+            F.collect_set(
+                F.when(~F.col("_carry"), F.col(event_type_col))
+            ).alias("_etypes_g"),
+            F.min_by(
+                carried(F.col("_cfirst"), F.col(event_type_col)), order_key
+            ).alias("first_event_type"),
+            F.max_by(
+                carried(F.col("_clast"), F.col(event_type_col)), order_key
+            ).alias("last_event_type"),
         )
-        .alias("session_seq"),
-        F.when(is_stitch, F.col("_c.start"))
-        .otherwise(F.col("session_start_time"))
-        .alias("session_start_time"),
-        F.col("last_ts"),
-        F.when(is_stitch, F.col("_c.nev") + F.col("number_of_events"))
-        .otherwise(F.col("number_of_events"))
-        .alias("number_of_events"),
-        F.when(
-            is_stitch,
-            (F.col("_c.val") + F.col("session_value")).cast("decimal(28,2)"),
+        .select(
+            F.col(user_col),
+            # carry present: global = carried_seq + local - 1 (the
+            # carry IS local session 1); new user: global = local
+            (F.coalesce(F.col("_ucseq_g"), F.lit(1)) + F.col("_seq_local") - 1)
+            .alias("session_seq"),
+            "session_start_time",
+            "last_ts",
+            "number_of_events",
+            "session_value",
+            "is_purchase",
+            F.when(
+                F.col("_has_carry") == 1,
+                F.array_union(F.col("_ctypes_g"), F.col("_etypes_g")),
+            )
+            .otherwise(F.col("_etypes_g"))
+            .alias("event_types"),
+            "first_event_type",
+            "last_event_type",
         )
-        .otherwise(F.col("session_value").cast("decimal(28,2)"))
-        .alias("session_value"),
-        F.when(is_stitch, F.greatest(F.col("_c.purch"), F.col("is_purchase")))
-        .otherwise(F.col("is_purchase"))
-        .alias("is_purchase"),
-        F.when(is_stitch, F.array_union(F.col("_c.types"), F.col("event_types")))
-        .otherwise(F.col("event_types"))
-        .alias("event_types"),
-        F.when(is_stitch, F.col("_c.first"))
-        .otherwise(F.col("first_event_type"))
-        .alias("first_event_type"),
-        F.col("last_event_type"),
     )
 
     # The user's LAST global session stays open (carried forward);
     # everything before it is closed.  A user with no events today
-    # has only their pseudo-row -> it is the max -> stays open,
-    # exactly the old anti-join "untouched" behavior.  Window max
-    # over user — no ordering needed, unbounded frame.
+    # has only their pseudo-row -> it is the max -> stays open.
+    # Window max over user — no ordering needed, unbounded frame.
     combined = combined.withColumn(
-        "_is_open", F.col("session_seq") == F.max("session_seq").over(w)
+        "_is_open", F.col("session_seq") == F.max("session_seq").over(w_u)
     )
     if materialize_dir is not None:
         combined.write.mode("overwrite").parquet(materialize_dir)

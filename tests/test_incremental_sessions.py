@@ -270,6 +270,13 @@ def test_incremental_plan_is_user_partitioned(spark):
     plan = closed2._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the r14 seeded-carry formulation: the whole step reuses ONE
+    # hash(user) exchange (the rollup agg and the open/closed window
+    # ride it via the subset rule) — and no joins at all
+    raw, _ = advance_sessions(day2, state, materialize_partials=False)
+    raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert raw_plan.count("Exchange") == 1, raw_plan
+    assert "Join" not in raw_plan, raw_plan
 
 
 def test_run_incremental_sessions_job(spark, sf_small, tmp_path):
