@@ -31,10 +31,13 @@ vector families in ``operators/dedup_index.py``):
                          history (the 1M replay's flagged-occurrence
                          growth, 72k→677k over ten days, does not
                          touch the stats path at all).
-* ``compacted_through``  max ds folded by `compact_span_index` (the
-                         small-files maintenance verb: all complete
-                         days → one partition via the two-rename
-                         rebuild swap); appends at or below it are
+* ``compacted_through``  max ds folded into a multi-day partition by
+                         `compact_span_index` (small-files
+                         maintenance via the two-rename rebuild swap;
+                         one partition by default, or rolling
+                         per-month super-partitions with
+                         ``granularity='month'`` + ``before_ds`` for
+                         the open window); appends at or below it are
                          refused — folded days are CLOSED.
 
 Bucketing is the scale mechanism: the probe's stored-side is an
