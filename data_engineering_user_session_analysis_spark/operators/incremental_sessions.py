@@ -431,6 +431,18 @@ def _check_sql_path(path: str) -> str:
     return path
 
 
+_SQL_IDENT = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]{0,127}$")
+
+
+def _check_sql_idents(*names: str) -> None:
+    """Column names spliced into the step template (same posture as
+    span_index's DDL guard): an exotic identifier fails loudly here
+    instead of breaking — or injecting into — the SQL text."""
+    for n in names:
+        if not _SQL_IDENT.match(str(n)):
+            raise ValueError(f"unsupported column name for step SQL: {n!r}")
+
+
 def incremental_step_sql(
     day_rel: str,
     state_rel: "str | None" = None,
@@ -455,6 +467,13 @@ def incremental_step_sql(
     exchange leaves the state at one file (replay days are small by
     construction; the production verb processes one day per run and
     keeps the session width)."""
+    _check_sql_idents(
+        user_col, ts_col, event_type_col, value_col, tiebreak_col
+    )
+    if "'" in purchase_value:
+        raise ValueError(
+            f"purchase value not expressible in step SQL: {purchase_value!r}"
+        )
     if state_rel is None:
         # first day: an EMPTY carry with the state schema's exact
         # column types (timestamps borrow the day's ts column type so

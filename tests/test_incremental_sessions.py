@@ -202,6 +202,21 @@ def test_sql_replay_equals_batch_on_fixture(spark, sf_small, tmp_path):
     _assert_equal(_sql_replay(spark, ev, str(tmp_path)), batch)
 
 
+def test_step_sql_validates_spliced_identifiers():
+    """Column names and the purchase literal are spliced into the
+    step template — exotic values must fail loudly, not reach SQL."""
+    import pytest
+
+    from data_engineering_user_session_analysis_spark.operators.incremental_sessions import (
+        incremental_step_sql,
+    )
+
+    with pytest.raises(ValueError, match="column name"):
+        incremental_step_sql("t", None, user_col="user; DROP TABLE x")
+    with pytest.raises(ValueError, match="purchase"):
+        incremental_step_sql("t", None, purchase_value="a'b")
+
+
 def test_sql_step_plan_has_one_exchange(spark, tmp_path):
     """The seeded-carry formulation's scale claim: a mid-replay step
     is scan -> ONE hash(user) exchange -> window chain -> agg ->
