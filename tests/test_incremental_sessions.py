@@ -202,6 +202,67 @@ def test_sql_replay_equals_batch_on_fixture(spark, sf_small, tmp_path):
     _assert_equal(_sql_replay(spark, ev, str(tmp_path)), batch)
 
 
+def test_incremental_replay_property(spark, tmp_path_factory):
+    """Property pin for the r14 seeded-carry formulation: ANY event
+    stream, split at calendar-day boundaries and replayed through
+    advance_sessions, must equal batch sessionization of the union —
+    hot users (id = eid % 3) force carries, merges, multi-session
+    days, and user-absent days across the 3-day window."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10**6),
+                st.datetimes(
+                    min_value=dt.datetime(2024, 1, 1),
+                    max_value=dt.datetime(2024, 1, 4),
+                ),
+                st.sampled_from(["view", "click", "purchase"]),
+                st.integers(min_value=0, max_value=9999),
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda e: e[0],
+        )
+    )
+    def run(events):
+        df = spark.createDataFrame(
+            [
+                (eid % 3, ts, eid, et, cents / 100.0)
+                for (eid, ts, et, cents) in events
+            ],
+            "user_id long, ts timestamp, event_id long, "
+            "event_type string, value double",
+        )
+        batch = session_rollup(sessionize(df, order_cols=("event_id",)))
+        days = sorted(
+            r["d"]
+            for r in df.select(F.to_date("ts").alias("d")).distinct().collect()
+        )
+        state = None
+        closed_frames = []
+        for d in days:
+            closed, state = advance_sessions(
+                df.filter(F.to_date("ts") == F.lit(d)), state
+            )
+            closed_frames.append(closed)
+        inc = finalize_sessions(state)
+        for c in closed_frames:
+            inc = inc.unionByName(c)
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+
+    run()
+
+
 def test_step_sql_validates_spliced_identifiers():
     """Column names and the purchase literal are spliced into the
     step template — exotic values must fail loudly, not reach SQL."""
