@@ -215,7 +215,14 @@ def main() -> None:
     # structure (the 30-day incremental replay runs ~90 deterministic
     # jobs — re-trialing measures the same structure twice and would
     # double the sweep's wall-clock for no added signal).
-    single_trial = {"session_rollup_incremental"}
+    # r14: the set is now EMPTY — the replay row dropped from ~24 s to
+    # ~13 s (SQL-template step + one-shuffle formulation), so min-of-3
+    # is affordable, and the single cold trial was the artifact that
+    # made r14's battery record 29.7 s for a row whose warm cost is
+    # ~13 s (the harness split then read a fake 16 s "operator" — pure
+    # cold-vs-warm asymmetry, the same bias the r13 sweep work killed
+    # with symmetric warm trials).
+    single_trial: set = set()
     registry_timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         if name in timings:
@@ -503,7 +510,7 @@ def main() -> None:
         "shared_r02_subtotal": shared_total,
         "shared_r02_protocol": "min-of-3",
         "registry_queries": registry_timings,
-        "registry_protocol": "min-of-3 (1 trial for the incremental replay)",
+        "registry_protocol": "min-of-3 (incremental replay included since r14)",
         "trials": trials_log,
         "full_registry_total": round(sum(all_timings.values()), 4),
         "family_subtotals": dict(sorted(family_subtotals.items())),

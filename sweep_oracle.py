@@ -327,8 +327,9 @@ def main() -> None:
         n for n, e in results.items() if e["status"] in ("mismatch", "spark_error")
     )
     if scaling:
-        compact["max_normalized_scaling"] = max(
-            (v["probe_normalized_ratio"], k) for k, v in scaling.items()
+        # nominal warm-min ratio (the normalized column was retired r14)
+        compact["max_nominal_scaling"] = max(
+            (v["spark_sec_ratio"], k) for k, v in scaling.items()
         )
     print(json.dumps(compact))
 

@@ -165,8 +165,9 @@ def main() -> None:
                     }
                 )
                 if sw.get("scaling_vs_compare"):
-                    summary["stages"][key]["max_normalized_scaling"] = max(
-                        (v["probe_normalized_ratio"], k)
+                    # nominal warm-min ratio (normalized column retired r14)
+                    summary["stages"][key]["max_nominal_scaling"] = max(
+                        (v["spark_sec_ratio"], k)
                         for k, v in sw["scaling_vs_compare"].items()
                     )
             except (OSError, ValueError) as exc:
