@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 OVERHEAD_FLOOR = 0.5  # sec: below in both rounds -> exempt
 COMPUTE_BOUND = 2.0  # sec: at/above in either round -> normalized-only
+NORM_HARD_BAR = 1.5  # normalized above this flags REGARDLESS of nominal
 
 
 def gate_row(now_sec: float, prev_sec: float, norm: float, nominal: float) -> str:
@@ -32,15 +33,24 @@ def gate_row(now_sec: float, prev_sec: float, norm: float, nominal: float) -> st
     flags (all nominally faster than r12, pure probe drift) that no
     one was around to adjudicate.  Such rows now self-adjudicate as
     ``auto_adjudicated_nominal_improved`` instead of flagging: both
-    ratios stay in the artifact, so the one scenario the normalized
-    column exists for (a real slowdown masked by a faster box) is
-    still VISIBLE in the row — it just doesn't demand a human for a
-    measurement that moved in the right direction."""
+    ratios stay in the artifact.
+
+    ADVICE r14 bounds the self-adjudication: unlimited
+    nominal-improved auto-pass re-opened exactly the masked-regression
+    hole the normalized column exists for (a genuinely 1.5x-slower
+    query on a 2x-faster box shows nominal ~0.75 and would merge
+    silently).  Normalized above ``NORM_HARD_BAR`` therefore flags
+    regardless of nominal — probe drift measured across rounds stays
+    well inside 1.5x (the r13 drift flags sat at 1.26-1.41), so the
+    band 1.25 < norm <= 1.5 remains the drift-absorbing
+    auto-adjudication zone and anything past it demands a human."""
     if now_sec < OVERHEAD_FLOOR and prev_sec < OVERHEAD_FLOOR:
         return "exempt_overhead_bound"
     if max(now_sec, prev_sec) >= COMPUTE_BOUND:
         if norm > 1.25:
-            return "auto_adjudicated_nominal_improved" if nominal <= 1.0 else "flagged"
+            if nominal > 1.0 or norm > NORM_HARD_BAR:
+                return "flagged"
+            return "auto_adjudicated_nominal_improved"
         return "ok"
     return "flagged" if norm > 1.25 and nominal > 1.1 else "ok"
 

@@ -525,10 +525,12 @@ def replay_sessions_sql(
     ~0.13 s/day of the replay's fixed cost.  The closed rows are
     assembled at the end with a single multi-path read filtered to
     ``NOT _is_open`` — a session closes in exactly one step, so that
-    read IS the union of the per-day closed frames.  Uses fixed view
-    names (``_incr_replay_day`` / ``_incr_replay_state``):
-    single-threaded callers only, like the width caveat above."""
+    read IS the union of the per-day closed frames.  The two view
+    names carry a per-call uuid suffix (VERDICT r14 #5), so
+    concurrent replays on one session cannot repoint each other's
+    views mid-loop."""
     import os
+    import uuid
 
     _check_sql_path(lake_dir)
     _check_sql_path(work_dir)
@@ -539,7 +541,8 @@ def replay_sessions_sql(
     )
     if not days:
         raise ValueError(f"no {day_prefix}* partitions under {lake_dir}")
-    day_view, state_view = "_incr_replay_day", "_incr_replay_state"
+    tag = uuid.uuid4().hex[:12]
+    day_view, state_view = f"_incr_replay_day_{tag}", f"_incr_replay_state_{tag}"
     # both SQL texts are constant across the loop; only the views move
     sql_first = incremental_step_sql(
         day_rel=day_view, state_rel=None, gap_seconds=gap_seconds,

@@ -2243,9 +2243,23 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
     res["probe_vs_rescan_at_dayN"] = round(
         last["rescan_sec"] / last["probe_sec"], 2
     )
+    # denominator guarded like stats_sec_growth (ADVICE r14: the
+    # stored value is round(...,2) and a sub-5ms day-1 summary probe
+    # would otherwise crash the whole run after all the expensive work)
     res["stats_flatness_day1_to_dayN"] = round(
-        last["stats_sec"] / first["stats_sec"], 2
+        last["stats_sec"] / max(first["stats_sec"], 0.01), 2
     )
+    # interior flatness (VERDICT r14 #4): the endpoint ratio above is
+    # the right headline but hides mid-series spikes (r14 had an
+    # unannotated 21.95 s day-2 stats probe vs 4.9-10.5 s neighbors) —
+    # publish the median and max of the whole series so a recurring
+    # interior cost is visible in the artifact
+    _stats_series = sorted(r["stats_sec"] for r in res["days"])
+    res["stats_sec_median"] = _stats_series[len(_stats_series) // 2]
+    res["stats_sec_max"] = _stats_series[-1]
+    _probe_series = sorted(r["probe_sec"] for r in res["days"])
+    res["probe_sec_median"] = _probe_series[len(_probe_series) // 2]
+    res["probe_sec_max"] = _probe_series[-1]
     res["flagged_growth_day1_to_dayN"] = round(
         last["flagged_occurrences"] / max(first["flagged_occurrences"], 1), 2
     )
@@ -2268,13 +2282,31 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
     # operational loop always probes ds strictly beyond it
     next_ds = "2027-01-01"
     last_docs = docs.filter(F.col("_day") == n_days - 1).drop("_day")
-    _quiesce(spark)
-    t0 = time.monotonic()
-    pre = incremental_span_occurrences(
-        last_docs, idx, before_ds=next_ds,
-        only_ds=marker_complete_days(idx),
-    ).count()
-    pre_sec = time.monotonic() - t0
+
+    # warm-paired probe (VERDICT r14 #1): the r14 artifact showed the
+    # post-fold probe 3-4x slower on identical output and couldn't say
+    # whether that was the fold's ~40M-row rewrite evicting the page
+    # cache (measurement bias) or a layout that lost bucket alignment
+    # (real regression).  Run every pre/post probe TWICE back-to-back:
+    # the first trial carries the cold-cache cost of whatever ran
+    # before it, the min is the layout's own cost — the r13 sweep
+    # protocol.  If warm-post ~ warm-pre the layout is fine and the
+    # r14 number was cache bias; a warm-post that stays high is a real
+    # plan/layout problem.
+    def _warm_probe() -> "tuple[int, float, float]":
+        trials = []
+        cnt = 0
+        for _ in range(2):
+            _quiesce(spark)
+            t0 = time.monotonic()
+            cnt = incremental_span_occurrences(
+                last_docs, idx, before_ds=next_ds,
+                only_ds=marker_complete_days(idx),
+            ).count()
+            trials.append(time.monotonic() - t0)
+        return cnt, trials[0], min(trials)
+
+    pre, pre_sec, pre_sec_warm = _warm_probe()
     # rolling monthly folds: month 1 alone, then month 2 (month 1's
     # fold is carried by hardlink — its rows are NOT re-read)
     rolling = []
@@ -2298,16 +2330,13 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
         _quiesce(spark)
     res["rolling_compaction"] = rolling
     # rolling parity: the two monthly folds must not change the probe
-    t0 = time.monotonic()
-    mid = incremental_span_occurrences(
-        last_docs, idx, before_ds=next_ds,
-        only_ds=marker_complete_days(idx),
-    ).count()
+    mid, mid_sec, mid_sec_warm = _warm_probe()
     res["rolling_probe_parity"] = {
         "flagged_pre": pre,
         "flagged_post_rolling": mid,
         "parity": pre == mid,
-        "probe_sec_post_rolling": round(time.monotonic() - t0, 2),
+        "probe_sec_post_rolling": round(mid_sec, 2),
+        "probe_sec_post_rolling_warm": round(mid_sec_warm, 2),
     }
     _quiesce(spark)
     t0 = time.monotonic()
@@ -2316,13 +2345,7 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
     # the fold's O(corpus) localCheckpoint blocks release on GC —
     # quiesce so the post probe measures the layout, not the fold's
     # residue
-    _quiesce(spark)
-    t0 = time.monotonic()
-    post = incremental_span_occurrences(
-        last_docs, idx, before_ds=next_ds,
-        only_ds=marker_complete_days(idx),
-    ).count()
-    post_sec = time.monotonic() - t0
+    post, post_sec, post_sec_warm = _warm_probe()
     res["compaction"] = {
         "files_before": creport["files_before"],
         "files_after": creport["files_after"],
@@ -2332,7 +2355,14 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
         "probe_flagged_post": post,
         "probe_parity": pre == post,
         "probe_sec_pre": round(pre_sec, 2),
+        "probe_sec_pre_warm": round(pre_sec_warm, 2),
         "probe_sec_post": round(post_sec, 2),
+        "probe_sec_post_warm": round(post_sec_warm, 2),
+        # the adjudication field: warm-post vs warm-pre is the fold's
+        # REAL effect on probe cost, cold-trial dispersion removed
+        "probe_warm_post_over_pre": round(
+            post_sec_warm / max(pre_sec_warm, 0.01), 2
+        ),
     }
 
     # hot-hash coda (VERDICT r13 #2 "Done"): a boilerplate window

@@ -29,16 +29,23 @@ def test_compute_bound_flags_on_normalized_alone():
     """ADVICE r11: a query 40% slower on a 40% faster box shows
     nominal ~0.93 — the old global nominal>1.1 floor masked it.
     Compute-bound rows scale with box speed, so normalized alone
-    decides — BUT a nominally-improved row self-adjudicates instead
-    of flagging (VERDICT r13 #3: r13's driver tail produced four
-    normalized-only flags, all nominal improvements, that nobody was
-    around to re-litigate; the ratios stay in the artifact, so the
-    masked-regression scenario remains visible without demanding a
-    human)."""
+    decides — a nominally-improved row inside the drift band
+    (1.25 < norm <= NORM_HARD_BAR) self-adjudicates instead of
+    flagging (VERDICT r13 #3), but ADVICE r14 re-bounds that: past
+    the hard bar the nominal improvement can no longer be probe
+    drift (r13's drift flags sat at 1.26-1.41), so the row flags
+    regardless of nominal — the masked-regression scenario the
+    normalized column was introduced for."""
+    # in-band drift on a nominally-improved row: self-adjudicates
     assert (
-        gate_row(4.2, 4.5, norm=1.55, nominal=0.93)
+        gate_row(4.2, 4.5, norm=1.38, nominal=0.93)
         == "auto_adjudicated_nominal_improved"
     )
+    # the r13 motivating example (norm 1.55 / nominal 0.93) is PAST
+    # the hard bar — ADVICE r14 flips it back to flagged: a 55%
+    # normalized slowdown is a real regression on a faster box, not
+    # drift
+    assert gate_row(4.2, 4.5, norm=1.55, nominal=0.93) == "flagged"
     # a normalized-only flag with nominal WORSE-or-flat still flags
     assert gate_row(4.6, 4.5, norm=1.55, nominal=1.02) == "flagged"
     assert gate_row(4.2, 4.5, norm=1.2, nominal=0.93) == "ok"
