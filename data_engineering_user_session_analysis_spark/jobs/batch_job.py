@@ -629,9 +629,17 @@ def run_span_index_step(
     report["dup_tokens"] = int(agg_row["d"] or 0)
     if max_dup_span_frac is not None:
         flagged = stats.filter(F.col("dup_token_frac") > max_dup_span_frac)
-        flagged.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "span_flags", f"ds={ds}")
-        )
+        flags_dir = os.path.join(out_dir, "span_flags", f"ds={ds}")
+        flagged.write.mode("overwrite").parquet(flags_dir)
+        # ADVICE r14: the record only contains docs OVER this write
+        # threshold — persist it next to the rows (underscore-prefixed,
+        # so parquet readers skip it) so a consumer asking for a lower
+        # threshold can be refused instead of silently gating at the
+        # write threshold (prepare_corpus validates on read)
+        import json as _json
+
+        with open(os.path.join(flags_dir, "_write_meta.json"), "w") as f:
+            _json.dump({"max_dup_span_frac": max_dup_span_frac}, f)
         flags = spark.read.parquet(os.path.join(out_dir, "span_flags", f"ds={ds}"))
         report["flagged_over_threshold"] = flags.count()
         report["max_dup_span_frac"] = max_dup_span_frac

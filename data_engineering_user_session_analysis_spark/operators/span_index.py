@@ -343,14 +343,27 @@ def append_shard_to_span_index(
             f"index at {path} stores id column {params['id_col']!r}, "
             f"append was given {id_col!r}"
         )
-    wm = _compaction_watermark(path)
-    if wm is not None and ds <= wm:
-        raise ValueError(
-            f"day {ds} was folded into the compacted partition "
-            f"(compacted_through={wm}) — its rows live there and a "
-            "re-append would double-count; compaction is for CLOSED "
-            "days only"
-        )
+    closed = _closed_days(path)
+    if closed is not None:
+        # per-partition closure (ADVICE r14): refuse exactly the days
+        # whose rows live inside a multi-day fold; carried untouched
+        # partitions below the watermark stay re-runnable
+        floor = closed["floor"]
+        if ds in closed["days"] or (floor is not None and ds <= floor):
+            raise ValueError(
+                f"day {ds} was folded into a compacted partition — its "
+                "rows live there and a re-append would double-count; "
+                "compaction is for CLOSED days only"
+            )
+    else:
+        wm = _compaction_watermark(path)
+        if wm is not None and ds <= wm:
+            raise ValueError(
+                f"day {ds} was folded into the compacted partition "
+                f"(compacted_through={wm}) — its rows live there and a "
+                "re-append would double-count; compaction is for CLOSED "
+                "days only"
+            )
     # lazy checkpoint: the bucket insert AND the summary groupBy both
     # consume the day's positional rows — the Arrow window kernel must
     # run once, not once per consumer
@@ -401,6 +414,33 @@ def _compaction_watermark(path: str) -> "str | None":
         return None
     with open(p) as f:
         return f.read().strip() or None
+
+
+def _closed_days(path: str) -> "dict | None":
+    """Per-partition closure record (ADVICE r14): the exact set of ds
+    values whose rows live inside a multi-day folded partition (fold
+    targets included — INSERT OVERWRITE on a target would wipe the
+    whole fold), plus an optional legacy ``floor``.  The single-value
+    ``compacted_through`` watermark conservatively closed every day at
+    or below it — including marker-complete lone-day months the fold
+    merely CARRIED by hardlink, whose partitions are intact and whose
+    re-run (a partition-scoped INSERT OVERWRITE) is perfectly safe.
+    This record closes only what was actually folded.
+
+    ``floor`` is non-None exactly when this index was first compacted
+    by a pre-record version: which days its historical folds absorbed
+    is unrecoverable, so everything at or below the legacy watermark
+    stays conservatively closed; folds from then on are tracked
+    per-day above it.  Returns None when no record exists (the append
+    guard then falls back to the legacy watermark semantics)."""
+    p = os.path.join(path, "compacted_days.json")
+    if not os.path.exists(p):
+        return None
+    import json as _json
+
+    with open(p) as f:
+        rec = _json.load(f)
+    return {"floor": rec.get("floor"), "days": set(rec.get("days", []))}
 
 
 def _count_parquet_files(root: str) -> int:
@@ -470,16 +510,18 @@ def compact_span_index(
 
     CLOSED DAYS ONLY: a folded day's rows live inside a multi-day
     partition, so re-appending it would double-count —
-    ``append_shard_to_span_index`` refuses ds <= the recorded
-    ``compacted_through`` watermark (the max ds folded into a
-    multi-day partition, stamped inside the staged directory BEFORE
-    the swap, so the guard and the fold become visible atomically;
-    monotone across runs).  A lone-day month carried over below the
-    watermark is conservatively closed too — its partition is intact
-    but the single-value watermark can't distinguish it.  Same
-    single-writer / no-concurrent-probe caveat as the sibling
-    rebuilds.  Returns a report with per-fold row counts and file /
-    partition counts."""
+    ``append_shard_to_span_index`` refuses exactly the ds values in
+    the ``compacted_days.json`` closure record (stamped inside the
+    staged directory BEFORE the swap, so the guard and the fold become
+    visible atomically; accumulates across runs).  A lone-day month
+    carried over below the watermark stays RE-RUNNABLE (ADVICE r14):
+    its partition is intact and a re-append is a partition-scoped
+    INSERT OVERWRITE of its own rows only — the old single-value
+    ``compacted_through`` watermark (still written, monotone, for
+    report continuity and pre-record readers) conservatively locked
+    such days out.  Same single-writer / no-concurrent-probe caveat
+    as the sibling rebuilds.  Returns a report with per-fold row
+    counts and file / partition counts."""
     if granularity not in ("all", "month"):
         raise ValueError(f"unknown compaction granularity: {granularity!r}")
     if before_ds is not None:
@@ -510,15 +552,16 @@ def compact_span_index(
     if old_wm is not None and old_wm > new_wm:
         new_wm = old_wm
     folding = sorted(d for g in groups.values() for d in g)
-    # ADVICE r13 (medium): the fold reads marker-COMPLETE days only
-    # and the rebuild swap replaces the whole directory — a crashed
-    # (marker-less) partial day at or below the new watermark would
-    # either be dropped by the swap or (if carried) be refused its
-    # re-append: permanent, silent loss of that day.  Refuse to fold
-    # past it instead — the operator must re-run the day (append
-    # stamps its marker) or retract it (retract_day_marker) first.
-    # Marker-less days ABOVE the watermark are carried over verbatim
-    # and stay re-runnable.
+    # ADVICE r13 (medium): the fold reads marker-COMPLETE days only —
+    # a crashed (marker-less) partial day at or below the fold target
+    # is an operational anomaly the fold must not paper over.  Under
+    # the r14 per-day closure record the carried day would actually
+    # stay re-runnable, but folding past the hole still bakes a
+    # known-incomplete day into the "closed history" the probes and
+    # rolling folds treat as settled — refuse instead; the operator
+    # re-runs the day (append stamps its marker) or retracts it
+    # (retract_day_marker) first.  Marker-less days ABOVE the
+    # watermark are carried over verbatim and stay re-runnable.
     root = os.path.join(path, "buckets")
     all_parts = sorted(
         p.split("=", 1)[1] for p in os.listdir(root) if p.startswith("ds=")
@@ -607,6 +650,22 @@ def compact_span_index(
     open(os.path.join(tmp, "buckets", "_SUCCESS"), "w").close()
     with open(os.path.join(tmp, "compacted_through"), "w") as f:
         f.write(new_wm)
+    # per-partition closure record (ADVICE r14, see _closed_days):
+    # accumulate THIS fold's days onto the prior record; an index
+    # first compacted by a pre-record version keeps its legacy
+    # watermark as a conservative floor (its historical folds' day
+    # lists are unrecoverable)
+    prior = _closed_days(path)
+    if prior is not None:
+        closed_days = sorted(prior["days"] | set(folding))
+        floor = prior["floor"]
+    else:
+        closed_days = sorted(folding)
+        floor = old_wm
+    import json as _json
+
+    with open(os.path.join(tmp, "compacted_days.json"), "w") as f:
+        _json.dump({"floor": floor, "days": closed_days}, f)
     commit_rebuild(path, tmp)
     # the swapped directory has different partitions than the session
     # catalog remembers — sync now rather than at the next probe

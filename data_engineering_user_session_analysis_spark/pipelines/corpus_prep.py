@@ -37,6 +37,7 @@ quality, features) pipeline ahead of it without a barrier.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -127,7 +128,9 @@ class CorpusPrepConfig:
     #: ``max_dup_span_frac`` is ALSO set, the stored coverage is
     #: re-filtered at that threshold — a consumer may gate tighter
     #: than the step's write threshold, never looser (ids under the
-    #: write threshold were never recorded).
+    #: write threshold were never recorded; the step persists its
+    #: threshold in a ``_write_meta.json`` sidecar per partition and
+    #: a looser consumer raises — ADVICE r14).
     span_flags_path: str | None = None
     decontaminate_ngram: int = 13
     sample_k: int | None = None
@@ -354,6 +357,33 @@ def prepare_corpus(
         spark = docs.sparkSession
         flags = spark.read.parquet(c.span_flags_path)
         if c.max_dup_span_frac is not None:
+            # ADVICE r14: the record only contains docs over its WRITE
+            # threshold — a consumer threshold BELOW it would silently
+            # gate at the write threshold (docs with coverage between
+            # the two were never recorded).  The writer persists its
+            # threshold in an underscore sidecar per partition; refuse
+            # a looser consumer against every sidecar found under the
+            # path (a record written before the sidecar existed keeps
+            # the docstring-only contract).
+            import glob as _glob
+            import json as _json
+
+            for meta_path in _glob.glob(
+                os.path.join(c.span_flags_path, "**", "_write_meta.json"),
+                recursive=True,
+            ):
+                with open(meta_path) as f:
+                    wrote_at = _json.load(f).get("max_dup_span_frac")
+                if wrote_at is not None and c.max_dup_span_frac < wrote_at:
+                    raise ValueError(
+                        f"span_flags record at {meta_path} was written at "
+                        f"max_dup_span_frac={wrote_at}: docs with coverage "
+                        f"in ({c.max_dup_span_frac}, {wrote_at}] were never "
+                        "recorded, so consuming it at "
+                        f"{c.max_dup_span_frac} would silently gate at the "
+                        "write threshold — re-run the index step at the "
+                        "lower threshold instead"
+                    )
             flags = flags.filter(F.col("dup_token_frac") > c.max_dup_span_frac)
         flagged_ids = flags.select(c.id_col).distinct()
         result = result.join(F.broadcast(flagged_ids), c.id_col, "left_anti")

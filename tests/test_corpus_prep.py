@@ -474,6 +474,30 @@ def test_prepare_corpus_consumes_span_flags(spark, sf_small, tmp_path):
                 span_action="rewrite",
             ),
         )
+    # ADVICE r14: the record was written at 0.6 — a consumer asking
+    # for a LOOSER (lower) threshold would silently gate at 0.6 (docs
+    # with coverage in (0.3, 0.6] were never recorded), so it raises
+    # against the persisted write threshold
+    with pytest.raises(ValueError, match="write threshold"):
+        prepare_corpus(
+            day2,
+            config=CorpusPrepConfig(
+                **base,
+                span_flags_path=os.path.join(out, "span_flags"),
+                max_dup_span_frac=0.3,
+            ),
+        )
+    # tighter (higher) is fine: the record is a superset of what the
+    # consumer keeps — 0.9 keeps even the 0.83-coverage doc
+    surv_tight, _ = prepare_corpus(
+        day2,
+        config=CorpusPrepConfig(
+            **base,
+            span_flags_path=os.path.join(out, "span_flags"),
+            max_dup_span_frac=0.9,
+        ),
+    )
+    assert {r.doc_id for r in surv_tight.select("doc_id").collect()} == ids_plain
 
 
 def test_prepare_corpus_rewrite_without_threshold(spark, sf_small):

@@ -741,3 +741,84 @@ def test_marker_written_last_and_success_present(spark, tmp_path):
     append_shard_to_span_index(_docs(spark, texts1), idx, ds1, window=W)
     assert os.path.exists(os.path.join(idx, "buckets", f"ds={ds1}", "_SUCCESS"))
     assert marker_complete_days(idx) == [ds1]
+
+
+def test_carried_days_below_watermark_stay_rerunnable(spark, tmp_path):
+    """ADVICE r14: closure is tracked PER PARTITION
+    (compacted_days.json), not by the single compacted_through
+    watermark — a marker-complete lone-day month the fold merely
+    carried by hardlink sits below the watermark with its partition
+    intact, and its re-run (a data-correction replay) must not be
+    locked out.  Folded days still refuse; a record-less legacy index
+    keeps the conservative watermark semantics."""
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        compact_span_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    # lone-day January (will be carried), two-day March (will fold to
+    # 2026-03-02 — ABOVE January), open April day
+    jan = {1: "ja1 jb1 jc1 jd1 je1 " + SHARED13}
+    march = {
+        4: "ma4 mb4 mc4 md4 me4 " + SHARED123,
+        5: "na5 nb5 nc5 nd5 ne5 " + SHARED123,
+    }
+    april = {8: "z8 y8 " + SHARED13 + " x8 " + SHARED123}
+    append_shard_to_span_index(_docs(spark, jan), idx, "2026-01-15", window=W)
+    append_shard_to_span_index(
+        _docs(spark, {4: march[4]}), idx, "2026-03-01", window=W
+    )
+    append_shard_to_span_index(
+        _docs(spark, {5: march[5]}), idx, "2026-03-02", window=W
+    )
+    append_shard_to_span_index(_docs(spark, april), idx, "2026-04-01", window=W)
+    probe_docs = _docs(spark, {99: SHARED13 + " " + SHARED123})
+    probe = lambda: _occ_set(  # noqa: E731
+        incremental_span_occurrences(
+            probe_docs, idx, before_ds="2026-05-01",
+            only_ds=marker_complete_days(idx),
+        )
+    )
+    before = probe()
+    assert before, "fixture is vacuous"
+    report = compact_span_index(
+        spark, idx, before_ds="2026-04-01", granularity="month"
+    )
+    assert report["compacted_through"] == "2026-03-02"
+    assert report["folded_days"] == ["2026-03-01", "2026-03-02"]
+    # January (2026-01-15 < 2026-03-02) was carried, not folded: its
+    # re-append is a partition-scoped replace of its own rows —
+    # allowed, and idempotent (the probe set is unchanged)
+    append_shard_to_span_index(_docs(spark, jan), idx, "2026-01-15", window=W)
+    assert probe() == before
+    # the folded days (fold target included) stay closed
+    for ds, texts in (("2026-03-01", {4: march[4]}), ("2026-03-02", {5: march[5]})):
+        with pytest.raises(ValueError, match="folded"):
+            append_shard_to_span_index(_docs(spark, texts), idx, ds, window=W)
+    # the open day above the watermark is untouched by all of this
+    append_shard_to_span_index(_docs(spark, april), idx, "2026-04-01", window=W)
+    assert probe() == before
+
+    # legacy fallback: with only the pre-record watermark on disk
+    # (compacted_days.json absent), which days historical folds
+    # absorbed is unrecoverable — everything at or below the
+    # watermark stays conservatively closed
+    os.remove(os.path.join(idx, "compacted_days.json"))
+    with pytest.raises(ValueError, match="folded"):
+        append_shard_to_span_index(_docs(spark, jan), idx, "2026-01-15", window=W)
+    # and the NEXT new-code fold preserves that conservatism as the
+    # record's floor (April folds alone as a lone-day month -> noop;
+    # grow April so a real fold runs)
+    append_shard_to_span_index(
+        _docs(spark, {9: "ap9 aq9 ar9 as9 at9 au9"}), idx, "2026-04-02", window=W
+    )
+    report2 = compact_span_index(
+        spark, idx, before_ds="2026-05-01", granularity="month"
+    )
+    assert report2["folded_days"] == ["2026-04-01", "2026-04-02"]
+    with pytest.raises(ValueError, match="folded"):
+        # below the legacy floor, still closed
+        append_shard_to_span_index(_docs(spark, jan), idx, "2026-01-15", window=W)
+    with pytest.raises(ValueError, match="folded"):
+        # newly folded day, closed by the per-day record
+        append_shard_to_span_index(_docs(spark, april), idx, "2026-04-01", window=W)
