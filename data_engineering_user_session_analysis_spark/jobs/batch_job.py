@@ -570,6 +570,7 @@ def run_span_index_step(
     window: int = 50,
     sample_mod: "int | None" = None,
     max_dup_span_frac: "float | None" = None,
+    persist_span_positions: bool = False,
 ) -> dict:
     """Daily exact-substring (span-grain) step — the third index
     family in the daily loop (optional part of ``run_daily_pipeline``,
@@ -590,16 +591,37 @@ def run_span_index_step(
     ``CorpusPrepConfig.span_flags_path``, anti-joining the flagged
     ids out of the survivor set), and the step reports the count
     either way.  The index geometry (window, sample_mod) freezes on
-    day one; stored params win afterwards."""
+    day one; stored params win afterwards.
+
+    ``persist_span_positions=True`` (requires ``max_dup_span_frac``)
+    closes the REWRITE half of the loop (VERDICT r14 #2): the flagged
+    docs' duplicated-span anchor positions — with the corpus-wide
+    canonical ``keep`` pick (``incremental_span_positions``) — land
+    in ``out_dir/span_positions/ds=<ds>`` next to the flag record,
+    bounded to flagged docs only, so a later prep run can apply the
+    canonical-preserving rewrite (``span_action='rewrite'`` +
+    ``CorpusPrepConfig.span_positions_path``) with no inline
+    corpus-wide detection.  The partition's ``_write_meta.json``
+    carries the index's frozen window (positions are anchors; the
+    rewrite needs the extent) and the write threshold."""
     import time as _time
 
     from data_engineering_user_session_analysis_spark.operators.index_lifecycle import (
         marker_complete_days,
     )
     from data_engineering_user_session_analysis_spark.operators.span_index import (
+        _read_span_params,
         append_shard_to_span_index,
+        incremental_span_positions,
         incremental_span_stats,
     )
+
+    if persist_span_positions and max_dup_span_frac is None:
+        raise ValueError(
+            "persist_span_positions needs max_dup_span_frac: the "
+            "positions record is bounded to the flagged docs, so a "
+            "threshold must select them"
+        )
 
     idx = os.path.join(out_dir, "span_index")
     docs = spark.read.parquet(docs_path)
@@ -645,6 +667,32 @@ def run_span_index_step(
         report["max_dup_span_frac"] = max_dup_span_frac
         fagg = flags.agg(F.sum("dup_tokens").alias("d")).first()
         report["flagged_dup_tokens"] = int(fagg["d"] or 0)
+        if persist_span_positions:
+            # the flagged docs' anchor positions with the corpus-wide
+            # canonical pick — the record the prep-side rewrite
+            # consumes.  Bounded: the semi-join keeps flagged docs
+            # only, and per doc the rows are at most its window count.
+            params = _read_span_params(spark, idx)
+            id_col = params["id_col"]
+            positions = incremental_span_positions(
+                docs, idx, id_col=id_col, before_ds=ds,
+                only_ds=marker_complete_days(idx),
+            ).join(flags.select(id_col), id_col, "left_semi")
+            pos_dir = os.path.join(out_dir, "span_positions", f"ds={ds}")
+            positions.write.mode("overwrite").parquet(pos_dir)
+            report["flagged_span_positions"] = (
+                spark.read.parquet(pos_dir).count()
+            )
+            import json as _json
+
+            with open(os.path.join(pos_dir, "_write_meta.json"), "w") as f:
+                _json.dump(
+                    {
+                        "window": int(params["window"]),
+                        "max_dup_span_frac": max_dup_span_frac,
+                    },
+                    f,
+                )
     report["probe_sec"] = round(_time.monotonic() - t0, 2)
     report["complete_days"] = len(marker_complete_days(idx))
     return report
@@ -668,6 +716,7 @@ def run_daily_pipeline(
     span_window: "int | None" = None,
     span_sample_mod: "int | None" = None,
     max_dup_span_frac: "float | None" = None,
+    persist_span_positions: bool = False,
 ) -> dict:
     """The composed daily operational verb (``job daily <ds>``) — the
     sequence a real deployment runs once per day, chaining the
@@ -699,8 +748,10 @@ def run_daily_pipeline(
        substring-grain third index family — append the shard's
        window hashes, score it against the stored corpus, and (with
        ``max_dup_span_frac``) record over-threshold doc ids in
-       ``span_flags/ds=<ds>`` for the corpus consumer's drop/rewrite
-       policy.
+       ``span_flags/ds=<ds>`` for the corpus consumer's drop policy —
+       plus, with ``persist_span_positions``, the flagged docs'
+       canonical-picked span positions in ``span_positions/ds=<ds>``
+       for the consumer's rewrite policy (VERDICT r14 #2).
 
     Every step is an idempotent per-day overwrite, so re-running any
     day replaces exactly that day's outputs (pinned by
@@ -779,6 +830,7 @@ def run_daily_pipeline(
             window=span_window,
             sample_mod=span_sample_mod,
             max_dup_span_frac=max_dup_span_frac,
+            persist_span_positions=persist_span_positions,
         )
     return report
 
@@ -861,12 +913,15 @@ def main(argv: list[str]) -> None:
         # the public protocol's 50; flags threshold from
         # SPAN_MAX_DUP_FRAC when set)
         span_on = "--span-index" in argv
+        # --span-positions: also persist the flagged docs' canonical
+        # span positions (rewrite record — needs SPAN_MAX_DUP_FRAC)
+        span_pos = "--span-positions" in argv
         argv = [
             a for a in argv
             if a not in (
                 "--auto-rebuild-vectors", "--recall-check",
                 "--tune-vector-recall", "--tune-doc-recall",
-                "--span-index",
+                "--span-index", "--span-positions",
             )
         ]
         ds = argv[2]
@@ -897,6 +952,7 @@ def main(argv: list[str]) -> None:
                 if span_on and os.environ.get("SPAN_MAX_DUP_FRAC")
                 else None
             ),
+            persist_span_positions=span_pos,
         )
         print(report)
         return

@@ -347,14 +347,46 @@ def remove_duplicated_spans(
             & (F.col("pos") == F.col("_c.pos"))
         ).alias("keep"),
     )
-    per_doc = flagged.groupBy(id_col).agg(
+    return rewrite_docs_from_spans(docs, flagged, text_col, id_col, window)
+
+
+def rewrite_docs_from_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = EXACTSUBSTR_WINDOW,
+) -> DataFrame:
+    """The rewrite HALF of the ExactSubstr protocol, decoupled from
+    detection (VERDICT r14 #2): apply a precomputed duplicated-span
+    record ``(id_col, pos, keep)`` — ``keep`` marking the canonical
+    occurrence whose copy survives — to ``docs``, excising the
+    ``window``-token spans anchored at each non-kept ``pos`` with
+    canonical coverage overriding removal, exactly as
+    ``remove_duplicated_spans`` (which now delegates here) does
+    inline.  The record's producer decides the corpus the canonical
+    pick was computed over: inline detection uses the prep corpus;
+    the daily span-index step persists positions computed against ALL
+    stored days (``span_index.incremental_span_positions``), so a
+    prep run can rewrite at O(flagged-docs) with no corpus-wide
+    detection.
+
+    Docs with no record rows pass through unchanged (removed = 0);
+    ``window`` must be the record producer's window — positions are
+    anchors, not extents.  Returns ``docs`` with ``text_col``
+    rewritten plus ``n_removed_tokens``.
+
+    Scale: one groupBy of the record on ``id_col`` (the record is
+    bounded by flagged docs' window counts, not the corpus), one left
+    join onto ``docs``, one Arrow kernel pass — per-doc state only."""
+    per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("pos", "keep")).alias("_spans")
     )
 
     @F.pandas_udf("struct<text: string, n_removed_tokens: long>")
-    def _rewrite(texts: pd.Series, spans: pd.Series) -> pd.DataFrame:
+    def _rewrite(texts: pd.Series, spans_col: pd.Series) -> pd.DataFrame:
         out_text, out_removed = [], []
-        for t, sp in zip(texts, spans):
+        for t, sp in zip(texts, spans_col):
             if sp is None or len(sp) == 0:
                 out_text.append(t)
                 out_removed.append(0)

@@ -796,6 +796,75 @@ def incremental_span_occurrences(
     return combined.join(dup_hashes, "wh", "left_semi")
 
 
+def incremental_span_positions(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    before_ds: "str | None" = None,
+    only_ds: "list[str] | None" = None,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ARRIVING day's duplicated-span REWRITE record
+    ``(id_col, pos, wh, keep)`` against the stored corpus (VERDICT
+    r14 #2): every duplicated-window anchor position in ``new_docs``,
+    with ``keep`` marking the occurrence that is canonical across
+    (scoped stored days ∪ day) — the lexicographically smallest
+    ``(doc_id, pos)`` occurrence of its hash, the exact pick
+    ``remove_duplicated_spans`` makes inline.  Feed the record to
+    ``span_dedup.rewrite_docs_from_spans`` (window = this index's
+    frozen window) to apply the canonical-preserving ExactSubstr
+    rewrite to the day's docs WITHOUT corpus-wide detection: a day
+    occurrence keeps its copy iff no stored (or smaller day)
+    occurrence precedes it.
+
+    Output rows are restricted to ``new_docs``' own occurrences —
+    stored occurrences inform the flag and the canonical pick but are
+    never re-emitted (stored docs are immutable history; the rewrite
+    consumer only ever touches the arriving day).
+
+    Plan shape: `incremental_span_occurrences`' combined frame with
+    the canonical pick riding the SAME hash-partitioned window the
+    min_docs=2 flag uses (same key — no extra exchange), then one
+    semi-join down to the day's ids (both sides O(day); AQE picks the
+    strategy).  O(day + collisions), never O(corpus)."""
+    combined, _params = _combined_day_occurrences(
+        new_docs, path, text_col, id_col, before_ds, only_ds
+    )
+    w_h = Window.partitionBy("wh")
+    if min_docs <= 2:
+        flagged = (
+            combined.withColumn("_mn", F.min(id_col).over(w_h))
+            .withColumn("_mx", F.max(id_col).over(w_h))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .drop("_mn", "_mx")
+        )
+    else:
+        dup_hashes = (
+            combined.groupBy("wh")
+            .agg(F.count_distinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("wh")
+        )
+        flagged = combined.join(dup_hashes, "wh", "left_semi")
+    picked = flagged.withColumn(
+        "_c", F.min(F.struct(F.col(id_col), F.col("pos"))).over(w_h)
+    ).select(
+        id_col,
+        "pos",
+        # wh travels with the record so a consumer can cheaply verify
+        # the record was computed over the SAME text it is about to
+        # rewrite (prepare_corpus samples rows and recomputes the
+        # md5 — the minhash_index_path content-parity posture)
+        "wh",
+        (
+            (F.col(id_col) == F.col(f"_c.{id_col}"))
+            & (F.col("pos") == F.col("_c.pos"))
+        ).alias("keep"),
+    )
+    return picked.join(new_docs.select(id_col).distinct(), id_col, "left_semi")
+
+
 def incremental_span_stats(
     new_docs: DataFrame,
     path: str,

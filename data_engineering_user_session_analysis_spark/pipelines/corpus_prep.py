@@ -132,6 +132,23 @@ class CorpusPrepConfig:
     #: threshold in a ``_write_meta.json`` sidecar per partition and
     #: a looser consumer raises — ADVICE r14).
     span_flags_path: str | None = None
+    #: path of the daily span-index step's POSITIONS record
+    #: (``run_span_index_step(persist_span_positions=True)`` writes
+    #: the flagged docs' duplicated-span anchor positions — with the
+    #: corpus-wide canonical ``keep`` pick — to
+    #: ``<out>/span_positions/ds=<ds>``).  When set, requires
+    #: ``span_action='rewrite'``: the span stage applies the
+    #: canonical-preserving ExactSubstr rewrite FROM the record
+    #: (``span_dedup.rewrite_docs_from_spans``) instead of running
+    #: inline corpus-wide detection — the rewrite half of the daily
+    #: loop (VERDICT r14 #2).  The rewrite window comes from the
+    #: record's ``_write_meta.json`` sidecar (the index's frozen
+    #: window — ``span_window`` here is ignored; positions are
+    #: anchors, the window is the extent).  Docs without recorded
+    #: positions pass through unchanged; mutually exclusive with
+    #: ``span_flags_path`` (drop and rewrite of the same flagged set
+    #: contradict).
+    span_positions_path: str | None = None
     decontaminate_ngram: int = 13
     sample_k: int | None = None
     pack_budget: int | None = None
@@ -260,12 +277,26 @@ def prepare_corpus(
         raise ValueError(
             f"span_action must be 'drop' or 'rewrite', got {c.span_action!r}"
         )
+    if c.span_positions_path is not None and c.span_flags_path is not None:
+        raise ValueError(
+            "span_positions_path and span_flags_path are mutually "
+            "exclusive: dropping and rewriting the same flagged set "
+            "contradict"
+        )
     if c.span_flags_path is not None and c.span_action == "rewrite":
         raise ValueError(
             "span_flags_path carries flagged doc ids + coverage, not span "
             "positions — it can only drive span_action='drop'.  The "
-            "canonical-preserving rewrite needs per-occurrence positions: "
-            "run it inline (span_action='rewrite' without span_flags_path)."
+            "canonical-preserving rewrite from a daily record needs the "
+            "positions record instead: span_positions_path (written by "
+            "run_span_index_step(persist_span_positions=True)), or run "
+            "detection inline (span_action='rewrite' with neither path)."
+        )
+    if c.span_positions_path is not None and c.span_action != "rewrite":
+        raise ValueError(
+            "span_positions_path carries rewrite positions — set "
+            "span_action='rewrite' (the drop gate consumes "
+            "span_flags_path instead)"
         )
     report: dict[str, int] = {}
     _t = [_time.perf_counter()]
@@ -388,6 +419,69 @@ def prepare_corpus(
         flagged_ids = flags.select(c.id_col).distinct()
         result = result.join(F.broadcast(flagged_ids), c.id_col, "left_anti")
         _barrier("span_gated", result.count())
+    elif c.span_positions_path is not None:
+        # the rewrite half of the daily loop (VERDICT r14 #2): apply
+        # the index step's persisted positions — detection AND the
+        # corpus-wide canonical pick already paid in O(day +
+        # collisions) by the daily probe — through the shared rewrite
+        # kernel.  Prep pays one groupBy of the bounded record, one
+        # left join, one Arrow pass; no corpus-wide span detection.
+        import glob as _glob
+        import json as _json
+
+        from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+            rewrite_docs_from_spans,
+        )
+
+        spark = docs.sparkSession
+        spans = spark.read.parquet(c.span_positions_path)
+        windows = set()
+        for meta_path in _glob.glob(
+            os.path.join(c.span_positions_path, "**", "_write_meta.json"),
+            recursive=True,
+        ):
+            with open(meta_path) as f:
+                windows.add(int(_json.load(f)["window"]))
+        if len(windows) != 1:
+            raise ValueError(
+                f"span_positions record at {c.span_positions_path} carries "
+                f"{'no' if not windows else 'conflicting'} _write_meta.json "
+                f"window sidecar(s) ({sorted(windows)}) — positions are "
+                "anchors and the rewrite needs the producer's exact window"
+            )
+        window = windows.pop()
+        # content parity (the minhash_index_path posture): positions
+        # are TOKEN OFFSETS into the producer's text — a record built
+        # over a different corpus revision (or text this pipeline's
+        # scrub changed) would silently excise the wrong tokens.
+        # Sample rows, recompute each window's md5 from the text the
+        # rewrite will actually see, require exact equality.
+        import hashlib as _hashlib
+
+        sample = (
+            spans.join(
+                result.select(c.id_col, c.text_col), c.id_col, "inner"
+            )
+            .orderBy(c.id_col, "pos")
+            .limit(c.index_validation_sample)
+            .collect()
+        )
+        for r in sample:
+            toks = r[c.text_col].split(" ")[r["pos"]: r["pos"] + window]
+            got = _hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest()
+            if len(toks) < window or got != r["wh"]:
+                raise ValueError(
+                    f"span_positions record at {c.span_positions_path} does "
+                    f"not match this pipeline's text for doc "
+                    f"{r[c.id_col]} pos {r['pos']} — the record must be "
+                    "built over the SAME text the rewrite sees (stale "
+                    "record, different corpus revision, or a scrub rule "
+                    "that moved token offsets)"
+                )
+        result = rewrite_docs_from_spans(
+            result, spans, c.text_col, c.id_col, window=window
+        ).drop("n_removed_tokens")
+        _barrier("span_rewritten", result.count())
     # enter on EITHER signal: rewrite mode ignores the threshold (it
     # rewrites every duplicated span), so span_action='rewrite' alone
     # must enable the stage (ADVICE r13); drop mode needs the

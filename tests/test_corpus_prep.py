@@ -529,3 +529,117 @@ def test_prepare_corpus_rewrite_without_threshold(spark, sf_small):
     }
     assert rows[990020].startswith("zsp0 zsp1")
     assert "zsp0" not in rows[990021]
+
+
+def test_prepare_corpus_rewrites_from_span_positions(spark, tmp_path):
+    """The REWRITE half of the daily span loop (VERDICT r14 #2):
+    the index step persists the flagged docs' duplicated-span anchor
+    positions with the corpus-wide canonical pick
+    (persist_span_positions=True); day-2 prep consuming them via
+    span_positions_path must rewrite the flagged docs EXACTLY as
+    inline remove_duplicated_spans over the full two-day corpus would
+    — with no inline corpus-wide detection — and leave unflagged docs
+    untouched (the record is bounded to the flagged set)."""
+    import os
+
+    import pytest
+
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import (
+        run_span_index_step,
+    )
+    from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+        remove_duplicated_spans,
+    )
+
+    span25 = [f"sp{i}" for i in range(25)]
+    day1 = spark.createDataFrame(
+        [
+            (1, " ".join(span25 + [f"d1x{i}" for i in range(15)])),
+            (2, " ".join(f"d2y{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    # 990030: 25/30 tokens pasted from doc 1 (coverage 0.83 > 0.6 ->
+    # flagged); 990031: 15/40 pasted (0.375 — dup spans but UNDER the
+    # threshold, so outside the record); 990032: clean
+    day2 = spark.createDataFrame(
+        [
+            (990030, " ".join(span25 + [f"zq{i}" for i in range(5)])),
+            (990031, " ".join(span25[:15] + [f"zr{i}" for i in range(25)])),
+            (990032, " ".join(f"zs{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "serving")
+    for ds, shard in (("2026-02-01", day1), ("2026-02-02", day2)):
+        p = str(tmp_path / f"shard_{ds}")
+        shard.write.parquet(p)
+        rep = run_span_index_step(
+            spark, p, out, ds, window=15, max_dup_span_frac=0.6,
+            persist_span_positions=True,
+        )
+    assert rep["flagged_over_threshold"] == 1
+    assert rep["flagged_span_positions"] > 0
+    pos_path = os.path.join(out, "span_positions", "ds=2026-02-02")
+
+    base = dict(min_tokens=5, max_dup_line_frac=1.0)
+    surv, rep2 = prepare_corpus(
+        day2,
+        config=CorpusPrepConfig(
+            **base, span_action="rewrite", span_positions_path=pos_path
+        ),
+    )
+    assert "span_rewritten" in rep2
+    got = {r.doc_id: r.text for r in surv.collect()}
+    # inline protocol over the FULL two-day corpus, the expensive way
+    inline = {
+        r.doc_id: r.text
+        for r in remove_duplicated_spans(
+            day1.unionByName(day2), window=15
+        ).collect()
+    }
+    # flagged doc: bit-identical to the inline rewrite (canonical is
+    # day-1's doc 1, so the pasted span is excised)
+    assert got[990030] == inline[990030]
+    assert "sp0" not in got[990030] and "zq0" in got[990030]
+    # unflagged docs: pass through UNCHANGED (inline would also have
+    # rewritten 990031 — the record is bounded to the flagged set by
+    # design, so prep must not touch it)
+    day2_texts = {r.doc_id: r.text for r in day2.collect()}
+    assert got[990031] == day2_texts[990031]
+    assert got[990032] == day2_texts[990032]
+
+    # contract violations, loudly
+    with pytest.raises(ValueError, match="span_action='rewrite'"):
+        prepare_corpus(
+            day2,
+            config=CorpusPrepConfig(**base, span_positions_path=pos_path),
+        )
+    with pytest.raises(ValueError, match="mutually"):
+        prepare_corpus(
+            day2,
+            config=CorpusPrepConfig(
+                **base,
+                span_action="rewrite",
+                span_positions_path=pos_path,
+                span_flags_path=os.path.join(out, "span_flags"),
+            ),
+        )
+    with pytest.raises(ValueError, match="max_dup_span_frac"):
+        run_span_index_step(
+            spark, str(tmp_path / "shard_2026-02-02"), out, "2026-02-03",
+            window=15, persist_span_positions=True,
+        )
+    # content parity: the record's token offsets are meaningless over
+    # different text — a shifted doc must be refused, not mis-excised
+    day2_shifted = spark.createDataFrame(
+        [(990030, "SHIFT " + day2_texts[990030])],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        prepare_corpus(
+            day2_shifted,
+            config=CorpusPrepConfig(
+                **base, span_action="rewrite", span_positions_path=pos_path
+            ),
+        )

@@ -822,3 +822,72 @@ def test_carried_days_below_watermark_stay_rerunnable(spark, tmp_path):
     with pytest.raises(ValueError, match="folded"):
         # newly folded day, closed by the per-day record
         append_shard_to_span_index(_docs(spark, april), idx, "2026-04-01", window=W)
+
+
+def test_incremental_span_positions_matches_batch_pick(spark, tmp_path):
+    """incremental_span_positions (VERDICT r14 #2): replaying the
+    3-day fixture, each day's record must equal the batch operator's
+    flagged-occurrence set + canonical pick over the FULL corpus,
+    restricted to that day's docs — for every day whose stored
+    prefix ∪ day covers all occurrences of the day's hashes.  Day 3
+    (stored = days 1-2, union = full corpus) is the exact-parity day;
+    keep flags there must match remove_duplicated_spans' pick."""
+    from pyspark.sql import Window as W_
+
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        incremental_span_positions,
+    )
+
+    idx = str(tmp_path / "idx")
+    for ds, texts in DAYS[:2]:
+        append_shard_to_span_index(_docs(spark, texts), idx, ds, window=W)
+    ds3, texts3 = DAYS[2]
+    append_shard_to_span_index(_docs(spark, texts3), idx, ds3, window=W)
+    got = {
+        (r.doc_id, r.pos, r.wh, r.keep)
+        for r in incremental_span_positions(
+            _docs(spark, texts3),
+            idx,
+            before_ds=ds3,
+            only_ds=marker_complete_days(idx),
+        ).collect()
+    }
+    # batch expectation: flag + canonical pick over the full corpus,
+    # restricted to day-3 docs (the same computation
+    # remove_duplicated_spans performs before its rewrite kernel)
+    wh = positional_window_hashes(_docs(spark, ALL_TEXTS), window=W)
+    occ = _flagged_occurrences(wh, "doc_id", 2)
+    w_h = W_.partitionBy("wh")
+    picked = occ.withColumn(
+        "_c", F.min(F.struct(F.col("doc_id"), F.col("pos"))).over(w_h)
+    ).select(
+        "doc_id", "pos", "wh",
+        ((F.col("doc_id") == F.col("_c.doc_id"))
+         & (F.col("pos") == F.col("_c.pos"))).alias("keep"),
+    )
+    want = {
+        (r.doc_id, r.pos, r.wh, r.keep)
+        for r in picked.filter(F.col("doc_id").isin(list(texts3))).collect()
+    }
+    assert got == want
+    # day-3 docs carry higher ids than every earlier occurrence, so
+    # all their duplicated anchors are non-canonical (removals)
+    assert got and all(not k for _, _, _, k in got)
+    # the KEEP case: a day-4 pair duplicated only WITHIN the arriving
+    # day — the smaller (doc_id, pos) occurrence is canonical and
+    # keeps its copy; the other is excised
+    day4 = {
+        20: "q20a q20b q20c q20d q20e tailA",
+        21: "q20a q20b q20c q20d q20e tailB",
+    }
+    append_shard_to_span_index(_docs(spark, day4), idx, "2026-01-04", window=W)
+    got4 = {
+        (r.doc_id, r.pos, r.keep)
+        for r in incremental_span_positions(
+            _docs(spark, day4),
+            idx,
+            before_ds="2026-01-04",
+            only_ds=marker_complete_days(idx),
+        ).collect()
+    }
+    assert got4 == {(20, 0, True), (21, 0, False)}
