@@ -2264,6 +2264,36 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
         last["flagged_occurrences"] / max(first["flagged_occurrences"], 1), 2
     )
 
+    # positions coda (round 15): the rewrite record
+    # (incremental_span_positions — anchor positions + corpus-wide
+    # canonical pick) measured at the replay's deepest state: last
+    # 100k-doc day against 9 stored days.  Its plan is the occurrence
+    # probe plus a same-key window and a day-id semi-join, so its
+    # cost should sit near probe_sec, not rescan_sec.
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        incremental_span_positions,
+    )
+
+    _quiesce(spark)
+    last_ds = ds_list[-1]
+    last_day_docs = docs.filter(F.col("_day") == n_days - 1).drop("_day")
+    t0 = time.monotonic()
+    pos_df = incremental_span_positions(
+        last_day_docs, idx, before_ds=last_ds,
+        only_ds=marker_complete_days(idx),
+    )
+    pos_agg = pos_df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+    ).first()
+    res["positions_last_day"] = {
+        "rows": pos_agg["n"],
+        "kept_canonical": int(pos_agg["kept"] or 0),
+        "sec": round(time.monotonic() - t0, 2),
+        "probe_sec_same_day": res["days"][-1]["probe_sec"],
+    }
+    _quiesce(spark)
+
     # compaction coda: fold and re-probe the last day's docs as a
     # hypothetical next day — the flagged count must be identical
     # (parity across the fold) and the file count drops from

@@ -891,3 +891,70 @@ def test_incremental_span_positions_matches_batch_pick(spark, tmp_path):
         ).collect()
     }
     assert got4 == {(20, 0, True), (21, 0, False)}
+
+
+def test_probe_plan_stays_bucketed_after_compaction(spark, tmp_path):
+    """VERDICT r14 #1, the layout half of the adjudication: the r14
+    stress saw the post-fold occurrence probe 3-4x slower and could
+    not say whether the folded layout had lost bucket alignment
+    (real) or the fold's ~40M-row rewrite had evicted the page cache
+    (bias).  This pins the layout side on a FOLDED index: after a
+    rolling monthly fold AND after the full fold, the stored side of
+    the probe's semi-join is still a bucketed scan with no exchange
+    above it — identical assertions to the pre-fold pin.  With the
+    plan pinned, any residual post-fold slowdown in the stress is
+    measurement bias by elimination (the warm-paired probes there
+    adjudicate it directly)."""
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        compact_span_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    _replay(spark, idx)
+    ds3, texts3 = DAYS[2]
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+
+    def stored_plan_is_bucketed() -> None:
+        occ = incremental_span_occurrences(
+            _docs(spark, texts3),
+            idx,
+            before_ds="2026-02-01",
+            only_ds=marker_complete_days(idx),
+        )
+        plan = occ._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        scan_lines = [
+            ln
+            for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "span_idx_" in ln
+        ]
+        assert scan_lines, plan
+        join_side = plan[: plan.index(scan_lines[0])]
+        stored_branch = join_side[join_side.rindex("Join"):]
+        assert "Exchange" not in stored_branch, plan
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # rolling fold: January's three fixture days -> one partition
+        rep = compact_span_index(
+            spark, idx, before_ds="2026-02-01", granularity="month"
+        )
+        assert rep["status"] == "compacted"
+        stored_plan_is_bucketed()
+        # full fold over the folded layout (idempotent here — one
+        # partition left -> noop is fine; add a day so it folds again)
+        append_shard_to_span_index(
+            _docs(spark, {30: "pf1 pf2 pf3 pf4 pf5 pf6"}), idx,
+            "2026-01-31", window=W,
+        )
+        rep2 = compact_span_index(spark, idx)
+        assert rep2["status"] == "compacted"
+        stored_plan_is_bucketed()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
