@@ -92,3 +92,59 @@ def test_probe_series_two_point_backcompat():
     series = [{"at_row": 0, "sec": 0.2}, {"at_row": 50, "sec": 0.4}]
     u = probe_series_unit(series, 24)  # x=24.5 of 50 -> 49%
     assert abs(u - (0.2 + 0.49 * 0.2)) < 1e-9
+
+
+def test_cross_round_shift_decomposition():
+    """Round 15: the r15 battery flagged six rows across six
+    unrelated families, all sharing one ~1.2x box-state shift the
+    matmul probe read backwards — the registry-median estimator must
+    absorb the uniform component (one global flag) and leave genuine
+    outliers flagged."""
+    from bench import cross_round_shift, gate_row
+
+    # 20 rows uniformly 1.2x slower (box), one row genuinely 2.2x
+    rows = {
+        f"q{i}": {"nominal_ratio": 1.2, "normalized_ratio": 1.3}
+        for i in range(20)
+    }
+    rows["bad"] = {"nominal_ratio": 2.2, "normalized_ratio": 2.4}
+    s = cross_round_shift(rows)
+    assert s["global_shift_flagged"] is True  # 1.2 > 1.15: one item
+    assert s["nominal_divisor"] == 1.2 and s["normalized_divisor"] == 1.3
+    # the uniform rows gate clean after correction...
+    assert (
+        gate_row(3.6, 3.0, norm=1.3 / 1.3, nominal=1.2 / 1.2) == "ok"
+    )
+    # ...the outlier still flags (corrected norm 1.85 > hard bar)
+    assert (
+        gate_row(6.6, 3.0, norm=2.4 / 1.3, nominal=2.2 / 1.2) == "flagged"
+    )
+
+
+def test_cross_round_shift_fast_box_not_corrected():
+    """A uniformly FASTER box (median < 1) must not inflate ratios of
+    rows that cannot track box speed: divisors clamp at 1.0, and no
+    global flag (improvement needs no judge)."""
+    from bench import cross_round_shift
+
+    rows = {
+        f"q{i}": {"nominal_ratio": 0.8, "normalized_ratio": 0.9}
+        for i in range(15)
+    }
+    s = cross_round_shift(rows)
+    assert s["nominal_divisor"] == 1.0 and s["normalized_divisor"] == 1.0
+    assert s["global_shift_flagged"] is False
+    assert s["median_nominal"] == 0.8
+
+
+def test_cross_round_shift_small_sample_no_correction():
+    from bench import cross_round_shift
+
+    rows = {
+        f"q{i}": {"nominal_ratio": 1.4, "normalized_ratio": 1.4}
+        for i in range(5)
+    }
+    s = cross_round_shift(rows)
+    assert s["nominal_divisor"] == 1.0 and s["normalized_divisor"] == 1.0
+    assert s["global_shift_flagged"] is False
+    assert s["n_rows"] == 5
