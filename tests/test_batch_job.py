@@ -641,3 +641,83 @@ def test_recall_floor_without_sample_q_raises(spark, tmp_path):
         with pytest.raises(ValueError, match="recall_floor"):
             fn(spark, path, str(tmp_path / "out"), "2024-01-01",
                recall_sample_q=20, auto_tune_recall=True)
+
+
+def test_daily_pipeline_span_step_with_positions(spark, sf_small, tmp_path):
+    """run_daily_pipeline step 7 wiring (previously only the step
+    function was tested directly): with docs_path + span_window the
+    composed verb runs the span-index step; with max_dup_span_frac +
+    persist_span_positions it lands both the flag record and the
+    rewrite-positions record (VERDICT r14 #2) in the serving layout,
+    and the report carries their counts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.jobs.batch_job import run_daily_pipeline
+    from data_engineering_user_session_analysis_spark.sources.tables import load_table
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "serving")
+    build_lake(spark, sf_small, lake)
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    src = (
+        docs.withColumn("_n", F.size(F.split("text", " ")))
+        .filter(F.col("_n") >= 80)
+        .orderBy("doc_id")
+        .first()
+    )
+    d1_path = str(tmp_path / "shard1")
+    docs.write.parquet(d1_path)
+    # day 2: one paste-heavy doc (25/30 pasted > 0.6), one clean
+    day2 = spark.createDataFrame(
+        [
+            (990040, " ".join(src.text.split(" ")[:25] + [f"qa{i}" for i in range(5)])),
+            (990041, " ".join(f"qb{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    d2_path = str(tmp_path / "shard2")
+    day2.write.parquet(d2_path)
+    r1 = run_daily_pipeline(
+        spark, lake, "2024-01-01", out,
+        docs_path=d1_path, span_window=15,
+        max_dup_span_frac=0.6, persist_span_positions=True,
+    )
+    # the sf0.001 documents fixture contains organically paste-heavy
+    # docs, so day 1 flags a real handful — the wiring assertion is
+    # that the step ran and recorded them
+    assert r1["span_index"]["flagged_over_threshold"] > 0
+    assert r1["span_index"]["complete_days"] == 1
+    r2 = run_daily_pipeline(
+        spark, lake, "2024-01-02", out,
+        docs_path=d2_path, span_window=15,
+        max_dup_span_frac=0.6, persist_span_positions=True,
+    )
+    assert r2["span_index"]["flagged_over_threshold"] == 1
+    assert r2["span_index"]["flagged_span_positions"] > 0
+    flags_dir = os.path.join(out, "span_flags", "ds=2024-01-02")
+    pos_dir = os.path.join(out, "span_positions", "ds=2024-01-02")
+    assert {r.doc_id for r in spark.read.parquet(flags_dir).collect()} == {990040}
+    pos = spark.read.parquet(pos_dir)
+    assert {r.doc_id for r in pos.collect()} == {990040}
+    assert set(pos.columns) == {"doc_id", "pos", "wh", "keep"}
+    assert os.path.exists(os.path.join(pos_dir, "_write_meta.json"))
+    # the positions record drives the prep rewrite end-to-end
+    from data_engineering_user_session_analysis_spark.pipelines.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    surv, rep = prepare_corpus(
+        day2,
+        config=CorpusPrepConfig(
+            min_tokens=5, max_dup_line_frac=1.0,
+            span_action="rewrite", span_positions_path=pos_dir,
+        ),
+    )
+    assert "span_rewritten" in rep
+    texts = {r.doc_id: r.text for r in surv.collect()}
+    # the pasted 25-token prefix is excised (canonical lives in day 1)
+    assert texts[990040] == " ".join(f"qa{i}" for i in range(5))
+    assert texts[990041] == " ".join(f"qb{i}" for i in range(30))
