@@ -958,3 +958,36 @@ def test_probe_plan_stays_bucketed_after_compaction(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_positions_probe_adds_no_hash_shuffle_over_occurrences(spark, tmp_path):
+    """The positions probe's scale contract (docstring): the
+    canonical pick rides the SAME hash(wh)-partitioned window the
+    min_docs=2 dup flag uses, so relative to the occurrence probe the
+    positions plan adds only the O(day) id semi-join — the number of
+    hash(wh) exchanges is IDENTICAL, and both Window nodes stack on
+    one wh sort."""
+    import re
+
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        incremental_span_positions,
+    )
+
+    idx = str(tmp_path / "idx")
+    ds1, texts1 = DAYS[0]
+    append_shard_to_span_index(_docs(spark, texts1), idx, ds1, window=W)
+    day2 = _docs(spark, DAYS[1][1])
+    occ_plan = (
+        incremental_span_occurrences(day2, idx, before_ds="2026-01-02")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pos_plan = (
+        incremental_span_positions(day2, idx, before_ds="2026-01-02")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    wh_ex = re.compile(r"Exchange hashpartitioning\(wh#")
+    assert len(wh_ex.findall(pos_plan)) == len(wh_ex.findall(occ_plan))
+    # the flag window and the canonical window both present, no
+    # third: 2 Window nodes in positions vs 1 in occurrences
+    assert pos_plan.count("Window [") == 2
+    assert occ_plan.count("Window [") == 1
