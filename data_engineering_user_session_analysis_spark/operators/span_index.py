@@ -37,8 +37,15 @@ vector families in ``operators/dedup_index.py``):
                          one partition by default, or rolling
                          per-month super-partitions with
                          ``granularity='month'`` + ``before_ds`` for
-                         the open window); appends at or below it are
-                         refused — folded days are CLOSED.
+                         the open window).  Kept for report
+                         continuity; the append guard reads the
+                         per-partition record below.
+* ``compacted_days.json``  the exact ds set folded into multi-day
+                         partitions (fold targets included) plus a
+                         legacy floor — appends of THESE days are
+                         refused (their rows live inside a fold);
+                         carried untouched days below the watermark
+                         stay re-runnable (ADVICE r14).
 
 Bucketing is the scale mechanism: the probe's stored-side is an
 external ``CLUSTERED BY (wh)`` table (re-registered per session — the
