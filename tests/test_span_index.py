@@ -991,3 +991,77 @@ def test_positions_probe_adds_no_hash_shuffle_over_occurrences(spark, tmp_path):
     # third: 2 Window nodes in positions vs 1 in occurrences
     assert pos_plan.count("Window [") == 2
     assert occ_plan.count("Window [") == 1
+
+
+def test_positions_rewrite_property(spark, tmp_path_factory):
+    """Property pin for the round-15 rewrite record: for ANY small
+    corpus split into two days, rewriting day-2's docs from
+    `incremental_span_positions` (day 2 probed against stored day 1)
+    must equal the batch `remove_duplicated_spans` over the FULL
+    corpus restricted to day-2 docs.  Random token streams drawn from
+    a tiny alphabet force heavy window collisions: cross-day dups,
+    within-day dups, canonical keeps on either side, and docs below
+    the window length (no rows)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+        remove_duplicated_spans,
+        rewrite_docs_from_spans,
+    )
+    from data_engineering_user_session_analysis_spark.operators.span_index import (
+        incremental_span_positions,
+    )
+
+    W2 = 3
+    token = st.sampled_from(["aa", "bb", "cc"])
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.lists(token, min_size=1, max_size=9).map(" ".join),
+            min_size=2,
+            max_size=8,
+        ),
+        st.data(),
+    )
+    def run(texts, data):
+        docs = {i: t for i, t in enumerate(texts)}
+        split = data.draw(
+            st.integers(min_value=1, max_value=len(texts) - 1), label="split"
+        )
+        day1 = {i: t for i, t in docs.items() if i < split}
+        day2 = {i: t for i, t in docs.items() if i >= split}
+        idx = str(tmp_path_factory.mktemp("prop") / "idx")
+        append_shard_to_span_index(
+            _docs(spark, day1), idx, "2026-01-01", window=W2
+        )
+        append_shard_to_span_index(
+            _docs(spark, day2), idx, "2026-01-02", window=W2
+        )
+        pos = incremental_span_positions(
+            _docs(spark, day2),
+            idx,
+            before_ds="2026-01-02",
+            only_ds=marker_complete_days(idx),
+        )
+        got = {
+            r.doc_id: (r.text, r.n_removed_tokens)
+            for r in rewrite_docs_from_spans(
+                _docs(spark, day2), pos, window=W2
+            ).collect()
+        }
+        want = {
+            r.doc_id: (r.text, r.n_removed_tokens)
+            for r in remove_duplicated_spans(
+                _docs(spark, docs), window=W2
+            ).collect()
+            if r.doc_id >= split
+        }
+        assert got == want
+
+    run()
