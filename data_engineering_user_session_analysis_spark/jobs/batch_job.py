@@ -626,17 +626,43 @@ def run_span_index_step(
     idx = os.path.join(out_dir, "span_index")
     docs = spark.read.parquet(docs_path)
     n_docs = docs.count()
+    # step-level single-kernel discipline (round 15): the append, the
+    # stats probe, and the optional positions probe each walk the
+    # day's text through the SAME Arrow window kernel — on an
+    # existing index (geometry frozen in params/), compute it once,
+    # lazily checkpointed, and feed all three.  Day one lets the
+    # append freeze the geometry first, then shares the kernel
+    # between the two probes.
+    from data_engineering_user_session_analysis_spark.operators.span_dedup import (
+        positional_window_hashes,
+    )
+
+    def _day_hashes():
+        p = _read_span_params(spark, idx)
+        return positional_window_hashes(
+            docs,
+            "text",
+            p["id_col"],
+            window=int(p["window"]),
+            sample_mod=p["sample_mod"],
+        ).localCheckpoint(eager=False)
+
+    day_hashes = None if _read_span_params(spark, idx) is None else _day_hashes()
     t0 = _time.monotonic()
     append_shard_to_span_index(
-        docs, idx, ds, window=window, sample_mod=sample_mod
+        docs, idx, ds, window=window, sample_mod=sample_mod,
+        day_hashes=day_hashes,
     )
     append_sec = round(_time.monotonic() - t0, 2)
+    if day_hashes is None:
+        day_hashes = _day_hashes()
     t0 = _time.monotonic()
     # lazy checkpoint: the all-docs aggregate AND the flag write both
     # consume the stats frame — the probe's kernel+shuffle must run
     # once, not once per consumer
     stats = incremental_span_stats(
-        docs, idx, before_ds=ds, only_ds=marker_complete_days(idx)
+        docs, idx, before_ds=ds, only_ds=marker_complete_days(idx),
+        day_hashes=day_hashes,
     ).localCheckpoint(eager=False)
     report: dict = {"ds": ds, "shard_docs": n_docs, "append_sec": append_sec}
     # ADVICE r13: (docs_with_dup_spans, dup_tokens) are the ALL-docs
@@ -677,6 +703,7 @@ def run_span_index_step(
             positions = incremental_span_positions(
                 docs, idx, id_col=id_col, before_ds=ds,
                 only_ds=marker_complete_days(idx),
+                day_hashes=day_hashes,
             ).join(flags.select(id_col), id_col, "left_semi")
             pos_dir = os.path.join(out_dir, "span_positions", f"ds={ds}")
             positions.write.mode("overwrite").parquet(pos_dir)

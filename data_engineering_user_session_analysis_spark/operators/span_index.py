@@ -316,6 +316,7 @@ def append_shard_to_span_index(
     window: int = EXACTSUBSTR_WINDOW,
     sample_mod: "int | None" = None,
     n_buckets: int = SPAN_INDEX_BUCKETS,
+    day_hashes: "DataFrame | None" = None,
 ) -> None:
     """Idempotent per-day append: the day's positional window hashes
     land under ``buckets/ds=<ds>`` via ``INSERT OVERWRITE`` (a re-run
@@ -373,14 +374,23 @@ def append_shard_to_span_index(
             )
     # lazy checkpoint: the bucket insert AND the summary groupBy both
     # consume the day's positional rows — the Arrow window kernel must
-    # run once, not once per consumer
-    wh = positional_window_hashes(
-        docs,
-        text_col,
-        params["id_col"],
-        window=int(params["window"]),
-        sample_mod=params["sample_mod"],
-    ).localCheckpoint(eager=False)
+    # run once, not once per consumer.  ``day_hashes`` (round 15): a
+    # caller-precomputed frame at the FROZEN geometry extends that
+    # discipline across the whole daily step — append and both probes
+    # share ONE kernel materialization (see _combined_day_occurrences
+    # for the caller contract); only meaningful on an EXISTING index,
+    # since the first append is what freezes the geometry.
+    wh = (
+        day_hashes
+        if day_hashes is not None
+        else positional_window_hashes(
+            docs,
+            text_col,
+            params["id_col"],
+            window=int(params["window"]),
+            sample_mod=params["sample_mod"],
+        ).localCheckpoint(eager=False)
+    )
     name = ensure_span_index_table(spark, path)
     retract_day_marker(path, ds)
     # the summary sidecar's partition goes with the retraction too: a
@@ -709,6 +719,7 @@ def _combined_day_occurrences(
     id_col: str,
     before_ds: "str | None",
     only_ds: "list[str] | None",
+    day_hashes: "DataFrame | None" = None,
 ) -> "tuple[DataFrame, dict]":
     """The probe's shared front half: the day's positional hashes
     (computed once — lazily localCheckpointed, since both the
@@ -718,7 +729,17 @@ def _combined_day_occurrences(
     bucketed table scoped to prior/complete days, so the semi-join
     reads it bucket-aligned with no stored-side exchange; only
     matching occurrences (O(day + collisions), never O(corpus)) flow
-    past the join."""
+    past the join.
+
+    ``day_hashes``: caller-precomputed ``positional_window_hashes``
+    output for ``new_docs`` at the index's FROZEN geometry (already
+    checkpointed) — the step-level single-kernel path (round 15):
+    ``run_span_index_step`` feeds one kernel materialization to the
+    append AND every probe, instead of each paying its own Arrow
+    pass over the day.  The caller owns geometry fidelity; a frame
+    built at the wrong window/sample_mod silently probes the wrong
+    hash space, so only pass frames derived from this index's
+    ``params/``."""
     spark = new_docs.sparkSession
     params = _read_span_params(spark, path)
     if params is None:
@@ -729,13 +750,17 @@ def _combined_day_occurrences(
             f"probe asked for {id_col!r}"
         )
     name = ensure_span_index_table(spark, path)
-    wh_new = positional_window_hashes(
-        new_docs,
-        text_col,
-        id_col,
-        window=int(params["window"]),
-        sample_mod=params["sample_mod"],
-    ).localCheckpoint(eager=False)
+    wh_new = (
+        day_hashes
+        if day_hashes is not None
+        else positional_window_hashes(
+            new_docs,
+            text_col,
+            id_col,
+            window=int(params["window"]),
+            sample_mod=params["sample_mod"],
+        ).localCheckpoint(eager=False)
+    )
     stored = spark.table(name)
     [stored] = scope_index_days(
         [stored],
@@ -758,6 +783,7 @@ def incremental_span_occurrences(
     before_ds: "str | None" = None,
     only_ds: "list[str] | None" = None,
     min_docs: int = 2,
+    day_hashes: "DataFrame | None" = None,
 ) -> DataFrame:
     """Flagged duplicated-window occurrences ``(id, pos, wh)`` for an
     arriving day against the stored corpus: every occurrence — stored
@@ -784,7 +810,7 @@ def incremental_span_occurrences(
     bounded by the day, not the corpus.
     """
     combined, _params = _combined_day_occurrences(
-        new_docs, path, text_col, id_col, before_ds, only_ds
+        new_docs, path, text_col, id_col, before_ds, only_ds, day_hashes
     )
     if min_docs <= 2:
         w_h = Window.partitionBy("wh")
@@ -811,6 +837,7 @@ def incremental_span_positions(
     before_ds: "str | None" = None,
     only_ds: "list[str] | None" = None,
     min_docs: int = 2,
+    day_hashes: "DataFrame | None" = None,
 ) -> DataFrame:
     """The ARRIVING day's duplicated-span REWRITE record
     ``(id_col, pos, wh, keep)`` against the stored corpus (VERDICT
@@ -836,7 +863,7 @@ def incremental_span_positions(
     semi-join down to the day's ids (both sides O(day); AQE picks the
     strategy).  O(day + collisions), never O(corpus)."""
     combined, _params = _combined_day_occurrences(
-        new_docs, path, text_col, id_col, before_ds, only_ds
+        new_docs, path, text_col, id_col, before_ds, only_ds, day_hashes
     )
     w_h = Window.partitionBy("wh")
     if min_docs <= 2:
@@ -880,6 +907,7 @@ def incremental_span_stats(
     before_ds: "str | None" = None,
     only_ds: "list[str] | None" = None,
     min_docs: int = 2,
+    day_hashes: "DataFrame | None" = None,
 ) -> DataFrame:
     """`duplicated_span_stats` for an ARRIVING day against the stored
     corpus: per-doc duplicated-span statistics for ``new_docs`` only
@@ -936,7 +964,8 @@ def incremental_span_stats(
     if min_docs > 2 or not scoped_days <= _summary_days(path):
         # occurrence fallback: exact distinct counts / legacy index
         flagged = incremental_span_occurrences(
-            new_docs, path, text_col, id_col, before_ds, only_ds, min_docs
+            new_docs, path, text_col, id_col, before_ds, only_ds,
+            min_docs, day_hashes,
         )
         own = flagged.join(new_docs.select(id_col), id_col, "left_semi")
         return _coverage_stats(
@@ -944,14 +973,20 @@ def incremental_span_stats(
         )
     # summary path: day positions (one kernel pass, lazily
     # checkpointed — the per-hash reduction and the flag semi-join
-    # both consume them) vs stored per-hash summaries, bucket-aligned
-    wh_new = positional_window_hashes(
-        new_docs,
-        text_col,
-        id_col,
-        window=int(params["window"]),
-        sample_mod=params["sample_mod"],
-    ).localCheckpoint(eager=False)
+    # both consume them; a caller-shared ``day_hashes`` frame skips
+    # the pass entirely, see _combined_day_occurrences) vs stored
+    # per-hash summaries, bucket-aligned
+    wh_new = (
+        day_hashes
+        if day_hashes is not None
+        else positional_window_hashes(
+            new_docs,
+            text_col,
+            id_col,
+            window=int(params["window"]),
+            sample_mod=params["sample_mod"],
+        ).localCheckpoint(eager=False)
+    )
     stored = spark.table(ensure_span_summary_table(spark, path))
     [stored] = scope_index_days(
         [stored],
