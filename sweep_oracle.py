@@ -155,6 +155,21 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t1)
+            # r15: adjacent trials can share ONE slow box window —
+            # user_segments recorded 9.24 s across two back-to-back
+            # trials while a post-sweep min-of-3 read 1.22 s, putting
+            # a fake 27x in the scaling table.  A still-slow min after
+            # the standard trials earns up to two more, so a
+            # transient window must span four trials to survive into
+            # the artifact.
+            retries = 0
+            while best > 5.0 and retries < 2:
+                t1 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t1)
+                retries += 1
             entry["spark_sec_min"] = round(best, 3)
         except Exception as exc:
             entry["status"] = "spark_error"
