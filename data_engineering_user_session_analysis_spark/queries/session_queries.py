@@ -353,7 +353,15 @@ def session_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stays at SESSION width (one writer task per day partition);
         # only the replay loop narrows.
         lake = os.path.join(tmp, "lake")
-        ev.withColumn("_d", F.to_date("ts")).repartition("_d").write.partitionBy(
+        # Project to the five replay columns BEFORE the lake exchange
+        # (guide §2.3: the write is an opaque materialization barrier,
+        # so Catalyst cannot prune for the downstream consumer): the
+        # step SQL touches only (user, ts, tie, type, value) — at real
+        # event widths the payload columns (`props` here) dominate the
+        # shuffled/encoded bytes and every per-day scan.
+        ev.select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        ).withColumn("_d", F.to_date("ts")).repartition("_d").write.partitionBy(
             "_d"
         ).parquet(lake)
         spark.conf.set(width_key, "1")
