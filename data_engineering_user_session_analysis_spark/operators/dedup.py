@@ -782,12 +782,20 @@ def simhash_pairs(
     #   - same-value groups (hamming 0, where clone mass lives): one
     #     self-equi-join on fingerprint — already output-sized, never
     #     enumerated through the block join at all.
-    # fp enters the plan several times but is NOT cached: the
-    # subtrees are identical up to the fingerprint aggregation, so
-    # ReusedExchange computes it once — an explicit .cache() measured
-    # ~2x SLOWER (materialization barrier + cache scan replacing one
-    # whole-stage pipeline).
-    fp = simhash_fingerprints(docs, text_col, id_col)
+    # fp enters the downstream plan SIX times (value-distinct blocks,
+    # both cross-expansion sides, both same-value sides); materialize
+    # it once.  AQE stage reuse only collapses the corpus passes to
+    # TWO — the same-value self-join infers IsNotNull(doc_id) into its
+    # scans, so those subtrees no longer canonicalize equal to the
+    # rest (re-measured r15: 4 ReusedExchange of 6 subtrees) — and
+    # every consumer still replays the 32-term fingerprint
+    # reconstruction above the reused exchange.  One eager
+    # localCheckpoint of the O(docs) (id, fingerprint) longs pins
+    # exactly ONE tokenize+md5+bit-sum pass over the corpus at any
+    # scale (measured at sf0.1: median 1.71 s vs 2.14 s, interleaved
+    # min-of-5; .persist() measured SLOWER — materialization barrier
+    # plus cache-scan overhead on every branch).
+    fp = simhash_fingerprints(docs, text_col, id_col).localCheckpoint(eager=True)
     return simhash_pairs_from_fingerprints(fp, max_hamming, id_col)
 
 
@@ -861,7 +869,11 @@ def simhash_dedup_edges(
     Output: ``doc_a, doc_b, edge_type`` (``exact`` = same
     fingerprint, ``neardup`` = Hamming 1..max_hamming value pair).
     """
-    fp = simhash_fingerprints(docs, text_col, id_col)
+    # same fan-out shape as simhash_pairs (fp feeds the star edges,
+    # the value blocks, and both rep-expansion sides): one eager
+    # materialization of the O(docs) fingerprint table = one corpus
+    # pass, see the simhash_pairs comment
+    fp = simhash_fingerprints(docs, text_col, id_col).localCheckpoint(eager=True)
     star_raw, reps = min_id_star_edges(fp, ["fingerprint"], id_col)
     star = star_raw.select(
         F.col("_rep").alias("doc_a"),
