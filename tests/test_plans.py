@@ -81,6 +81,19 @@ def test_near_dup_pairing_is_bucketed_not_all_pairs(spark, sf_small, name):
     assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans an all-pairs BNLJ"
 
 
+def test_simhash_fingerprints_computed_once(spark, sf_small):
+    """The fingerprint table feeds SIX pair-expansion consumers; the
+    r15 materialization must keep the corpus tokenize+md5+bit-sum pass
+    at exactly ONE execution.  Before it, the plan held six parquet
+    fingerprint subtrees and AQE stage reuse only collapsed four (the
+    same-value self-join's inferred IsNotNull(doc_id) broke canonical
+    equality) — so the pin is: downstream of simhash_pairs there is NO
+    parquet scan at all, only the checkpointed fingerprint relation."""
+    plan = _plan(spark, sf_small, "simhash_near_pairs")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_event_window_functions_single_exchange(spark, sf_small):
     """Both window specs partition by user_id — Catalyst must shuffle
     once and re-sort, not shuffle per window."""
