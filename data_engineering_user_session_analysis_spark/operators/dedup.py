@@ -144,9 +144,33 @@ def _verify_jaccard(
     the \"LSH scale path\" silently paid the same O(Σ DF²) as the
     exact method.  This shape is what makes LSH actually cheaper at
     corpus scale; equality with the inverted-index verify is pinned
-    in tests/test_operators.py."""
-    sets = shingles.groupBy(id_col).agg(
-        F.collect_list("shingle").alias("sh_set")
+    in tests/test_operators.py.
+
+    The set collection is restricted to docs that appear in some
+    candidate pair BEFORE it aggregates (r15): without the semi-join,
+    ``collect_list`` shuffled EVERY doc's shingles — an O(corpus
+    tokens) exchange that made the docstring's candidate-bounded
+    claim false for the aggregation even though the joins honored it
+    (inner joins on doc_a/doc_b discard non-candidate sets after
+    they were built).  On a mostly-distinct corpus the candidate doc
+    set is output-scale, so the exchange drops from O(all tokens) to
+    O(candidate tokens); AQE broadcasts the id set while it fits, and
+    if it ever shuffles instead, the groupBy reuses that exchange's
+    partitioning (same key) — never worse than the unrestricted form.
+    ``candidates`` feeds three consumers below (both id-projection
+    branches + the pair join), and join-key IsNotNull inference breaks
+    exchange-reuse canonicalization across them (the simhash r15
+    lesson), so the output-bounded pair set is materialized once."""
+    candidates = candidates.localCheckpoint(eager=True)
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        shingles.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("sh_set"))
     )
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))

@@ -81,6 +81,40 @@ def test_near_dup_pairing_is_bucketed_not_all_pairs(spark, sf_small, name):
     assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans an all-pairs BNLJ"
 
 
+def test_verify_jaccard_sets_are_candidate_restricted(spark):
+    """The verify stage's set collection must aggregate ONLY docs that
+    appear in some candidate pair (r15): the plan carries a LeftSemi
+    between the shingle source and the collect_list aggregate, and
+    docs outside every candidate neither appear in the output nor
+    perturb the verified pairs' Jaccard values."""
+    from data_engineering_user_session_analysis_spark.operators.dedup import (
+        _verify_jaccard,
+        shingle_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g z"),
+            (3, "p q r s t u v w"),
+            (4, "p q r s t u v y"),
+            (5, "m n o m n o m n o"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_docs(docs)
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = _verify_jaccard(sh, cand, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    rows = out.collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(1, 2)}
+    # each doc holds 6 distinct 3-gram shingles; the pair shares 5
+    (r,) = rows
+    assert (r.na, r.nb, r.intersection) == (6, 6, 5)
+    assert r.jaccard == 5 / 7
+
+
 def test_simhash_fingerprints_computed_once(spark, sf_small):
     """The fingerprint table feeds SIX pair-expansion consumers; the
     r15 materialization must keep the corpus tokenize+md5+bit-sum pass
