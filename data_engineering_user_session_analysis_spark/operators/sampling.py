@@ -312,34 +312,41 @@ def apply_mixture(
     salt: str = "mixture",
     copy_col: str = "copy",
 ) -> DataFrame:
-    """Realize ``mixture_rates`` output over a corpus: strata with
-    rate ≤ 1 are hash-downsampled in ONE pass (a single CASE-rate
-    filter), strata with rate > 1 are upsampled per stratum; rows in
-    strata without a rate are dropped.  Every kept row carries a
-    ``copy`` index (0 for downsampled rows).  Still map-side end to
-    end."""
-    down = {d: r for d, r in rates.items() if r <= 1.0}
-    up = {d: r for d, r in rates.items() if r > 1.0}
-    parts = []
-    if down:
-        parts.append(
-            stratified_sample_by_rates(
-                df, down, strata_col, id_col, default_rate=0.0, salt=salt
-            ).withColumn(copy_col, F.lit(0))
-        )
-    for d, r in sorted(up.items()):
-        parts.append(
-            upsample_by_rate(
-                df.filter(F.col(strata_col) == F.lit(d)),
-                r,
-                id_col,
-                salt=f"{salt}:{d}",
-                copy_col=copy_col,
-            )
-        )
-    if not parts:
+    """Realize ``mixture_rates`` output over a corpus in ONE corpus
+    pass: a literal CASE over the rate table maps each row to its
+    array of copy indices — ``[0]``-or-empty for downsampled strata
+    (rate ≤ 1), ``[0..floor(r)-1]`` plus a hash-selected fractional
+    copy for upsampled strata (rate > 1), empty (dropped by the
+    explode) for strata without a rate — and one ``explode`` realizes
+    it.  Every kept row carries a ``copy`` index (0 for downsampled
+    rows).  Map-side end to end, and ONE scan: the r14 form planned
+    one ``upsample_by_rate`` branch per up-stratum plus a down-branch,
+    unioned — k+1 full corpus scans for a k-up-domain mixture (4
+    scans in the registry row's plan) where one suffices, since every
+    branch's filter is a per-row hash decision.  Per-copy membership
+    and salts are IDENTICAL to the branch form (down: ``salt``;
+    up stratum d's fractional copy: ``salt:d:floor(r)`` — pinned
+    row-exact against the branch construction in
+    tests/test_sampling.py)."""
+    if not rates:
         raise ValueError("rates selected no strata")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    empty = F.array().cast("array<int>")
+    down_u = uniform_hash_unit(id_col, salt)
+    copies = None
+    for d, r in sorted(rates.items()):
+        if r <= 1.0:
+            arr = F.when(down_u < F.lit(r), F.array(F.lit(0))).otherwise(empty)
+        else:
+            whole = int(math.floor(r))
+            frac = r - whole
+            base = F.sequence(F.lit(0), F.lit(whole - 1))
+            if frac > 0:
+                arr = F.when(
+                    uniform_hash_unit(id_col, f"{salt}:{d}:{whole}") < F.lit(frac),
+                    F.concat(base, F.array(F.lit(whole))),
+                ).otherwise(base)
+            else:
+                arr = base
+        cond = F.col(strata_col) == F.lit(d)
+        copies = F.when(cond, arr) if copies is None else copies.when(cond, arr)
+    return df.withColumn(copy_col, F.explode(copies.otherwise(empty)))

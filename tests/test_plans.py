@@ -81,6 +81,15 @@ def test_near_dup_pairing_is_bucketed_not_all_pairs(spark, sf_small, name):
     assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans an all-pairs BNLJ"
 
 
+def test_mixture_realization_is_single_scan(spark, sf_small):
+    """apply_mixture realizes the whole mixture from ONE corpus scan
+    (r15): the r14 branch form planned one scan per up-stratum plus a
+    down-branch scan, unioned — 4 scans of `documents` in this row."""
+    plan = _plan(spark, sf_small, "mixture_realization_counts")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
+
+
 def test_verify_jaccard_sets_are_candidate_restricted(spark):
     """The verify stage's set collection must aggregate ONLY docs that
     appear in some candidate pair (r15): the plan carries a LeftSemi

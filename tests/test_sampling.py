@@ -141,6 +141,45 @@ def test_apply_mixture_realizes_plan(corpus):
     out.unpersist()
 
 
+def test_apply_mixture_single_pass_equals_branch_form(corpus):
+    """The r15 one-scan apply_mixture (CASE copy-index array +
+    explode) must emit the EXACT row multiset of the r14 branch
+    construction (down-branch ∪ one upsample_by_rate per up-stratum),
+    copy indices included — same salts, same membership.  Covers all
+    stratum classes: down (en 0.5), up-with-fraction (de 1.75),
+    whole-copy up (fr 2.0), unlisted (ja dropped)."""
+    rates = {"en": 0.5, "de": 1.75, "fr": 2.0}
+    new = apply_mixture(corpus, rates, strata_col="lang", salt="mixture")
+
+    down = {d: r for d, r in rates.items() if r <= 1.0}
+    parts = [
+        stratified_sample_by_rates(
+            corpus, down, "lang", "doc_id", default_rate=0.0, salt="mixture"
+        ).withColumn("copy", F.lit(0))
+    ]
+    for d, r in sorted({d: r for d, r in rates.items() if r > 1.0}.items()):
+        parts.append(
+            upsample_by_rate(
+                corpus.filter(F.col("lang") == F.lit(d)),
+                r,
+                "doc_id",
+                salt=f"mixture:{d}",
+                copy_col="copy",
+            )
+        )
+    old = parts[0]
+    for p in parts[1:]:
+        old = old.unionByName(p)
+
+    key = lambda r: (r.lang, r.doc_id, r.copy)  # noqa: E731
+    assert sorted(map(key, new.collect())) == sorted(map(key, old.collect()))
+    assert new.count() > 0
+    # single pass: exactly one source scan, still no Exchange
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Union" not in plan, plan
+
+
 def test_sampling_plans_stay_map_side(corpus):
     """No shuffle anywhere: sampling must not add an Exchange (the
     100 TB property — a resample is a scan, never a redistribution)."""
