@@ -2323,20 +2323,28 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
     # protocol.  If warm-post ~ warm-pre the layout is fine and the
     # r14 number was cache bias; a warm-post that stays high is a real
     # plan/layout problem.
-    def _warm_probe() -> "tuple[int, float, float]":
-        trials = []
+    # Each trial is bracketed by its own CPU probe (r15: the final-tree
+    # battery read warm-post/pre 2.84 where the inherited run read 0.98
+    # on the identical code path with exact parity and the bucket plan
+    # pin green — the tier-level start/end probes could not say whether
+    # a steal spike sat inside the probe pair.  With per-trial units in
+    # the artifact, that adjudication needs no re-run.)
+    def _warm_probe() -> "tuple[int, float, float, list[float]]":
+        trials: list[float] = []
+        units: list[float] = []
         cnt = 0
         for _ in range(2):
             _quiesce(spark)
+            units.append(_cpu_speed_probe()["cpu_probe_sec"])
             t0 = time.monotonic()
             cnt = incremental_span_occurrences(
                 last_docs, idx, before_ds=next_ds,
                 only_ds=marker_complete_days(idx),
             ).count()
             trials.append(time.monotonic() - t0)
-        return cnt, trials[0], min(trials)
+        return cnt, trials[0], min(trials), units
 
-    pre, pre_sec, pre_sec_warm = _warm_probe()
+    pre, pre_sec, pre_sec_warm, pre_units = _warm_probe()
     # rolling monthly folds: month 1 alone, then month 2 (month 1's
     # fold is carried by hardlink — its rows are NOT re-read)
     rolling = []
@@ -2360,13 +2368,14 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
         _quiesce(spark)
     res["rolling_compaction"] = rolling
     # rolling parity: the two monthly folds must not change the probe
-    mid, mid_sec, mid_sec_warm = _warm_probe()
+    mid, mid_sec, mid_sec_warm, mid_units = _warm_probe()
     res["rolling_probe_parity"] = {
         "flagged_pre": pre,
         "flagged_post_rolling": mid,
         "parity": pre == mid,
         "probe_sec_post_rolling": round(mid_sec, 2),
         "probe_sec_post_rolling_warm": round(mid_sec_warm, 2),
+        "probe_trial_cpu_units": mid_units,
     }
     _quiesce(spark)
     t0 = time.monotonic()
@@ -2375,7 +2384,7 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
     # the fold's O(corpus) localCheckpoint blocks release on GC —
     # quiesce so the post probe measures the layout, not the fold's
     # residue
-    post, post_sec, post_sec_warm = _warm_probe()
+    post, post_sec, post_sec_warm, post_units = _warm_probe()
     res["compaction"] = {
         "files_before": creport["files_before"],
         "files_after": creport["files_after"],
@@ -2393,6 +2402,8 @@ def measure_span_index(spark, window: int = 15, n_days: int = 10) -> dict:
         "probe_warm_post_over_pre": round(
             post_sec_warm / max(pre_sec_warm, 0.01), 2
         ),
+        "probe_trial_cpu_units_pre": pre_units,
+        "probe_trial_cpu_units_post": post_units,
     }
 
     # hot-hash coda (VERDICT r13 #2 "Done"): a boilerplate window
