@@ -57,6 +57,28 @@ def gate_row(now_sec: float, prev_sec: float, norm: float, nominal: float) -> st
 
 GLOBAL_SHIFT_BAR = 1.15  # median nominal above this -> one global flag
 
+# Keys allowed on the ONE stdout JSON line (round 16) — everything
+# else (trials, probe series, shift decomposition, gate prose, family
+# subtotals) lives only in the full-detail file.  The driver captures
+# a bounded tail of stdout, and the unbounded r13/r14 lines truncated
+# mid-JSON (`parsed: null`), losing two rounds of prev/now tables.
+STDOUT_KEYS = (
+    "metric",
+    "value",
+    "unit",
+    "queries",
+    "shared_r02_subtotal",
+    "registry_queries",
+    "full_registry_total",
+    "ingest_events_per_sec",
+    "corpus_prep_docs_per_sec",
+    "cpu_probe_sec_start",
+    "cpu_probe_sec_end",
+    "flagged_normalized_gt_1_25",
+    "context",
+    "sf",
+)
+
 
 def cross_round_shift(ratios: "dict[str, dict]") -> dict:
     """Decompose cross-round drift into ONE global question plus
@@ -653,16 +675,26 @@ def main() -> None:
             f.write("\n")
     except OSError as exc:
         print(f"WARN: could not write {out_path}: {exc!r}", file=sys.stderr)
-    # normalized_vs_prev joins trials in the full-detail file only:
-    # ~50 rows x 3 ratios would risk the same stdout-window
-    # truncation the trials map caused in r06; the compact line
-    # carries the flag list, which is what the driver/judge act on
-    compact = {
-        k: v for k, v in payload.items()
-        if k not in ("trials", "normalized_vs_prev")
-    }
+    # The stdout line is ALLOWLISTED and bounded (round 16): the r06
+    # fix dropped `trials`/`normalized_vs_prev`, but the line kept
+    # growing with every probe/gate field (~3.6 KB by r15) and the
+    # driver's bounded tail window truncated the r13/r14 artifacts
+    # mid-line (`BENCH_r13/14.json parsed: null`), destroying two
+    # rounds of prev/now comparisons.  Only the driver-contract keys
+    # plus the per-query seconds and headline subtotals go to stdout
+    # (~2 KB); the probe series, shift decomposition, gate prose and
+    # family subtotals live in the full-detail file alone.  This line
+    # is the bench's ONLY stdout output, so it is both the first and
+    # the last line of the captured stream (see STDOUT_KEYS above).
+    compact = {k: payload[k] for k in STDOUT_KEYS if k in payload}
+    if incremental_replay_split is not None:
+        # numbers only — the protocol prose stays in the detail file
+        compact["incremental_replay_split"] = {
+            k: incremental_replay_split[k]
+            for k in ("total_sec", "harness_sec", "operator_sec", "n_days")
+        }
     compact["full_detail_file"] = os.path.basename(out_path)
-    print(json.dumps(compact))
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_engineering_user_session_analysis_spark.runtime import materialize
+
 SIMHASH_BITS = 32
 
 
@@ -167,7 +169,10 @@ def _verify_jaccard(
     (measured at 1M docs: eager warm-min 24.3-25.5 s vs 22.9-23.0 s
     unrestricted vs 23.6 s lazy — all inside one variant's own
     dispersion, but lazy removes the one mechanistic cost)."""
-    candidates = candidates.localCheckpoint(eager=False)
+    # materialize(): localCheckpoint by default; reliable checkpoint
+    # when the session has a checkpoint dir (cluster durability — see
+    # runtime.materialize for the lineage trade-off)
+    candidates = materialize(candidates, eager=False)
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
@@ -500,16 +505,19 @@ def connected_components(
             # neighbor join — without this, each round recomputes the
             # whole upstream pair pipeline (e.g. the full MinHash+verify
             # DAG when called from dedup_clusters)
-            .localCheckpoint(eager=True)
         )
+        # materialize(): lineage cut is load-bearing here (every CC
+        # round re-enters the edge table); reliable checkpoint when a
+        # checkpoint dir is set, else localCheckpoint (runtime.materialize)
+        edges = materialize(edges, eager=True)
     finally:
         raw.unpersist()
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    labels = materialize(labels, eager=True)
     # Distributed rounds.  Size the loop's shuffle width from the
     # measured edge count: every round compiles joins between
     # stat-less LogicalRDDs at the session's static shuffle width —
@@ -603,8 +611,8 @@ def _cc_rounds(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
                 "label",
             )
             .select(F.col("node"), F.least("label", "ll").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        jumped = materialize(jumped, eager=True)
         prev = labels
         labels = jumped
         if round_no % 2 == 0 or round_no == max_iter:
@@ -825,7 +833,9 @@ def simhash_pairs(
     # scale (measured at sf0.1: median 1.71 s vs 2.14 s, interleaved
     # min-of-5; .persist() measured SLOWER — materialization barrier
     # plus cache-scan overhead on every branch).
-    fp = simhash_fingerprints(docs, text_col, id_col).localCheckpoint(eager=True)
+    # materialize(): eager localCheckpoint by default; reliable
+    # checkpoint when a checkpoint dir is configured (cluster durability)
+    fp = materialize(simhash_fingerprints(docs, text_col, id_col), eager=True)
     return simhash_pairs_from_fingerprints(fp, max_hamming, id_col)
 
 
@@ -903,7 +913,7 @@ def simhash_dedup_edges(
     # the value blocks, and both rep-expansion sides): one eager
     # materialization of the O(docs) fingerprint table = one corpus
     # pass, see the simhash_pairs comment
-    fp = simhash_fingerprints(docs, text_col, id_col).localCheckpoint(eager=True)
+    fp = materialize(simhash_fingerprints(docs, text_col, id_col), eager=True)
     star_raw, reps = min_id_star_edges(fp, ["fingerprint"], id_col)
     star = star_raw.select(
         F.col("_rep").alias("doc_a"),

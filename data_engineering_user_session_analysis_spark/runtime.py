@@ -18,6 +18,30 @@ import zipfile
 _SHIPPED: set[int] = set()
 
 
+def materialize(df, eager: bool = True):
+    """Materialize an intermediate DataFrame, cutting its lineage.
+
+    Default (no checkpoint dir configured): ``localCheckpoint`` —
+    blocks live on the executors, released by the ContextCleaner when
+    the reference dies.  That is the right call in local mode and for
+    short-lived intra-query intermediates, but it SEVERS LINEAGE
+    without durability: on a real cluster, losing an executor after
+    the checkpoint kills the job instead of recomputing, and the
+    blocks pin executor storage for as long as the reference lives.
+
+    Escape hatch for cluster reality: when the session has a
+    checkpoint directory configured (``SparkContext.setCheckpointDir``
+    — reliable storage, e.g. HDFS/object store), the same call sites
+    transparently use reliable ``DataFrame.checkpoint`` instead, which
+    survives executor loss at the cost of a write to that directory.
+    The choice is the deployment's, made once at session setup, not
+    per call site.
+    """
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def ensure_worker_imports(spark) -> None:
     """Idempotently ship this package to the session's Python workers."""
     key = id(spark)

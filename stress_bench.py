@@ -2597,6 +2597,108 @@ def measure_span_recall(spark, window: int = 15, replicas: int = 200) -> dict:
     return res
 
 
+def measure_cc_distributed(
+    spark, n_nodes: int = 32_000_000, chain: int = 16
+) -> dict:
+    """The distributed connected-components regime proved past its
+    crossover (VERDICT r15 #4): ``connected_components`` switches from
+    driver union-find to min-label propagation + pointer jumping above
+    ``DRIVER_CC_MAX_EDGES`` (5M edges), and that path had never been
+    scaling-measured — every bench/stress fixture sits below the
+    crossover.
+
+    Graph: disjoint chains of ``chain`` nodes over ``n_nodes`` ids —
+    pure id arithmetic (deterministic, no fixture I/O), 30M edges at
+    the default sizing (6x past the crossover), so the tier times the
+    CC stage alone rather than an upstream pair pipeline.  Expected
+    components are exactly the chain heads (``id - id % chain``), so
+    parity is checked EXHAUSTIVELY with one filter-count.
+
+    Protocol: run the tier once per core count (own JVM:
+    ``SPARK_GRAFT_CPUS=8 / =32 python stress_bench.py --tier ccdist``)
+    and compare ``cc_sec`` for the core-ratio claim; every timed phase
+    is bracketed by its own CPU probe (r15 closing lesson: tier-level
+    probe pairs cannot adjudicate a steal spike inside one phase).
+    The record also carries the BELOW-crossover driver regime on a
+    truncated subgraph of the same generator, timing the probe
+    collection + union-find share that is bounded by the edge budget
+    (``raw.limit(driver_max_edges + 1)``), not by corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    from data_engineering_user_session_analysis_spark.operators.dedup import (
+        DRIVER_CC_MAX_EDGES,
+        connected_components,
+    )
+
+    res: dict = {
+        "label": f"distributed CC past the driver crossover "
+        f"({n_nodes // 1_000_000}M nodes, chains of {chain})",
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "driver_cc_max_edges": DRIVER_CC_MAX_EDGES,
+    }
+    pairs = (
+        spark.range(n_nodes)
+        .filter(F.col("id") % chain != chain - 1)
+        .select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+    )
+    res["n_edges"] = pairs.count()
+    res["n_edges_over_crossover"] = round(
+        res["n_edges"] / DRIVER_CC_MAX_EDGES, 2
+    )
+    # the loop width the operator derives from the measured DIRECTED
+    # edge count (see connected_components: one reduce task per ~1M)
+    sess_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    res["cc_loop_width"] = max(
+        1, min(sess_width, 2 * res["n_edges"] // 1_000_000 + 1)
+    )
+
+    _quiesce(spark)
+    res["probe_before_cc"] = _cpu_speed_probe()["cpu_probe_sec"]
+    labels, res["cc_sec"] = timed(
+        lambda: connected_components(pairs).localCheckpoint(eager=True)
+    )
+    res["probe_after_cc"] = _cpu_speed_probe()["cpu_probe_sec"]
+    # exhaustive parity: every node labeled with its chain head
+    wrong = labels.filter(
+        F.col("component") != F.col("node") - F.col("node") % chain
+    ).count()
+    res["n_nodes_labeled"] = labels.count()
+    res["labels_wrong"] = wrong
+    res["parity_exact"] = (
+        wrong == 0 and res["n_nodes_labeled"] == n_nodes
+    )
+
+    # BELOW-crossover reference on the same generator: the driver
+    # regime's cost is the limit(budget+1) collection + union-find,
+    # output-bounded by the edge budget regardless of upstream size.
+    _quiesce(spark)
+    sub_nodes = (DRIVER_CC_MAX_EDGES * chain // (chain - 1)) * 4 // 5
+    sub = (
+        spark.range(sub_nodes)
+        .filter(F.col("id") % chain != chain - 1)
+        .select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+    )
+    res["driver_regime_n_edges"] = sub.count()
+    res["probe_before_driver_regime"] = _cpu_speed_probe()["cpu_probe_sec"]
+    dlabels, res["driver_regime_sec"] = timed(
+        lambda: connected_components(sub).localCheckpoint(eager=True)
+    )
+    res["probe_after_driver_regime"] = _cpu_speed_probe()["cpu_probe_sec"]
+    res["driver_regime_parity_exact"] = (
+        dlabels.filter(
+            F.col("component") != F.col("node") - F.col("node") % chain
+        ).count()
+        == 0
+    )
+    _quiesce(spark)
+    return res
+
+
 def measure_corpus_prep(spark, replicas: int = 200) -> dict:
     """End-to-end corpus-prep throughput one decade up (VERDICT r10
     item 4): ``prepare_corpus`` over 1M DISTINCT docs
@@ -2956,6 +3058,11 @@ def _run_tier_inner(tier: str) -> list[dict]:
         # family measured at its target decade — detection linearity
         # 100k -> 1M plus the full rewrite at 1M
         return [measure_span_dedup(spark)]
+    if tier == "ccdist":
+        # round-16 (VERDICT r15 #4): the >5M-edge distributed CC
+        # regime scaling-proved — run once per core count
+        # (SPARK_GRAFT_CPUS=8 / =32) and compare cc_sec
+        return [measure_cc_distributed(spark)]
     if tier == "corpusprep1m":
         # round-11: the composed LLM-pipeline throughput budget at 1M
         # docs (VERDICT r10 item 4) — per-stage seconds, probe-paired

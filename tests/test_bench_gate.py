@@ -148,3 +148,59 @@ def test_cross_round_shift_small_sample_no_correction():
     assert s["nominal_divisor"] == 1.0 and s["normalized_divisor"] == 1.0
     assert s["global_shift_flagged"] is False
     assert s["n_rows"] == 5
+
+
+def test_stdout_line_is_allowlisted_and_bounded():
+    """Round 16: the driver captures a bounded tail of stdout, and the
+    unbounded compact line truncated the r13/r14 artifacts mid-JSON
+    (`parsed: null`), destroying two rounds of prev/now comparison.
+    The stdout line is now built from an explicit allowlist that
+    excludes every unbounded/growing block (trials, probe series,
+    shift decomposition, gate prose, per-family subtotals), and a
+    representative payload must stay well inside a 3 KB window while
+    keeping the driver-contract keys."""
+    import json
+
+    from bench import STDOUT_KEYS
+
+    for heavy in (
+        "trials",
+        "normalized_vs_prev",
+        "cpu_probe_series",
+        "cross_round_shift",
+        "regression_gate",
+        "family_subtotals",
+        "auto_adjudicated_nominal_improved",
+    ):
+        assert heavy not in STDOUT_KEYS, heavy
+    for required in ("metric", "value", "unit", "queries", "sf"):
+        assert required in STDOUT_KEYS, required
+    # representative sizes: 23 headline + 29 registry rows at real
+    # name lengths, plus the numeric replay split the line carries
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 21.8699,
+        "unit": "sec",
+        "queries": {f"session_event_attribution_{i:02d}": 1.0397 for i in range(23)},
+        "shared_r02_subtotal": 17.7793,
+        "registry_queries": {
+            f"order_fulfillment_full_outer_{i:02d}": 1.8885 for i in range(29)
+        },
+        "full_registry_total": 55.9986,
+        "ingest_events_per_sec": 64308.0,
+        "corpus_prep_docs_per_sec": 462.9,
+        "cpu_probe_sec_start": 0.403,
+        "cpu_probe_sec_end": 0.361,
+        "flagged_normalized_gt_1_25": ["dedup_clusters", "dedup_minhash_lsh"],
+        "context": "closing_battery",
+        "sf": 0.1,
+    }
+    compact = {k: payload[k] for k in STDOUT_KEYS if k in payload}
+    compact["incremental_replay_split"] = {
+        "total_sec": 14.6606,
+        "harness_sec": 11.9187,
+        "operator_sec": 2.7419,
+        "n_days": 30,
+    }
+    compact["full_detail_file"] = "BENCH_local.json"
+    assert len(json.dumps(compact)) < 3000

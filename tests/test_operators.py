@@ -785,3 +785,85 @@ def test_simhash_dedup_edges_same_clusters(spark, sf_small):
     assert _uf_components(edges) == _uf_components(all_pairs)
     assert len(edges) < len(all_pairs)
     docs.unpersist()
+
+
+def test_materialize_reliable_checkpoint_hook(spark, tmp_path):
+    """runtime.materialize (r16, VERDICT r15 #7): the dedup-family
+    lineage cuts default to localCheckpoint (executor-local blocks —
+    fine locally, lost on executor failure), but when the session has
+    a checkpoint directory configured they must transparently use
+    reliable DataFrame.checkpoint instead, writing to that directory.
+    Same rows either way."""
+    import os
+
+    from data_engineering_user_session_analysis_spark.runtime import materialize
+
+    df = spark.range(100).withColumn("v", F.col("id") % 7)
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    local = materialize(df, eager=True)
+    assert local.count() == 100  # default path: localCheckpoint
+
+    ckpt_dir = str(tmp_path / "reliable_ckpt")
+    sc.setCheckpointDir(ckpt_dir)
+    try:
+        reliable = materialize(df, eager=True)
+        assert sorted(r["id"] for r in reliable.collect()) == list(range(100))
+        # reliable checkpoint materializes files under the configured dir
+        found = []
+        for root, _dirs, files in os.walk(ckpt_dir):
+            found.extend(files)
+        assert found, "no checkpoint files written under the checkpoint dir"
+    finally:
+        # clear the session-scoped dir so later tests see the default
+        sc._jsc.sc().setCheckpointDir(None)
+        assert sc.getCheckpointDir() is None
+
+
+def test_cc_regime_switch_at_edge_budget(spark, monkeypatch):
+    """connected_components picks its regime from the MEASURED edge
+    count against ``driver_max_edges`` (r16 pin, VERDICT r15 #4): at
+    or below the budget the driver union-find runs (its collection is
+    output-bounded by ``limit(budget + 1)`` — never the corpus), one
+    past it the distributed pointer-jumping loop runs.  Both regimes
+    must label a chain graph identically."""
+    from data_engineering_user_session_analysis_spark.operators import dedup
+
+    # 8 chains of 8 nodes -> 56 edges, components = chain heads
+    pairs = (
+        spark.range(64)
+        .filter(F.col("id") % 8 != 7)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    n_edges = pairs.count()
+    calls = {"driver": 0, "dist": 0}
+    real_driver, real_rounds = dedup._driver_components, dedup._cc_rounds
+
+    def spy_driver(*a, **k):
+        calls["driver"] += 1
+        return real_driver(*a, **k)
+
+    def spy_rounds(*a, **k):
+        calls["dist"] += 1
+        return real_rounds(*a, **k)
+
+    monkeypatch.setattr(dedup, "_driver_components", spy_driver)
+    monkeypatch.setattr(dedup, "_cc_rounds", spy_rounds)
+
+    at_budget = dedup.connected_components(pairs, driver_max_edges=n_edges)
+    rows_driver = sorted(
+        (r["node"], r["component"]) for r in at_budget.collect()
+    )
+    assert calls == {"driver": 1, "dist": 0}
+
+    past_budget = dedup.connected_components(
+        pairs, driver_max_edges=n_edges - 1
+    )
+    rows_dist = sorted(
+        (r["node"], r["component"]) for r in past_budget.collect()
+    )
+    assert calls == {"driver": 1, "dist": 1}
+
+    expected = sorted((i, i - i % 8) for i in range(64))
+    assert rows_driver == expected
+    assert rows_dist == expected
