@@ -517,20 +517,45 @@ def replay_sessions_sql(
     finalized carry) — output bit-identical to looping
     ``advance_sessions`` with per-day ``materialize_dir``s (pinned).
 
-    Per day this pays two temp-view repoints, ONE ``spark.sql`` call,
-    and one parquet write job.  The day and state relations are
-    SCHEMA-PINNED reader views (the schema is read once, from the
-    first day and the first step) — without the pin, every day's
-    analysis re-infers both schemas from parquet footers, measured at
-    ~0.13 s/day of the replay's fixed cost.  The closed rows are
-    assembled at the end with a single multi-path read filtered to
-    ``NOT _is_open`` — a session closes in exactly one step, so that
-    read IS the union of the per-day closed frames.  The two view
-    names carry a per-call uuid suffix (VERDICT r14 #5), so
-    concurrent replays on one session cannot repoint each other's
+    Per day this pays one day-view repoint (a plan-level partition
+    filter over ONE lake-wide relation), one state-view repoint, ONE
+    step-plan analysis, and one parquet write job.  Fixed-cost design
+    (round 16 — the 30-day replay's cost is almost entirely this
+    per-day constant, measured r15 at ~0.4 s/day on a fixture day):
+
+    * The day relation is a single SCHEMA-PINNED, partition-aware
+      read of the WHOLE lake, constructed (and file-listed) ONCE; the
+      per-day repoint is ``filter(part_col = day)``, which prunes the
+      scan back to that one day directory at planning
+      (PartitionFilters — pinned in tests).  The previous form
+      re-read and re-listed the single day directory every day.
+      The partition column is pinned STRING so the filter compares
+      the raw directory values the loop enumerates — no date-parse
+      semantics between the two.
+    * The state relation stays a per-day SCHEMA-PINNED read of the
+      previous step (its path changes every day; a view created once
+      would freeze the day-0 file listing).  Without the schema pins,
+      every day's analysis re-infers schemas from parquet footers —
+      measured at ~0.13 s/day.
+    * The two constant step SQL texts are PARSED ONCE; each day only
+      re-ANALYZES the cached parse tree against the repointed views
+      (``Dataset.ofRows`` — the same internal entry ``spark.sql``
+      calls after its own parse; Catalyst trees are immutable, so one
+      parse tree analyzes cleanly every day).  Guarded by a one-time
+      probe with a plain ``spark.sql`` fallback, so a Spark-version
+      drift degrades to the public parse-per-day path instead of
+      breaking the replay.
+
+    The closed rows are assembled at the end with a single multi-path
+    read filtered to ``NOT _is_open`` — a session closes in exactly
+    one step, so that read IS the union of the per-day closed frames.
+    The two view names carry a per-call uuid suffix (VERDICT r14 #5),
+    so concurrent replays on one session cannot repoint each other's
     views mid-loop."""
     import os
     import uuid
+
+    from pyspark.sql import types as T
 
     _check_sql_path(lake_dir)
     _check_sql_path(work_dir)
@@ -541,6 +566,11 @@ def replay_sessions_sql(
     )
     if not days:
         raise ValueError(f"no {day_prefix}* partitions under {lake_dir}")
+    if not day_prefix.endswith("="):
+        raise ValueError(
+            f"day_prefix must name a partition column ('<col>='): {day_prefix!r}"
+        )
+    part_col = day_prefix[:-1]
     tag = uuid.uuid4().hex[:12]
     day_view, state_view = f"_incr_replay_day_{tag}", f"_incr_replay_state_{tag}"
     # both SQL texts are constant across the loop; only the views move
@@ -555,18 +585,46 @@ def replay_sessions_sql(
     day_schema = spark.read.parquet(
         f"{lake_dir}/{day_prefix}{days[0]}"
     ).schema
+    lake = spark.read.schema(
+        T.StructType(
+            list(day_schema) + [T.StructField(part_col, T.StringType())]
+        )
+    ).parquet(lake_dir)
+
+    # Parse the two constant texts once; analysis stays per-day (the
+    # views move).  The probe constructs and analyzes a trivial plan
+    # through the same entry — if any piece is missing on this Spark,
+    # fall back to public spark.sql for the whole loop.
+    _ofrows = jspark = parsed_first = parsed_rest = None
+    try:
+        jspark = spark._jsparkSession
+        parser = jspark.sessionState().sqlParser()
+        _ofrows = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows
+        assert DataFrame(
+            _ofrows(jspark, parser.parsePlan("SELECT 1 AS _probe")), spark
+        ).schema.fieldNames() == ["_probe"]
+        parsed_first = parser.parsePlan(sql_first)
+        parsed_rest = parser.parsePlan(sql_rest)
+    except Exception:
+        _ofrows = None
+
+    def _step_df(first: bool) -> DataFrame:
+        if _ofrows is not None:
+            return DataFrame(
+                _ofrows(jspark, parsed_first if first else parsed_rest), spark
+            )
+        return spark.sql(sql_first if first else sql_rest)
+
     state_schema = None
     steps = []
     for i, d in enumerate(days):
         step_dir = os.path.join(work_dir, f"step_{i}")
-        spark.read.schema(day_schema).parquet(
-            f"{lake_dir}/{day_prefix}{d}"
-        ).createOrReplaceTempView(day_view)
+        lake.filter(F.col(part_col) == d).createOrReplaceTempView(day_view)
         if steps:
             spark.read.schema(state_schema).parquet(steps[-1]).filter(
                 "_is_open"
             ).createOrReplaceTempView(state_view)
-        df = spark.sql(sql_rest if steps else sql_first)
+        df = _step_df(first=not steps)
         df.write.mode("overwrite").parquet(step_dir)
         if state_schema is None:
             state_schema = df.schema
@@ -574,13 +632,15 @@ def replay_sessions_sql(
     spark.catalog.dropTempView(day_view)
     if len(steps) > 1:
         spark.catalog.dropTempView(state_view)
+    # assembly reads are schema-pinned too (the step schema is known
+    # from day 0): an unpinned multi-path read re-infers from footers
     closed = (
-        spark.read.parquet(*steps)
+        spark.read.schema(state_schema).parquet(*steps)
         .filter(~F.col("_is_open"))
         .drop("_is_open")
     )
     state = (
-        spark.read.parquet(steps[-1])
+        spark.read.schema(state_schema).parquet(steps[-1])
         .filter(F.col("_is_open"))
         .drop("_is_open")
     )

@@ -509,3 +509,74 @@ def test_materialize_dir_equals_checkpoint_replay(spark, sf_small, tmp_path):
         finalize_sessions(state)
     )
     _assert_equal(inc, batch)
+
+
+def test_replay_day_scan_is_partition_pruned(spark, tmp_path):
+    """The r16 replay reads the lake through ONE partition-aware
+    relation and repoints each day with a filter on the partition
+    column — that is only a win if the day scan actually PRUNES back
+    to the one directory at planning.  Pin the PartitionFilters on
+    the exact construction the replay loop uses (schema-pinned lake
+    read, string partition column, equality filter)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-03-01 10:00:00", 1, "view", 1.0),
+            (1, "2024-03-02 10:00:00", 2, "view", 1.0),
+            (1, "2024-03-03 10:00:00", 3, "view", 1.0),
+        ],
+    )
+    lake = str(tmp_path / "lake")
+    ev.withColumn("_d", F.to_date("ts")).repartition("_d").write.partitionBy(
+        "_d"
+    ).parquet(lake)
+    days = sorted(
+        p.split("=", 1)[1] for p in os.listdir(lake) if p.startswith("_d=")
+    )
+    day_schema = spark.read.parquet(f"{lake}/_d={days[0]}").schema
+    lake_df = spark.read.schema(
+        T.StructType(list(day_schema) + [T.StructField("_d", T.StringType())])
+    ).parquet(lake)
+    one_day = lake_df.filter(F.col("_d") == days[1])
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert days[1] in plan, plan
+    # the pruned scan must read exactly the one day's rows
+    assert one_day.count() == 1
+    assert one_day.select("event_id").collect()[0][0] == 2
+
+
+def test_sql_replay_ofrows_fallback_equal(spark, tmp_path, monkeypatch):
+    """replay_sessions_sql parses its two constant step texts once and
+    re-analyzes them per day through Spark's own Dataset.ofRows entry;
+    if that internal entry is unavailable the loop must degrade to the
+    public spark.sql path with IDENTICAL output.  Force the fallback
+    by making the probe fail and compare replays row-for-row."""
+    from data_engineering_user_session_analysis_spark.operators import (
+        incremental_sessions as inc,
+    )
+
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-03-01 23:50:00", 1, "view", 1.0),
+            (1, "2024-03-02 00:10:00", 2, "purchase", 2.5),
+            (2, "2024-03-01 12:00:00", 3, "view", 1.0),
+            (2, "2024-03-03 12:00:00", 4, "click", 0.0),
+        ],
+    )
+    fast = _sql_replay(spark, ev, str(tmp_path / "fast"))
+    fast_rows = sorted((tuple(r) for r in fast.collect()), key=str)
+
+    class _BoomDataFrame:
+        def __call__(self, *a, **k):
+            raise RuntimeError("probe disabled: force spark.sql fallback")
+
+    monkeypatch.setattr(inc, "DataFrame", _BoomDataFrame())
+    slow = _sql_replay(spark, ev, str(tmp_path / "slow"))
+    slow_rows = sorted((tuple(r) for r in slow.collect()), key=str)
+    assert fast_rows == slow_rows

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for registry queries into plans/r15/.
+"""Capture .explain('formatted') for registry queries into plans/$SPARK_GRAFT_PLANS_DIR (default r16)/.
 
 Usage: python tools/capture_plans.py <suffix> [name ...]
 
@@ -25,7 +25,7 @@ def main() -> None:
     from data_engineering_user_session_analysis_spark.queries import QUERIES
 
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r16")
     )
     os.makedirs(out_dir, exist_ok=True)
 
