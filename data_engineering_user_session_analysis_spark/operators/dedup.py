@@ -591,6 +591,11 @@ def _cc_rounds(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
             .agg(F.min("vl").alias("nmin"))
             .select(F.col("u").alias("node"), "nmin")
         )
+        # the round-start label rides along as `_prev` so the
+        # convergence check below is a filter-count over the round's
+        # own checkpoint instead of a join of two O(nodes) label
+        # tables (r16, guide §2.4: the join cost two extra exchanges
+        # + an SMJ per check for 8 extra bytes/row in the checkpoint)
         stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -598,6 +603,7 @@ def _cc_rounds(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
                     "label"
                 ),
+                F.col("label").alias("_prev"),
             )
         )
         # pointer jump: label[v] <- label[label[v]] (total map: every
@@ -610,18 +616,19 @@ def _cc_rounds(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
                 ).alias("b"),
                 "label",
             )
-            .select(F.col("node"), F.least("label", "ll").alias("label"))
+            .select(
+                F.col("node"),
+                F.least("label", "ll").alias("label"),
+                F.col("_prev"),
+            )
         )
         jumped = materialize(jumped, eager=True)
-        prev = labels
-        labels = jumped
+        labels = jumped.select("node", "label")
         if round_no % 2 == 0 or round_no == max_iter:
-            changed = (
-                jumped.alias("n")
-                .join(prev.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            # a no-change round is a fixed point: min-propagation and
+            # pointer jumping only ever LOWER labels, so label != _prev
+            # on any node is exactly the old join-count's predicate
+            changed = jumped.filter(F.col("label") != F.col("_prev")).count()
             if changed == 0:
                 break
     return labels

@@ -867,3 +867,31 @@ def test_cc_regime_switch_at_edge_budget(spark, monkeypatch):
     expected = sorted((i, i - i % 8) for i in range(64))
     assert rows_driver == expected
     assert rows_dist == expected
+
+
+def test_cc_convergence_check_is_join_free(spark, monkeypatch):
+    """The distributed loop's convergence check must be a filter-count
+    over the round's OWN checkpoint (the round-start label rides along
+    as ``_prev``), not a join of two O(nodes) label tables (r16,
+    guide §2.4): every counted plan that sees ``_prev`` must contain
+    no Join operator, and the labels must still be exact."""
+    from data_engineering_user_session_analysis_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    cls = type(pairs)
+    plans: list = []
+    orig = cls.count
+
+    def recording(self):
+        plans.append(self._jdf.queryExecution().optimizedPlan().toString())
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", recording)
+    comp = dedup.connected_components(pairs, max_iter=25, driver_max_edges=0)
+    rows = sorted((r["node"], r["component"]) for r in comp.collect())
+    assert rows == [(i, 0) for i in range(64)]
+    checks = [p for p in plans if "_prev" in p]
+    assert checks, "no convergence-check count observed"
+    assert all("Join" not in p for p in checks), checks[0]
